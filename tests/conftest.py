@@ -1,0 +1,66 @@
+"""Test harness config: force an 8-device virtual CPU mesh before jax loads.
+
+Multi-chip sharding is validated on virtual CPU devices
+(xla_force_host_platform_device_count); real-TPU execution is covered by
+bench.py / __graft_entry__.py which the driver runs on hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+from vgaligner_tpu.graph.handlegraph import HashGraph  # noqa: E402
+
+REFERENCE_TEST_DIR = "/root/reference/test"
+
+
+@pytest.fixture
+def simple_graph() -> HashGraph:
+    """The diamond debug graph (index.rs:646-678).
+
+          | 2: CT \\
+    1: A            4: GCA
+          \\ 3: GA |
+    """
+    g = HashGraph()
+    h1 = g.create_handle("A", 1)
+    h2 = g.create_handle("CT", 2)
+    h3 = g.create_handle("GA", 3)
+    h4 = g.create_handle("GCA", 4)
+    g.create_edge(h1, h2)
+    g.create_edge(h1, h3)
+    g.create_edge(h2, h4)
+    g.create_edge(h3, h4)
+    p1 = g.create_path("P1")
+    for h in (h1, h2, h4):
+        g.append_step(p1, h)
+    p2 = g.create_path("P2")
+    for h in (h1, h3, h4):
+        g.append_step(p2, h)
+    return g
+
+
+@pytest.fixture
+def simple_graph_2() -> HashGraph:
+    """Second debug graph (index.rs:688-701): GAT -> {T,A} -> CA."""
+    g = HashGraph()
+    h1 = g.create_handle("GAT", 1)
+    h2 = g.create_handle("T", 2)
+    h3 = g.create_handle("A", 3)
+    h4 = g.create_handle("CA", 4)
+    g.create_edge(h1, h2)
+    g.create_edge(h1, h3)
+    g.create_edge(h2, h4)
+    g.create_edge(h3, h4)
+    return g

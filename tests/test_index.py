@@ -1,0 +1,156 @@
+"""Index tests ported from the reference inline tests.
+
+Golden values from /root/reference/src/index.rs:826-840 (k-mer counts),
+1108-1170 (fwd/rev position lookups), 1218-1243 (rank from seqpos),
+1077-1106 (serialization round trip), and src/kmer.rs position
+semantics.
+"""
+
+import numpy as np
+import pytest
+
+from vgaligner_tpu.graph import find_forward_sequence, graph_from_gfa
+from vgaligner_tpu.graph.handlegraph import HashGraph, handle_pack
+from vgaligner_tpu.index import Index, generate_kmers, generate_pos_on_ref
+from vgaligner_tpu.index.kmer_gen import FORWARD, REVERSE
+
+from conftest import REFERENCE_TEST_DIR
+
+
+def test_kmers_graph_generation(simple_graph):
+    # index.rs:826-840 (sequential variant counts; graph has no Ns so the
+    # parallel/production N-policy is identical)
+    assert len(generate_kmers(simple_graph, 3, 100, 100)) == 14
+    assert len(generate_kmers(simple_graph, 6, 100, 100)) == 4
+    assert len(generate_kmers(simple_graph, 100, 100, 100)) == 0
+
+
+def test_kmers_simple_path():
+    # index.rs:885-889
+    g = HashGraph()
+    h1 = g.create_handle("ACG", 1)
+    h2 = g.create_handle("TTT", 2)
+    h3 = g.create_handle("CA", 3)
+    g.create_edge(h1, h2)
+    g.create_edge(h2, h3)
+    assert len(generate_kmers(g, 3, 100, 100)) == 12
+
+
+def test_kmer_positions_validity(simple_graph_2):
+    """test_table analog (index.rs:966-1075): every indexed position's
+    substring borders match the k-mer's first/last base."""
+    lin = find_forward_sequence(simple_graph_2)
+    from vgaligner_tpu.utils.dna import reverse_complement
+
+    seq_fwd = lin.seq_fwd
+    seq_rev = reverse_complement(seq_fwd)
+    kmers = generate_kmers(simple_graph_2, 3, 100, 100)
+    seqs, offsets, counts, positions = generate_pos_on_ref(
+        simple_graph_2, kmers, lin.seq_len, lin.node_starts
+    )
+    assert len(seqs) == len(offsets) == len(counts)
+    for g_i, seq in enumerate(seqs):
+        rows = positions[offsets[g_i] : offsets[g_i] + counts[g_i]]
+        assert len(rows) > 0
+        for so, sp, eo, ep in rows:
+            ref = seq_fwd if so == FORWARD else seq_rev
+            sub = ref[sp:ep]
+            assert seq[0] == sub[0]
+            assert seq[2] == sub[-1]
+
+
+def test_index_access(simple_graph):
+    # index.rs:1108-1129
+    index = Index.build(simple_graph, 3, 100, 100)
+    pos = index.find_positions_for_query_kmer("ACT")
+    assert pos == [(FORWARD, 0, FORWARD, 3)]
+
+
+def test_index_access_2():
+    # index.rs:1131-1170: TTT -> AAA
+    g = HashGraph()
+    h1 = g.create_handle("TTT", 1)
+    h2 = g.create_handle("AAA", 2)
+    g.create_edge(h1, h2)
+    index = Index.build(g, 3, 100, 100)
+    pos = index.find_positions_for_query_kmer("TTT")
+    assert pos == [(FORWARD, 0, FORWARD, 3), (REVERSE, 0, REVERSE, 3)]
+
+
+def test_index_access_nodes(simple_graph):
+    # index.rs:1218-1243
+    index = Index.build(simple_graph, 3, 100, 100)
+    assert index.node_id_from_seqpos(FORWARD, 0) == 1
+    assert index.node_id_from_seqpos(FORWARD, 2) == 2
+    assert index.node_id_from_seqpos(REVERSE, 0) == 4
+
+
+def test_select(simple_graph):
+    index = Index.build(simple_graph, 3, 100, 100)
+    assert index.get_bv_select(1) == 0
+    assert index.get_bv_select(2) == 1
+    assert index.get_bv_select(4) == 5
+    assert index.get_bv_select(5) == 8  # end marker
+    assert index.get_bv_select(6) == 0  # reference fallthrough
+    with pytest.raises(ValueError):
+        index.get_bv_select(0)
+
+
+def test_seq_from_handle(simple_graph):
+    index = Index.build(simple_graph, 3, 100, 100)
+    assert index.seq_from_handle(handle_pack(2, False)) == "CT"
+    assert index.seq_from_handle(handle_pack(2, True)) == "AG"
+    assert index.seq_from_handle(handle_pack(4, False)) == "GCA"
+    assert index.seq_from_handle(handle_pack(4, True)) == "TGC"
+
+
+def test_edges_from_handle(simple_graph):
+    index = Index.build(simple_graph, 3, 100, 100)
+    h = lambda i, r=False: handle_pack(i, r)
+    assert index.incoming_edges_from_handle(h(2)) == [h(1)]
+    assert index.outgoing_edges_from_handle(h(2)) == [h(4)]
+    assert index.incoming_edges_from_handle(h(1)) == []
+    assert index.outgoing_edges_from_handle(h(1)) == [h(2), h(3)]
+    # reverse handles: flipped + reversed views (index.rs:559-606)
+    assert index.outgoing_edges_from_handle(h(4, True)) == [h(3, True), h(2, True)]
+    assert index.incoming_edges_from_handle(h(2, True)) == [h(4, True)]
+
+
+def test_serialization_roundtrip(tmp_path, simple_graph):
+    # index.rs:1077-1106
+    index = Index.build(simple_graph, 3, 100, 100)
+    path = str(tmp_path / "test.idx.npz")
+    index.save(path)
+    loaded = Index.load(path)
+    assert loaded.kmer_length == index.kmer_length
+    assert loaded.seq_length == index.seq_length
+    assert loaded.seq_fwd == index.seq_fwd
+    assert loaded.seq_rev == index.seq_rev
+    np.testing.assert_array_equal(loaded.node_starts, index.node_starts)
+    assert loaded.n_edges == index.n_edges
+    np.testing.assert_array_equal(loaded.edges, index.edges)
+    assert loaded.n_nodes == index.n_nodes
+    assert loaded.n_kmers == index.n_kmers
+    assert loaded.n_kmer_pos == index.n_kmer_pos
+    np.testing.assert_array_equal(loaded.kmer_codes, index.kmer_codes)
+    np.testing.assert_array_equal(loaded.positions, index.positions)
+    np.testing.assert_array_equal(loaded.fo_positions, index.fo_positions)
+    assert loaded.loaded
+
+
+def test_index_test_gfa():
+    """Index over the reference test fixture builds and is self-consistent."""
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    assert index.n_kmers > 0
+    # forward-only table consistency
+    assert index.fo_counts.sum() == len(index.fo_positions)
+    assert (index.fo_counts <= index.kmer_counts).all()
+    # every k-mer of the forward linearization must be findable
+    seq = index.seq_fwd
+    k = 11
+    found = 0
+    for i in range(len(seq) - k + 1):
+        if index.find_positions_for_query_kmer(seq[i : i + k]):
+            found += 1
+    assert found > 0

@@ -1,0 +1,371 @@
+"""The k-mer index: build, query, (de)serialization, device arrays.
+
+Behavioral reference: /root/reference/src/index.rs (struct Index,
+Index::build, query and graph-accessor methods) and
+src/serialization.rs.
+
+TPU-native re-design decisions:
+
+* {ahash + boomphf MPHF + `kmer_pos_ref` membership scan}
+  (index.rs:229-236, 319) → one sorted array of 2-bit-packed k-mer codes
+  plus (offset, count) per unique k-mer.  Exact-match lookup is a binary
+  search; on device it is a vectorized `jnp.searchsorted`.  Because
+  ASCII 'A'<'C'<'G'<'T' matches code order 0<1<2<3, the sorted-by-
+  sequence k-mer order of the reference *is* the sorted-code order.
+* The node-start bitvector + O(L) rank/select loops (index.rs:427-480)
+  → `node_starts` prefix array; rank = searchsorted, select = lookup.
+* The delimiter-flattened `kmer_pos_table` (kmer.rs:901-923) → explicit
+  (offset, count); additionally a pre-filtered forward-only sub-table is
+  materialized at build time because the production mapping path always
+  uses only_forward=true (map.rs:62, chain.rs:154).
+* bincode `.idx` → a single compressed `.idx.npz` of the arrays.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from ..graph.handlegraph import (
+    HashGraph,
+    handle_flip,
+    handle_id,
+    handle_is_reverse,
+    handle_pack,
+)
+from ..graph.linearize import find_forward_sequence, find_graph_seq_length
+from ..utils.dna import encode_seq, reverse_complement
+from .kmer_gen import FORWARD, REVERSE, generate_kmers, generate_pos_on_ref
+
+log = logging.getLogger(__name__)
+
+
+class DeviceIndex(NamedTuple):
+    """Replicated HBM-resident arrays consumed by the device kernels."""
+
+    kmer_codes: "np.ndarray"  # int64 [n_kmers], sorted unique codes
+    fo_offsets: "np.ndarray"  # int32 [n_kmers], into fo_* arrays
+    fo_counts: "np.ndarray"  # int32 [n_kmers]
+    fo_start: "np.ndarray"  # int64 [n_fo_pos] forward-only start positions
+    fo_end: "np.ndarray"  # int64 [n_fo_pos]
+    node_starts: "np.ndarray"  # int64 [n_nodes + 1]
+
+
+@dataclass
+class Index:
+    """Index over the k-mers of a variation graph (index.rs:30-90)."""
+
+    kmer_length: int
+    seq_length: int
+    seq_fwd: str
+    seq_rev: str
+    node_starts: np.ndarray  # int64 [n_nodes + 1] (seq_bv equivalent)
+    n_edges: int
+    edges: np.ndarray  # int64 packed handles
+    n_nodes: int
+    edge_idx: np.ndarray  # int64 [n_nodes + 1]
+    edges_to_node: np.ndarray  # int64 [n_nodes]
+    # k-mer table
+    n_kmers: int
+    n_kmer_pos: int  # positions incl. one delimiter per kmer (reference metric)
+    kmer_codes: np.ndarray  # int64 [n_kmers] sorted
+    kmer_offsets: np.ndarray  # int64 [n_kmers] into `positions`
+    kmer_counts: np.ndarray  # int64 [n_kmers]
+    positions: np.ndarray  # int64 [n_pos, 4] (so, start, eo, end)
+    sampling_rate: Optional[int]
+    # forward-only sub-table (production mapping path, map.rs:62)
+    fo_offsets: np.ndarray  # int64 [n_kmers]
+    fo_counts: np.ndarray  # int64 [n_kmers]
+    fo_positions: np.ndarray  # int64 [n_fo, 2] (start, end)
+    loaded: bool = False
+
+    # ---- build --------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        graph: HashGraph,
+        kmer_length: int,
+        max_furcations: int = 100,
+        max_degree: int = 100,
+        out_prefix: Optional[str] = None,
+        sampling_rate: Optional[int] = None,
+        generate_mappings: bool = False,
+        mappings_path: Optional[str] = None,
+    ) -> "Index":
+        """Build the index (Index::build, index.rs:109-281)."""
+        n_nodes = graph.n_nodes
+        lin = find_forward_sequence(graph)
+        seq_length = lin.seq_len
+        assert seq_length == find_graph_seq_length(graph)
+
+        if not np.array_equal(lin.node_ids, np.arange(1, n_nodes + 1)):
+            raise ValueError(
+                "node ids must be contiguous 1..n (the reference indexes "
+                "NodeRef by id-1, index.rs:489-498)"
+            )
+
+        seq_rev = reverse_complement(lin.seq_fwd)
+
+        if generate_mappings:
+            from ..io.mappings import generate_json_mappings, store_mappings_in_file
+
+            store_mappings_in_file(
+                generate_json_mappings(graph), mappings_path or "mappings.json"
+            )
+            log.info("Mappings correctly stored in %s!", mappings_path or "mappings.json")
+
+        t0 = time.monotonic()
+        kmers = generate_kmers(
+            graph,
+            kmer_length,
+            edge_max=max_furcations,
+            degree_max=max_degree,
+            sampling_rate=sampling_rate,
+        )
+        log.info("Finding the kmers required: %d ms", (time.monotonic() - t0) * 1000)
+
+        t0 = time.monotonic()
+        unique_seqs, offsets, counts, positions = generate_pos_on_ref(
+            graph, kmers, seq_length, lin.node_starts
+        )
+        log.info("Converting the kmers required: %d ms", (time.monotonic() - t0) * 1000)
+
+        from ..utils.dna import kmer_code
+
+        codes = np.asarray([kmer_code(s) for s in unique_seqs], dtype=np.int64)
+        if len(codes) > 1 and not (np.diff(codes) > 0).all():
+            raise AssertionError(
+                "unique k-mer codes not strictly increasing — sorted-seq / "
+                "sorted-code equivalence violated"
+            )
+
+        # Forward-only sub-table: keep positions with both orients Forward,
+        # preserving per-group order (the only_forward filter in
+        # chain.rs:154 applied at build time).
+        fo_mask = (positions[:, 0] == FORWARD) & (positions[:, 2] == FORWARD)
+        fo_positions = positions[fo_mask][:, [1, 3]].copy()
+        fo_counts = np.zeros_like(counts)
+        for g in range(len(counts)):
+            fo_counts[g] = int(
+                fo_mask[offsets[g] : offsets[g] + counts[g]].sum()
+            )
+        fo_offsets = np.concatenate([[0], np.cumsum(fo_counts)[:-1]]).astype(np.int64)
+
+        index = cls(
+            kmer_length=kmer_length,
+            seq_length=seq_length,
+            seq_fwd=lin.seq_fwd,
+            seq_rev=seq_rev,
+            node_starts=lin.node_starts,
+            n_edges=len(lin.edges),
+            edges=lin.edges,
+            n_nodes=n_nodes,
+            edge_idx=lin.edge_idx,
+            edges_to_node=lin.edges_to_node,
+            n_kmers=len(codes),
+            n_kmer_pos=len(positions) + len(codes),  # + delimiters (index.rs:252)
+            kmer_codes=codes,
+            kmer_offsets=offsets,
+            kmer_counts=counts,
+            positions=positions,
+            sampling_rate=sampling_rate,
+            fo_offsets=fo_offsets,
+            fo_counts=fo_counts,
+            fo_positions=fo_positions,
+        )
+
+        log.info("Index with k=%d built correctly!", kmer_length)
+        log.info(
+            "Found %d different kmers, which appear in %d positions!",
+            index.n_kmers,
+            index.n_kmer_pos,
+        )
+
+        if out_prefix is not None:
+            path = out_prefix if out_prefix.endswith(".idx.npz") else out_prefix + ".idx.npz"
+            index.save(path)
+            log.info("Index correctly stored in %s!", path)
+        return index
+
+    # ---- serialization ------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path if path.endswith(".npz") else path + ".npz",
+            kmer_length=self.kmer_length,
+            seq_length=self.seq_length,
+            seq_fwd=np.frombuffer(self.seq_fwd.encode("ascii"), dtype=np.uint8),
+            seq_rev=np.frombuffer(self.seq_rev.encode("ascii"), dtype=np.uint8),
+            node_starts=self.node_starts,
+            n_edges=self.n_edges,
+            edges=self.edges,
+            n_nodes=self.n_nodes,
+            edge_idx=self.edge_idx,
+            edges_to_node=self.edges_to_node,
+            n_kmers=self.n_kmers,
+            n_kmer_pos=self.n_kmer_pos,
+            kmer_codes=self.kmer_codes,
+            kmer_offsets=self.kmer_offsets,
+            kmer_counts=self.kmer_counts,
+            positions=self.positions,
+            sampling_rate=-1 if self.sampling_rate is None else self.sampling_rate,
+            fo_offsets=self.fo_offsets,
+            fo_counts=self.fo_counts,
+            fo_positions=self.fo_positions,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Index":
+        with np.load(path) as data:
+            sampling = int(data["sampling_rate"])
+            return cls(
+                kmer_length=int(data["kmer_length"]),
+                seq_length=int(data["seq_length"]),
+                seq_fwd=data["seq_fwd"].tobytes().decode("ascii"),
+                seq_rev=data["seq_rev"].tobytes().decode("ascii"),
+                node_starts=data["node_starts"],
+                n_edges=int(data["n_edges"]),
+                edges=data["edges"],
+                n_nodes=int(data["n_nodes"]),
+                edge_idx=data["edge_idx"],
+                edges_to_node=data["edges_to_node"],
+                n_kmers=int(data["n_kmers"]),
+                n_kmer_pos=int(data["n_kmer_pos"]),
+                kmer_codes=data["kmer_codes"],
+                kmer_offsets=data["kmer_offsets"],
+                kmer_counts=data["kmer_counts"],
+                positions=data["positions"],
+                sampling_rate=None if sampling < 0 else sampling,
+                fo_offsets=data["fo_offsets"],
+                fo_counts=data["fo_counts"],
+                fo_positions=data["fo_positions"],
+                loaded=True,
+            )
+
+    @classmethod
+    def load_from_prefix(cls, prefix: str) -> "Index":
+        return cls.load(prefix + ".idx.npz")
+
+    # ---- device -------------------------------------------------------
+
+    def device(self) -> DeviceIndex:
+        """The replicated device-resident view used by the mapping kernels."""
+        import jax.numpy as jnp
+
+        return DeviceIndex(
+            kmer_codes=jnp.asarray(self.kmer_codes, dtype=jnp.int64),
+            fo_offsets=jnp.asarray(self.fo_offsets, dtype=jnp.int32),
+            fo_counts=jnp.asarray(self.fo_counts, dtype=jnp.int32),
+            fo_start=jnp.asarray(
+                self.fo_positions[:, 0] if len(self.fo_positions) else np.zeros(1),
+                dtype=jnp.int64,
+            ),
+            fo_end=jnp.asarray(
+                self.fo_positions[:, 1] if len(self.fo_positions) else np.zeros(1),
+                dtype=jnp.int64,
+            ),
+            node_starts=jnp.asarray(self.node_starts, dtype=jnp.int64),
+        )
+
+    # ---- k-mer queries (host reference path) ---------------------------
+
+    def _find_kmer_group(self, seq: str) -> int:
+        """Group id of a query k-mer, or -1 (find_start_position_in_index,
+        index.rs:309-325)."""
+        if len(seq) != self.kmer_length:
+            return -1
+        from ..utils.dna import kmer_code
+
+        code = kmer_code(seq)
+        if code < 0:
+            return -1
+        if self.sampling_rate is not None:
+            from .kmer_gen import _mix64
+
+            if _mix64(code) % self.sampling_rate != 0:
+                return -1
+        g = int(np.searchsorted(self.kmer_codes, code))
+        if g >= len(self.kmer_codes) or self.kmer_codes[g] != code:
+            return -1
+        return g
+
+    def find_positions_for_query_kmer(self, seq: str) -> List[Tuple[int, int, int, int]]:
+        """All (so, start, eo, end) positions of a query k-mer
+        (index.rs:353-382)."""
+        g = self._find_kmer_group(seq)
+        if g < 0:
+            return []
+        o, c = int(self.kmer_offsets[g]), int(self.kmer_counts[g])
+        return [tuple(int(v) for v in row) for row in self.positions[o : o + c]]
+
+    # ---- rank/select & graph accessors (index.rs:388-627) ---------------
+
+    def node_id_from_seqpos(self, orient: int, pos: int) -> int:
+        """Node id owning a linearized position (index.rs:388-411)."""
+        if orient == FORWARD:
+            return int(np.searchsorted(self.node_starts, pos, side="right"))
+        return int(
+            np.searchsorted(self.node_starts[: self.n_nodes], self.seq_length - pos, side="left")
+        )
+
+    def handle_from_seqpos(self, orient: int, pos: int) -> int:
+        node_id = self.node_id_from_seqpos(orient, pos)
+        return handle_pack(node_id, orient == REVERSE)
+
+    def get_bv_select(self, element_no: int) -> int:
+        """Start of the element_no-th node (1-based); n_nodes+1 selects the
+        end marker; past-the-end returns 0 like the reference's fallthrough
+        (index.rs:461-480)."""
+        if element_no == 0:
+            raise ValueError("element_no should be > 0")
+        if element_no > self.n_nodes + 1:
+            return 0
+        return int(self.node_starts[element_no - 1])
+
+    def seq_from_handle(self, handle: int) -> str:
+        """Node label in handle orientation without the graph
+        (index.rs:503-533)."""
+        nid = handle_id(handle)
+        assert 1 <= nid <= self.n_nodes, f"handle id {nid} out of range"
+        start = int(self.node_starts[nid - 1])
+        end = int(self.node_starts[nid])
+        if handle_is_reverse(handle):
+            return self.seq_rev[self.seq_length - end : self.seq_length - start]
+        return self.seq_fwd[start:end]
+
+    def _edges_interval(self, handle: int) -> Tuple[int, int]:
+        nid = handle_id(handle)
+        return int(self.edge_idx[nid - 1]), int(self.edge_idx[nid])
+
+    def edges_from_handle(self, handle: int) -> List[int]:
+        lo, hi = self._edges_interval(handle)
+        return [int(h) for h in self.edges[lo:hi]]
+
+    def incoming_edges_from_handle(self, handle: int) -> List[int]:
+        """index.rs:559-579."""
+        if handle_is_reverse(handle):
+            return [handle_flip(h) for h in self.outgoing_edges_from_handle(handle_flip(handle))][::-1]
+        lo, _ = self._edges_interval(handle)
+        etn = int(self.edges_to_node[handle_id(handle) - 1])
+        return [int(h) for h in self.edges[lo : lo + etn]]
+
+    def outgoing_edges_from_handle(self, handle: int) -> List[int]:
+        """index.rs:584-606."""
+        if handle_is_reverse(handle):
+            return [handle_flip(h) for h in self.incoming_edges_from_handle(handle_flip(handle))][::-1]
+        lo, hi = self._edges_interval(handle)
+        etn = int(self.edges_to_node[handle_id(handle) - 1])
+        return [int(h) for h in self.edges[lo + etn : hi]]
+
+    def seq_from_start_end_seqpos(self, begin: Tuple[int, int], end: Tuple[int, int]) -> str:
+        """index.rs:609-626 (mixed-orient falls back to fwd, a reference TODO)."""
+        bo, bp = begin
+        eo, ep = end
+        if bo == REVERSE and eo == REVERSE:
+            return self.seq_rev[bp:ep]
+        return self.seq_fwd[bp:ep]
