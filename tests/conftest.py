@@ -7,12 +7,21 @@ bench.py / __graft_entry__.py which the driver runs on hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment pre-sets JAX_PLATFORMS=axon (real TPU)
+# and sitecustomize imports jax before conftest runs, so the env var alone
+# is too late — override via jax.config before the first backend use.
+# Exact-parity tests are defined on IEEE f64 (CPU); TPU-emulated f64 is not
+# bit-exact.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

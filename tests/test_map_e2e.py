@@ -1,0 +1,86 @@
+"""End-to-end mapping tests: test.gfa + reference read fixtures -> chains GAF.
+
+Analog of test_map_no_alignment (/root/reference/src/map.rs:243-259) plus
+GAF-format assertions; the produced GAF is also snapshotted so future
+kernel changes cannot silently alter output (golden file committed under
+tests/golden/).
+"""
+
+import os
+import re
+
+from vgaligner_tpu.graph import graph_from_gfa
+from vgaligner_tpu.index import Index
+from vgaligner_tpu.io.fastx import read_seqs_from_file
+from vgaligner_tpu.io.gaf import write_gaf_to_file
+from vgaligner_tpu.models.mapper import Mapper
+
+from conftest import REFERENCE_TEST_DIR
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _map_fixture(reads_file, **kwargs):
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    mapper = Mapper(index, bandwidth=50, max_gap=1000, **kwargs)
+    queries = read_seqs_from_file(f"{REFERENCE_TEST_DIR}/{reads_file}")
+    chains = mapper.map_reads(queries)
+    return mapper.chains_to_gaf(chains), chains
+
+
+def test_map_single_read(tmp_path):
+    # map.rs:243-259 parameters: bandwidth 50, max_gap 1000, min anchors 3
+    gaf, chains = _map_fixture("single-read-test.fa", chain_min_n_anchors=3)
+    assert len(gaf) >= 1
+    lines = [a.to_string() for a in gaf]
+    for ln in lines:
+        assert len(ln.rstrip("\n").split("\t")) == 13
+    out = tmp_path / "out-chains.gaf"
+    write_gaf_to_file(gaf, str(out))
+    assert out.read_text() == "".join(lines)
+
+
+def test_map_fwd_linearization_gaf_structure():
+    gaf, chains = _map_fixture("single-read-test.fa", chain_min_n_anchors=2)
+    # read AAAAACGTTAAATTTGGCATCGTAGCAAAAA has few 11-mer hits on test.gfa;
+    # whatever rows exist must be placeholder or valid chain rows
+    for a in gaf:
+        s = a.to_string()
+        cols = s.rstrip("\n").split("\t")
+        if cols[2] == "*":  # placeholder
+            assert cols[11] == "0" and cols[12] == "*"
+        else:
+            assert cols[4] == "+"
+            assert re.fullmatch(r"(\([<>]\d+:\d+,[<>]\d+:\d+\),)+", cols[5])
+            assert cols[12].startswith("ta:Z:chain,n_anchors: ")
+
+
+def test_map_multiple_reads_golden():
+    """Snapshot the multi-read chains GAF (self-golden regression)."""
+    gaf, _ = _map_fixture("multiple-read-test.fa", chain_min_n_anchors=2)
+    text = "".join(a.to_string() for a in gaf)
+    golden_path = os.path.join(GOLDEN_DIR, "multiple-read-chains.gaf")
+    if not os.path.exists(golden_path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(golden_path, "w") as fh:
+            fh.write(text)
+    with open(golden_path) as fh:
+        assert fh.read() == text
+
+
+def test_map_query_is_graph_path():
+    """A read that IS a path of the graph must produce a non-placeholder
+    chain covering (nearly) the whole read."""
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    mapper = Mapper(index, chain_min_n_anchors=3)
+    path_x = g.get_path(0)
+    seq = "".join(g.sequence(h) for h in path_x.nodes)
+    from vgaligner_tpu.io.fastx import QuerySequence
+
+    chains = mapper.map_reads([QuerySequence.from_name_and_string("x", seq)])[0]
+    assert not chains[0].is_placeholder
+    best = chains[0]
+    assert best.anchors[0].qb == 0
+    assert best.anchors[-1].qe == len(seq)

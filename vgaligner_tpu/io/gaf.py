@@ -1,0 +1,115 @@
+"""GAF (Graph Alignment Format) records and writers.
+
+Behavioral reference: /root/reference/src/align.rs:726-1028
+(GAFAlignment).  Column layout, `*` conventions, the chain path-matching
+tuple format `(>node:offset,>node:offset),`, mapq saturation, and the
+placeholder (unmapped) row are reproduced byte for byte.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+from ..index.kmer_gen import FORWARD, REVERSE
+
+
+@dataclass
+class GAFAlignment:
+    query_name: Optional[str] = None
+    query_length: Optional[int] = None
+    query_start: Optional[int] = None
+    query_end: Optional[int] = None
+    strand: Optional[str] = None
+    path_matching: Optional[str] = None
+    path_length: Optional[int] = None
+    path_start: Optional[int] = None
+    path_end: Optional[int] = None
+    residue: Optional[int] = None
+    alignment_block_length: Optional[int] = None
+    mapping_quality: Optional[int] = None
+    notes: Optional[str] = None
+
+    def to_string(self) -> str:
+        """align.rs:971-1027 — 13 tab-separated columns, '*' for missing,
+        trailing newline."""
+        fields = [
+            self.query_name,
+            self.query_length,
+            self.query_start,
+            self.query_end,
+            self.strand,
+            self.path_matching,
+            self.path_length,
+            self.path_start,
+            self.path_end,
+            self.residue,
+            self.alignment_block_length,
+            self.mapping_quality,
+            self.notes,
+        ]
+        return "\t".join("*" if f is None else str(f) for f in fields) + "\n"
+
+    # ---- constructors --------------------------------------------------
+
+    @classmethod
+    def from_chain(cls, chain, index) -> "GAFAlignment":
+        """align.rs:762-911 — chains GAF row.
+
+        chain.anchors is the ascending (front..back) anchor list; each
+        anchor contributes "(S,E)," where S/E are ">node:offset" or
+        "<node:offset" derived from AnchorPosOnGraph (chain.rs:89-128).
+        The chain's mapping_quality is the f64::MIN sentinel which the
+        reference saturating-casts to 0 (align.rs:904).
+        """
+        assert not chain.is_placeholder
+        parts: List[str] = []
+        for a in chain.anchors:
+            sg = _anchor_graph_pos(index, a.so, a.tb)
+            eg = _anchor_graph_pos(index, a.eo, a.te - 1)  # end inclusive
+            parts.append(f"({_node_str(*sg)},{_node_str(*eg)}),")
+        return cls(
+            query_name=chain.query.name,
+            query_length=len(chain.query.seq),
+            query_start=chain.anchors[0].qb,
+            query_end=chain.anchors[-1].qe,
+            strand="+",
+            path_matching="".join(parts),
+            path_length=0,
+            path_start=0,
+            path_end=0,
+            residue=0,
+            alignment_block_length=0,
+            mapping_quality=0,  # min(f64::MIN as u64, 254) == 0
+            notes=f"ta:Z:chain,n_anchors: {len(chain.anchors)}",
+        )
+
+    @classmethod
+    def from_placeholder_chain(cls, chain) -> "GAFAlignment":
+        """align.rs:913-930 — the unmapped-read row."""
+        assert chain.is_placeholder
+        return cls(
+            query_name=chain.query.name,
+            query_length=len(chain.query.seq),
+            mapping_quality=0,
+        )
+
+
+def _anchor_graph_pos(index, orient: int, pos: int):
+    """(orient, node_id, offset_from_node_start) — AnchorPosOnGraph::new
+    (chain.rs:89-128): offset is pos - node_start-on-forward for *both*
+    orients (the reverse case keeps the same formula, chain.rs:98-103)."""
+    handle_num = index.node_id_from_seqpos(orient, pos)
+    node_start = index.get_bv_select(handle_num)
+    return orient, handle_num, pos - node_start
+
+
+def _node_str(orient: int, node_id: int, offset: int) -> str:
+    sign = ">" if orient == FORWARD else "<"
+    return f"{sign}{node_id}:{offset}"
+
+
+def write_gaf_to_file(alignments: List[GAFAlignment], file_name: str) -> None:
+    """map.rs:219-226."""
+    with open(file_name, "w") as fh:
+        fh.write("".join(a.to_string() for a in alignments))

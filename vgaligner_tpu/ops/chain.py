@@ -1,0 +1,162 @@
+"""The chaining DP as a device kernel (lax.scan + vectorized window).
+
+Behavioral reference: chain_anchors / score_anchor
+(/root/reference/src/chain.rs:274-655).  The reference runs, per read, a
+scalar double loop: for each anchor i, score the previous `bandwidth`
+anchors j and keep the best strictly-improving predecessor, while
+tracking the global best proposed score `curr_max`; backtracking then
+extracts exactly the chains whose final score equals `curr_max`
+(chain.rs:469).
+
+TPU-native formulation:
+  * anchors are sorted by target_end ascending with a *stable* sort (the
+    reference sorts by (orient desc, target_end asc), chain.rs:386-389;
+    the production forward-only path makes the orient key constant, so
+    stable-by-target_end is exact);
+  * one lax.scan step per anchor i; the bandwidth-50 predecessor window
+    is a dynamic_slice over the carried f-array and scored as one masked
+    f64 vector op (VPU lane-parallel), batched over reads via vmap;
+  * the gap cost 0.01*k*g + 0.5*log2(g) (chain.rs:348-354) is a host-
+    precomputed f64 table indexed by gap length — bit-identical to CPU
+    libm and free of device transcendentals;
+  * the 3-decimal rounding is Rust's round-half-away-from-zero
+    (chain.rs:361-363), reproduced with floor/ceil;
+  * predecessor tie-breaks reproduce the reference's descending-j scan
+    with strict improvement: the *largest* j among window maxima wins.
+
+Scores stay f64 end to end because chain selection tests exact f64
+equality with curr_max.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -np.float64(np.finfo(np.float64).max)  # reference's -f64::MAX
+
+
+def make_gap_cost_table(seed_length: int, max_gap: int) -> np.ndarray:
+    """gap -> gamma_c(gap) for gap in [0, max_gap] (chain.rs:348-354)."""
+    g = np.arange(max_gap + 1, dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        cost = 0.01 * float(seed_length) * g + 0.5 * np.log2(g)
+    cost[0] = 0.0
+    return cost
+
+
+def _round3(x: jnp.ndarray, thousand: jnp.ndarray) -> jnp.ndarray:
+    """Rust f64::round(x*1000)/1000 — half away from zero (chain.rs:361-363).
+
+    `thousand` must be a *traced* 1000.0: XLA strength-reduces division by a
+    constant into multiplication by the reciprocal, which is not IEEE
+    division and breaks bit-identity with the reference's f64 math; a
+    runtime operand forces a true divide.
+    """
+    y = x * thousand
+    r = jnp.where(y >= 0.0, jnp.floor(y + 0.5), jnp.ceil(y - 0.5))
+    return r / thousand
+
+
+class ChainScores(NamedTuple):
+    order: jnp.ndarray  # [B, A] int32: sorted position -> generation slot
+    qb: jnp.ndarray  # [B, A] int32 (sorted order)
+    tb: jnp.ndarray  # [B, A] int64
+    te: jnp.ndarray  # [B, A] int64
+    valid: jnp.ndarray  # [B, A] bool
+    f: jnp.ndarray  # [B, A] float64 max chain score per anchor
+    pred: jnp.ndarray  # [B, A] int32 predecessor *sorted position*, -1 = none
+    curr_max: jnp.ndarray  # [B] float64 global best proposed score
+
+
+@partial(jax.jit, static_argnames=("seed_length", "bandwidth"))
+def chain_scores(
+    qb: jnp.ndarray,
+    tb: jnp.ndarray,
+    te: jnp.ndarray,
+    valid: jnp.ndarray,
+    gap_table: jnp.ndarray,
+    seed_length: int,
+    bandwidth: int = 50,
+) -> ChainScores:
+    """Batched chaining DP. Inputs are AnchorBatch arrays [B, A]."""
+
+    max_gap = gap_table.shape[0] - 1
+    # runtime scalar defeating XLA's div-by-constant strength reduction
+    thousand = gap_table[0] + 1000.0
+
+    # stable sort by target_end; invalid slots sink to the end.  Slot order
+    # within equal te is generation order == anchor id order, matching the
+    # reference's stable sort_by (chain.rs:386-389).
+    sort_key = jnp.where(valid, te, jnp.iinfo(jnp.int64).max)
+    order = jnp.argsort(sort_key, axis=1, stable=True).astype(jnp.int32)
+    qb_s = jnp.take_along_axis(qb, order, axis=1)
+    tb_s = jnp.take_along_axis(tb, order, axis=1)
+    te_s = jnp.take_along_axis(te, order, axis=1)
+    valid_s = jnp.take_along_axis(valid, order, axis=1)
+
+    k_f = jnp.float64(seed_length)
+    qe_s = qb_s.astype(jnp.int64) + seed_length
+
+    def one_read(qb_r, tb_r, te_r, qe_r, valid_r):
+        A = qb_r.shape[0]
+        w = min(bandwidth, A)  # static window size; masked below
+        f0 = jnp.full((A,), k_f, dtype=jnp.float64)
+
+        def step(carry, i):
+            f, curr_max = carry
+            s = jnp.maximum(i - w, 0)
+            j_ids = s + jnp.arange(w, dtype=jnp.int32)
+            in_window = (j_ids < i) & (j_ids >= i - bandwidth)
+
+            qb_j = jax.lax.dynamic_slice(qb_r, (s,), (w,))
+            tb_j = jax.lax.dynamic_slice(tb_r, (s,), (w,))
+            te_j = jax.lax.dynamic_slice(te_r, (s,), (w,))
+            qe_j = jax.lax.dynamic_slice(qe_r, (s,), (w,))
+            f_j = jax.lax.dynamic_slice(f, (s,), (w,))
+            v_j = jax.lax.dynamic_slice(valid_r, (s,), (w,))
+
+            qb_i, tb_i, te_i, qe_i = qb_r[i], tb_r[i], te_r[i], qe_r[i]
+            mask = in_window & v_j & valid_r[i]
+
+            # -f64::MAX cases (chain.rs:277-311); orients are uniform in the
+            # forward-only production path so the orient clauses are constant
+            bad = (qe_j >= qe_i) | (te_j >= te_i)
+
+            ql = jnp.minimum(qb_i - qb_j.astype(jnp.int64), qe_i - qe_j)
+            tl = jnp.minimum(jnp.abs(tb_i - tb_j), jnp.abs(te_i - te_j))
+            gap = jnp.abs(ql - tl)
+            bad = bad | (gap > max_gap)
+            gcost = gap_table[jnp.clip(gap, 0, max_gap)]
+            mlen = jnp.minimum(jnp.minimum(ql, tl), seed_length).astype(jnp.float64)
+
+            prop = _round3(f_j + mlen - gcost, thousand)
+            prop = jnp.where(mask & ~bad, prop, NEG)
+
+            m = jnp.max(prop)
+            # largest j among maxima = last occurrence in ascending window
+            j_star_rev = jnp.argmax(prop[::-1])
+            j_star = s + (w - 1 - j_star_rev).astype(jnp.int32)
+
+            improved = m > k_f  # strict (> initial score, chain.rs:430)
+            f_i = jnp.where(improved, m, k_f)
+            pred_i = jnp.where(improved, j_star, jnp.int32(-1))
+            f = jax.lax.dynamic_update_slice(f, f_i[None], (i,))
+            curr_max = jnp.maximum(curr_max, m)
+            return (f, curr_max), pred_i
+
+        (f_fin, curr_max), preds = jax.lax.scan(
+            step, (f0, jnp.float64(0.0)), jnp.arange(1, A, dtype=jnp.int32)
+        )
+        preds = jnp.concatenate([jnp.full((1,), -1, jnp.int32), preds])
+        return f_fin, preds, curr_max
+
+    f, pred, curr_max = jax.vmap(one_read)(qb_s, tb_s, te_s, qe_s, valid_s)
+    return ChainScores(
+        order=order, qb=qb_s, tb=tb_s, te=te_s, valid=valid_s,
+        f=f, pred=pred, curr_max=curr_max,
+    )

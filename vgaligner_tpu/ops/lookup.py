@@ -1,0 +1,77 @@
+"""Device-side k-mer lookup and anchor materialization.
+
+Behavioral reference: anchors_for_query (/root/reference/src/chain.rs:
+134-173) + find_positions_for_query_kmer (index.rs:353-382).  The
+reference does, per query k-mer: a hash, an O(n_kmers) membership scan,
+an MPHF probe, and a delimiter walk.  Here the whole batch does one
+vectorized binary search against the sorted code table and one gather
+from the forward-only position sub-table (the production path always
+passes only_forward=true, map.rs:62, so that filter is baked into the
+table at build time).
+
+Anchor order matches the reference exactly: ascending query k-mer
+index, then index-table position order (which is the per-k-mer sorted
+position order of kmer.rs:892-894).  The anchor id is its slot number
+in this order (chain.rs:146-166).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..index.build import DeviceIndex
+
+
+class AnchorBatch(NamedTuple):
+    """Per-read anchor arrays in *generation order* (id order), padded to
+    a static A_max.  qe = qb + k always (anchors are single k-mers)."""
+
+    qb: jnp.ndarray  # [B, A] int32 query begin
+    tb: jnp.ndarray  # [B, A] int64 target begin (forward linearization)
+    te: jnp.ndarray  # [B, A] int64 target end (exclusive)
+    valid: jnp.ndarray  # [B, A] bool
+    n_anchors: jnp.ndarray  # [B] int32 true anchor count (pre-truncation)
+
+
+def lookup_and_materialize_anchors(
+    index: DeviceIndex,
+    wcodes: jnp.ndarray,
+    wvalid: jnp.ndarray,
+    a_max: int,
+) -> AnchorBatch:
+    """wcodes/wvalid: [B, W] from window_kmer_codes."""
+    n_kmers = index.kmer_codes.shape[0]
+
+    g = jnp.searchsorted(index.kmer_codes, wcodes)  # [B, W]
+    g_clip = jnp.minimum(g, n_kmers - 1)
+    found = wvalid & (g < n_kmers) & (index.kmer_codes[g_clip] == wcodes)
+    counts = jnp.where(found, index.fo_counts[g_clip], 0).astype(jnp.int32)  # [B, W]
+    offsets = index.fo_offsets[g_clip]  # [B, W]
+
+    cum = jnp.cumsum(counts, axis=1)  # [B, W]
+    total = cum[:, -1] if cum.shape[1] else jnp.zeros(cum.shape[0], jnp.int32)
+
+    # slot a -> (kmer window w, within-kmer position)
+    slots = jnp.arange(a_max, dtype=jnp.int32)  # [A]
+    # w = first window with cum[w] > a  (vectorized searchsorted per read)
+    w_of = _vmap_searchsorted(cum, slots)
+    w_clip = jnp.minimum(w_of, max(cum.shape[1] - 1, 0))
+    prev_cum = jnp.where(w_clip > 0, jnp.take_along_axis(cum, jnp.maximum(w_clip - 1, 0), axis=1), 0)
+    within = slots[None, :] - prev_cum  # [B, A]
+    valid = slots[None, :] < total[:, None]
+
+    table_row = jnp.take_along_axis(offsets, w_clip, axis=1) + within
+    table_row = jnp.where(valid, table_row, 0)
+    tb = index.fo_start[table_row]
+    te = index.fo_end[table_row]
+    qb = w_clip.astype(jnp.int32)
+
+    return AnchorBatch(qb=qb, tb=tb, te=te, valid=valid, n_anchors=total)
+
+
+def _vmap_searchsorted(cum: jnp.ndarray, slots: jnp.ndarray) -> jnp.ndarray:
+    import jax
+
+    return jax.vmap(lambda row: jnp.searchsorted(row, slots, side="right"))(cum)
