@@ -1,0 +1,109 @@
+"""Benchmark: chains-mapping throughput on the DRB1-3123 HLA-zoo graph.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json config 4 analog): index the 2-DRB1-3123 graph
+(4792 nodes, ~22.6kb sequence) at k=11 and map a batch of 100bp reads
+sampled deterministically from the graph's embedded paths (the same
+read model as the reference's `vg sim` protocol, Snakefile:25-32).
+
+vs_baseline: the reference is a single-threaded CPU program (rayon
+compiled out, SURVEY.md §1) and no Rust toolchain exists in this image,
+so the baseline is this framework's own scalar single-threaded host
+pipeline (models/host_pipeline.py — a literal restatement of the
+reference's per-read loop) timed on the same machine over a subsample.
+vs_baseline = device reads/s ÷ host-scalar reads/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+GRAPH = "/root/reference/experiments-snakemake/2-DRB1-3123/graph.gfa"
+FALLBACK_GRAPH = "/root/reference/test/test.gfa"
+K = 11
+READ_LEN = 100
+N_READS = 512
+N_BATCHES = 4
+HOST_BASELINE_READS = 24
+
+
+def sample_reads(graph, n, read_len, seed=77):
+    """Deterministic path-window read sampler (vg sim analog, seed 77)."""
+    rng = np.random.default_rng(seed)
+    path_seqs = []
+    for pid in graph.paths_iter():
+        seq = "".join(graph.sequence(h) for h in graph.get_path(pid).nodes)
+        if len(seq) >= read_len:
+            path_seqs.append(seq)
+    if not path_seqs:
+        path_seqs = ["".join(graph.sequence(h) for h in graph.handles())]
+    reads = []
+    for i in range(n):
+        seq = path_seqs[int(rng.integers(len(path_seqs)))]
+        start = int(rng.integers(0, max(len(seq) - read_len, 1)))
+        reads.append(seq[start : start + read_len])
+    return reads
+
+
+def main():
+    from vgaligner_tpu.graph import graph_from_gfa
+    from vgaligner_tpu.index import Index
+    from vgaligner_tpu.io.fastx import QuerySequence
+    from vgaligner_tpu.models.host_pipeline import map_read_host
+    from vgaligner_tpu.models.mapper import Mapper
+
+    graph_path = GRAPH if os.path.exists(GRAPH) else FALLBACK_GRAPH
+    graph = graph_from_gfa(graph_path)
+    t0 = time.monotonic()
+    index = Index.build(graph, K, 100, 100)
+    index_build_s = time.monotonic() - t0
+
+    reads = sample_reads(graph, N_READS, READ_LEN)
+    queries = [QuerySequence.from_name_and_string(f"r{i}", s) for i, s in enumerate(reads)]
+
+    mapper = Mapper(index, chain_min_n_anchors=3)
+
+    # warm-up (compile)
+    mapper.map_reads(queries)
+
+    t0 = time.monotonic()
+    for _ in range(N_BATCHES):
+        chains = mapper.map_reads(queries)
+    device_s = (time.monotonic() - t0) / N_BATCHES
+    device_rps = len(queries) / device_s
+
+    # single-threaded host-scalar baseline proxy on a subsample
+    sub = reads[:HOST_BASELINE_READS]
+    t0 = time.monotonic()
+    for s in sub:
+        map_read_host(index, s)
+    host_s_per_read = (time.monotonic() - t0) / len(sub)
+    host_rps = 1.0 / host_s_per_read
+
+    n_chains = sum(len(c) for c in chains)
+    sys.stderr.write(
+        f"graph={os.path.basename(os.path.dirname(graph_path))} "
+        f"index_build={index_build_s:.1f}s n_kmers={index.n_kmers} "
+        f"reads={len(queries)} chains={n_chains} "
+        f"device={device_rps:.1f} r/s host_scalar={host_rps:.1f} r/s\n"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "reads/sec/chip (map, chains) on DRB1-3123",
+                "value": round(device_rps, 2),
+                "unit": "reads/s",
+                "vs_baseline": round(device_rps / host_rps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,7 @@ from vgaligner_tpu.models.mapper import Mapper
 from vgaligner_tpu.ops.chain import chain_scores, make_gap_cost_table
 
 from conftest import REFERENCE_TEST_DIR
-from host_reference import HAnchor, chain_anchors_host, score_anchor, NEG
+from vgaligner_tpu.models.host_pipeline import HAnchor, chain_anchors_host, score_anchor, NEG
 
 
 def test_score_anchor_golden():

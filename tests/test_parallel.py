@@ -1,0 +1,58 @@
+"""Multi-device data-parallel mapping on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from vgaligner_tpu.graph import graph_from_gfa
+from vgaligner_tpu.index import Index
+from vgaligner_tpu.io.fastx import QuerySequence
+from vgaligner_tpu.models.mapper import Mapper
+from vgaligner_tpu.parallel.mesh import make_mesh
+
+from conftest import REFERENCE_TEST_DIR
+
+
+@pytest.fixture(scope="module")
+def index():
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    return Index.build(g, 11, 100, 100)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_mapping_matches_single_device(index):
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    reads = []
+    # 13 reads (not a multiple of 8 -> exercises batch padding)
+    for i in range(13):
+        reads.append(
+            QuerySequence.from_name_and_string(f"r{i}", index.seq_fwd[i : i + 30])
+        )
+
+    single = Mapper(index, chain_min_n_anchors=2)
+    gaf_single = single.chains_to_gaf(single.map_reads(reads))
+
+    mesh = make_mesh(8)
+    sharded = Mapper(index, chain_min_n_anchors=2, mesh=mesh)
+    gaf_sharded = sharded.chains_to_gaf(sharded.map_reads(reads))
+
+    assert [a.to_string() for a in gaf_sharded] == [a.to_string() for a in gaf_single]
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    packed, counts = out
+    assert packed.shape[1] == 4
+    assert counts.shape[1] == 2

@@ -1,11 +1,17 @@
-"""Scalar host re-statement of the reference chaining semantics, used to
-property-test the device DP kernel.
+"""Scalar host restatement of the reference mapping semantics.
 
-This mirrors chain_anchors/score_anchor (/root/reference/src/chain.rs:
-274-655) as literally as possible (double loop, descending-j window,
-strict-improvement predecessor updates, curr_max over all proposals) so
-the vectorized lax.scan kernel can be checked for exact f64 equality on
-random inputs.  Forward-only anchors (the production path).
+Two roles:
+  * test oracle — the device DP kernel (ops/chain.py) is property-tested
+    for exact f64 equality against this implementation;
+  * benchmark baseline proxy — the reference (rs-vgaligner) is a
+    single-threaded CPU program (SURVEY.md §1: rayon compiled out), so a
+    single-threaded host run of the same per-read loop stands in for it
+    when the Rust toolchain is unavailable.
+
+Mirrors chain_anchors/score_anchor (/root/reference/src/chain.rs:274-655)
+as literally as possible: double loop, descending-j window, strict-
+improvement predecessor updates, curr_max over all proposals, predecessor-
+nulling backtrack.  Forward-only anchors (the production path, map.rs:62).
 """
 
 import math
@@ -27,6 +33,7 @@ class HAnchor:
 
 
 def score_anchor(a: HAnchor, b: HAnchor, seed_length: int, max_gap: int) -> float:
+    """score_anchor (chain.rs:274-368), forward-only orients."""
     if a.qe >= b.qe or a.te >= b.te:
         return NEG
     ql = min(b.qb - a.qb, b.qe - a.qe)
@@ -50,7 +57,8 @@ def chain_anchors_host(
     max_gap: int,
     chain_min_n_anchors: int,
 ) -> Tuple[List[List[int]], float, List[HAnchor]]:
-    """Returns (chains as id lists in ascending order, curr_max, sorted anchors)."""
+    """(chains as id lists ascending, curr_max, sorted anchors) —
+    chain_anchors (chain.rs:370-655)."""
     anchors = sorted(anchors, key=lambda a: a.te)  # stable; orient uniform
     for a in anchors:
         a.f = float(seed_length)
@@ -69,6 +77,7 @@ def chain_anchors_host(
 
     chains: List[List[int]] = []
     if anchors:
+        id_to_pos = {a.id: p for p, a in enumerate(anchors)}
         for i in range(len(anchors) - 1, -1, -1):
             cur = anchors[i]
             if cur.pred is not None and cur.f == curr_max:
@@ -77,10 +86,24 @@ def chain_anchors_host(
                     pred_id = cur.pred
                     cur.pred = None
                     chain.append(cur.id)
-                    pos = next(p for p, x in enumerate(anchors) if x.id == pred_id)
-                    cur = anchors[pos]
+                    cur = anchors[id_to_pos[pred_id]]
                 chain.append(cur.id)
                 if len(chain) >= chain_min_n_anchors:
                     chain.reverse()
                     chains.append(chain)
     return chains, curr_max, anchors
+
+
+def map_read_host(index, seq: str, bandwidth=50, max_gap=1000, chain_min_n_anchors=3):
+    """Single-read host mapping (baseline proxy for the reference's
+    per-read loop, map.rs:56-111)."""
+    k = index.kmer_length
+    anchors: List[HAnchor] = []
+    aid = 0
+    if len(seq) >= k:
+        for i in range(len(seq) - k + 1):
+            for so, sp, eo, ep in index.find_positions_for_query_kmer(seq[i : i + k]):
+                if so == 0 and eo == 0:
+                    anchors.append(HAnchor(id=aid, qb=i, qe=i + k, tb=sp, te=ep))
+                    aid += 1
+    return chain_anchors_host(anchors, k, bandwidth, max_gap, chain_min_n_anchors)

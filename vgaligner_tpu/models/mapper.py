@@ -113,51 +113,77 @@ class Mapper:
         max_gap: int = 1000,
         chain_min_n_anchors: int = 3,
         max_anchors_cap: int = 65536,
+        mesh=None,
     ) -> None:
         self.index = index
         self.bandwidth = bandwidth
         self.max_gap = max_gap
         self.chain_min_n_anchors = chain_min_n_anchors
         self.max_anchors_cap = max_anchors_cap
+        self.mesh = mesh
         self.dindex = index.device()
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.dindex = replicate(mesh, self.dindex)
         self._gap_table = make_gap_cost_table(index.kmer_length, max_gap)
+        # sticky anchor capacity: grows on overflow, avoiding a host-side
+        # pre-pass over the batch (the device reports true totals)
+        self._a_max = 256
+        from ..utils.timing import PhaseTimer
 
-    # ---- host-side anchor-count estimate for bucketing -----------------
-
-    def _estimate_anchor_totals(self, seqs: Sequence[str]) -> np.ndarray:
-        from ..utils.dna import encode_seq
-
-        k = self.index.kmer_length
-        totals = np.zeros(len(seqs), dtype=np.int64)
-        for r, s in enumerate(seqs):
-            if len(s) < k:
-                continue
-            codes = encode_seq(s).astype(np.int64)
-            W = len(s) - k + 1
-            w = np.zeros(W, dtype=np.int64)
-            ok = np.ones(W, dtype=bool)
-            for j in range(k):
-                b = codes[j : j + W]
-                ok &= b < 4
-                w = (w << 2) | np.where(b < 4, b, 0)
-            g = np.searchsorted(self.index.kmer_codes, w)
-            gc = np.minimum(g, max(len(self.index.kmer_codes) - 1, 0))
-            found = ok & (g < len(self.index.kmer_codes)) & (self.index.kmer_codes[gc] == w)
-            totals[r] = self.index.fo_counts[gc][found].sum()
-        return totals
+        self.timer = PhaseTimer()
 
     # ---- device pipeline ----------------------------------------------
 
     @staticmethod
     @partial(jax.jit, static_argnames=("k", "a_max", "bandwidth"))
     def _device_map(codes, lens, dindex, gap_table, k, a_max, bandwidth):
+        """One fused mapping step.  Returns exactly two host-bound arrays
+        (packed per-anchor channels + per-read counts) because the host
+        link has high per-transfer latency; everything the backtrack and
+        GAF emission need is packed on device:
+
+          packed[B, 4, A] int32: ch0 = (pred+1) | is_start<<20   ch1 = qb
+                                 ch2 = target_begin              ch3 = target_end
+          counts[B, 2]    int32: (n_valid, n_anchors_total)
+
+        is_start encodes the reference's chain-start test
+        (pred.is_some() && f == curr_max, chain.rs:469) evaluated in f64
+        on device.  int32 target coords bound the linearization to 2^31
+        (HLA-scale; the pangenome-scale index will shard coordinates).
+        """
+        import jax.numpy as jnp
+
         wcodes, wvalid = window_kmer_codes(codes, lens, k)
         anchors = lookup_and_materialize_anchors(dindex, wcodes, wvalid, a_max)
         scores = chain_scores(
             anchors.qb, anchors.tb, anchors.te, anchors.valid,
             gap_table, seed_length=k, bandwidth=bandwidth,
         )
-        return anchors, scores
+        is_start = (
+            scores.valid
+            & (scores.pred != -1)
+            & (scores.f == scores.curr_max[:, None])
+        )
+        ch0 = (scores.pred + 1) | (is_start.astype(jnp.int32) << 20)
+        packed = jnp.stack(
+            [
+                ch0,
+                scores.qb.astype(jnp.int32),
+                scores.tb.astype(jnp.int32),
+                scores.te.astype(jnp.int32),
+            ],
+            axis=1,
+        )
+        counts = jnp.stack(
+            [
+                jnp.sum(scores.valid, axis=1).astype(jnp.int32),
+                anchors.n_anchors.astype(jnp.int32),
+            ],
+            axis=1,
+        )
+        return packed, counts
 
     # ---- public API ----------------------------------------------------
 
@@ -176,75 +202,103 @@ class Mapper:
             return out
 
         seqs = [queries[i].seq for i in mappable]
-        totals = self._estimate_anchor_totals(seqs)
-        a_max = int(min(_next_pow2(max(int(totals.max()), 2)), self.max_anchors_cap))
-        if totals.max() > self.max_anchors_cap:
-            log.warning(
-                "read with %d anchors truncated to cap %d",
-                totals.max(), self.max_anchors_cap,
-            )
         l_pad = _next_pow2(max(max(len(s) for s in seqs), k))
 
-        codes, lens = encode_reads_host(seqs, l_pad)
+        with self.timer.phase("encode"):
+            codes, lens = encode_reads_host(seqs, l_pad)
         import jax.numpy as jnp
 
-        anchors, scores = self._device_map(
-            jnp.asarray(codes), jnp.asarray(lens), self.dindex,
-            jnp.asarray(self._gap_table), k, a_max, self.bandwidth,
-        )
+        if self.mesh is not None:
+            # data-parallel: pad rows to the mesh size and shard along reads
+            from ..parallel.mesh import pad_batch_to_multiple, shard_batch
 
-        qb = np.asarray(scores.qb)
-        tb = np.asarray(scores.tb)
-        te = np.asarray(scores.te)
-        valid = np.asarray(scores.valid)
-        order = np.asarray(scores.order)
-        f = np.asarray(scores.f)
-        pred = np.asarray(scores.pred).copy()
-        curr_max = np.asarray(scores.curr_max)
+            nd = self.mesh.devices.size
+            b_pad = pad_batch_to_multiple(codes.shape[0], nd)
+            if b_pad != codes.shape[0]:
+                codes = np.pad(codes, ((0, b_pad - codes.shape[0]), (0, 0)), constant_values=4)
+                lens = np.pad(lens, (0, b_pad - lens.shape[0]))
+            codes_d, lens_d = shard_batch(self.mesh, jnp.asarray(codes), jnp.asarray(lens))
+        else:
+            codes_d, lens_d = jnp.asarray(codes), jnp.asarray(lens)
 
-        for b, qi in enumerate(mappable):
-            out[qi] = self._backtrack_read(
-                queries[qi], qb[b], tb[b], te[b], valid[b], order[b],
-                f[b], pred[b], float(curr_max[b]),
-            )
+        # adaptive anchor capacity: run at the sticky a_max, grow and re-run
+        # on overflow (the device reports true totals in the same transfer)
+        gap_table = jnp.asarray(self._gap_table)
+        while True:
+            with self.timer.phase("device_map"):
+                packed_d, counts_d = self._device_map(
+                    codes_d, lens_d, self.dindex,
+                    gap_table, k, self._a_max, self.bandwidth,
+                )
+            with self.timer.phase("gather"):
+                packed, counts = jax.device_get((packed_d, counts_d))
+            max_total = int(counts[:, 1].max())
+            if max_total <= self._a_max or self._a_max >= self.max_anchors_cap:
+                if max_total > self.max_anchors_cap:
+                    log.warning(
+                        "read with %d anchors truncated to cap %d",
+                        max_total, self.max_anchors_cap,
+                    )
+                break
+            self._a_max = int(min(_next_pow2(max_total), self.max_anchors_cap))
+
+        pred = (packed[:, 0] & ((1 << 20) - 1)) - 1
+        starts = (packed[:, 0] >> 20) & 1
+        qb = packed[:, 1]
+        tb = packed[:, 2]
+        te = packed[:, 3]
+
+        with self.timer.phase("backtrack"):
+            for b, qi in enumerate(mappable):
+                positions = self._backtrack_positions(
+                    pred[b], starts[b], int(counts[b, 0])
+                )
+                chains: List[Chain] = []
+                for chain in positions:
+                    chains.append(
+                        Chain(
+                            query=queries[qi],
+                            anchors=[
+                                ChainAnchor(
+                                    id=p,  # sorted position (generation id
+                                    # is not re-derived; unused in GAF)
+                                    qb=int(qb[b, p]),
+                                    qe=int(qb[b, p]) + k,
+                                    tb=int(tb[b, p]),
+                                    te=int(te[b, p]),
+                                )
+                                for p in chain
+                            ],
+                        )
+                    )
+                if not chains:
+                    chains.append(Chain(query=queries[qi], is_placeholder=True))
+                out[qi] = chains
         return out
 
-    def _backtrack_read(
-        self, query, qb, tb, te, valid, order, f, pred, curr_max
-    ) -> List[Chain]:
-        k = self.index.kmer_length
-        n = int(valid.sum())
-        chains: List[Chain] = []
-        if n > 0:
-            for i in range(n - 1, -1, -1):
-                if pred[i] != -1 and f[i] == curr_max:
-                    positions: List[int] = []
-                    cur = i
-                    while pred[cur] != -1:
-                        p = int(pred[cur])
-                        pred[cur] = -1
-                        positions.append(cur)
-                        cur = p
+    def _backtrack_positions(self, pred, starts, n: int) -> List[List[int]]:
+        """Reference backtrack (chain.rs:464-557) over sorted positions.
+
+        `starts[i]` encodes (pred != -1 and f == curr_max) computed on
+        device; the walk nulls predecessors so shared prefixes truncate at
+        (but include) already-consumed anchors, exactly as the reference.
+        Returns ascending position lists per surviving chain, in discovery
+        order (the reference's by-score sort is a stable no-op, score 0).
+        """
+        chains: List[List[int]] = []
+        for i in range(n - 1, -1, -1):
+            if starts[i] and pred[i] != -1:
+                positions: List[int] = []
+                cur = i
+                while pred[cur] != -1:
+                    p = int(pred[cur])
+                    pred[cur] = -1
                     positions.append(cur)
-                    if len(positions) >= self.chain_min_n_anchors:
-                        positions.reverse()
-                        chains.append(
-                            Chain(
-                                query=query,
-                                anchors=[
-                                    ChainAnchor(
-                                        id=int(order[p]),
-                                        qb=int(qb[p]),
-                                        qe=int(qb[p]) + k,
-                                        tb=int(tb[p]),
-                                        te=int(te[p]),
-                                    )
-                                    for p in positions
-                                ],
-                            )
-                        )
-        if not chains:
-            chains.append(Chain(query=query, is_placeholder=True))
+                    cur = p
+                positions.append(cur)
+                if len(positions) >= self.chain_min_n_anchors:
+                    positions.reverse()
+                    chains.append(positions)
         return chains
 
     def chains_to_gaf(self, per_read_chains: List[List[Chain]]) -> List[GAFAlignment]:
