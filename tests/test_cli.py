@@ -1,0 +1,69 @@
+"""CLI end-to-end tests: `vgaligner index` + `vgaligner map` over the
+reference fixtures (the map.rs / index_main.rs dispatch surface)."""
+
+import os
+
+import pytest
+
+from vgaligner_tpu.cli import main
+
+from conftest import REFERENCE_TEST_DIR
+
+
+def test_cli_index_and_map(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    prefix = str(tmp_path / "tg")
+    main(["index", "-i", f"{REFERENCE_TEST_DIR}/test.gfa", "-k", "11", "-o", prefix])
+    assert os.path.exists(prefix + ".idx.npz")
+
+    out = str(tmp_path / "reads")
+    main([
+        "map", "-i", prefix, "-f", f"{REFERENCE_TEST_DIR}/single-read-test.fa",
+        "-o", out, "-p", "abpoa", "-t", "1",
+    ])
+    gaf = open(out + "-chains.gaf").read()
+    assert gaf.count("\n") == gaf.count("seq0")  # one row per chain, all seq0
+    for line in gaf.splitlines():
+        assert len(line.split("\t")) == 13
+
+
+def test_cli_map_also_align(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    prefix = str(tmp_path / "tg")
+    main(["index", "-i", f"{REFERENCE_TEST_DIR}/test.gfa", "-k", "11", "-o", prefix])
+
+    # a read that follows path x of the graph
+    from vgaligner_tpu.graph import graph_from_gfa
+
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    seq = "".join(g.sequence(h) for h in g.get_path(0).nodes)
+    reads = tmp_path / "px.fa"
+    reads.write_text(f">px\n{seq}\n")
+
+    out = str(tmp_path / "out")
+    val = str(tmp_path / "val.txt")
+    main([
+        "map", "-i", prefix, "-f", str(reads), "-o", out, "-p", "abpoa",
+        "-D", "-G", f"{REFERENCE_TEST_DIR}/test.gfa", "-v", "-P", val, "-t", "1",
+    ])
+    chains = open(out + "-chains.gaf").read()
+    aligns = open(out + "-alignments.gaf").read()
+    assert chains.startswith("px\t50\t0\t50\t+")
+    assert aligns.startswith("px\t50\t0\t50\t+\t>1>3>5>6>8>9>11>12>13>15>16>18>19")
+    assert "cg:Z:50M" in aligns
+    # validation records written
+    val_text = open(val).read()
+    assert val_text.startswith("px\ncg:Z:50M\n")
+    # subgraph export side effect
+    assert (tmp_path / "subgraphs").exists()
+
+
+def test_cli_missing_graph_for_align(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    prefix = str(tmp_path / "tg")
+    main(["index", "-i", f"{REFERENCE_TEST_DIR}/test.gfa", "-k", "11", "-o", prefix])
+    with pytest.raises(SystemExit):
+        main([
+            "map", "-i", prefix, "-f", f"{REFERENCE_TEST_DIR}/single-read-test.fa",
+            "-o", str(tmp_path / "o"), "-p", "abpoa", "-D", "-t", "1",
+        ])

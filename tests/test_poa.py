@@ -1,0 +1,191 @@
+"""POA engine and base-level alignment tests.
+
+Scoring model: abPOA defaults (match 2, mismatch -4, convex gaps
+4/2 + 24/1); hand-computed expectations on tiny graphs, plus an
+end-to-end --also-align flow over test.gfa.
+"""
+
+import os
+
+import pytest
+
+from vgaligner_tpu.graph import graph_from_gfa
+from vgaligner_tpu.index import Index
+from vgaligner_tpu.io.fastx import QuerySequence
+from vgaligner_tpu.models.mapper import Mapper
+from vgaligner_tpu.models.poa_aligner import (
+    PoaAligner,
+    PoaEngine,
+    RangeOrient,
+    extend_range_chain,
+    find_nodes_edges,
+    find_range_chain,
+)
+from vgaligner_tpu.ops.poa import (
+    align_global_host,
+    align_local_no_gap_host,
+    build_base_graph,
+    gap_cost,
+)
+
+from conftest import REFERENCE_TEST_DIR
+
+DIAMOND_NODES = ["A", "CT", "GA", "GCA"]
+DIAMOND_EDGES = [(0, 1), (0, 2), (1, 3), (2, 3)]
+
+
+def test_gap_cost_convex():
+    assert gap_cost(0) == 0
+    assert gap_cost(1) == 6  # 4+2 < 24+1
+    assert gap_cost(10) == 24  # piece1: 24, piece2: 34 -> 24
+    assert gap_cost(30) == 54  # piece2 wins: 24+30 < 4+60
+
+
+def test_base_graph_topology():
+    bg = build_base_graph(DIAMOND_NODES, DIAMOND_EDGES)
+    assert len(bg.codes) == 8
+    assert bg.is_source[0]
+    # sinks: last base of node 3 (GCA)
+    assert bg.is_sink.sum() == 1
+    # first base of CT has pred = vertex of A
+    assert bg.preds[1] == [0]
+
+
+def test_global_exact_match():
+    res = align_global_host(["ACT"], [], "ACT")
+    assert res.cigar == "3M"
+    assert res.cs == "cs:Z::3"
+    assert res.best_score == 6
+    assert res.node_path == [0]
+    assert res.n_aligned == 3
+
+
+def test_global_diamond_paths():
+    res = align_global_host(DIAMOND_NODES, DIAMOND_EDGES, "ACTGCA")
+    assert res.cigar == "6M"
+    assert res.best_score == 12
+    assert res.node_path == [0, 1, 3]
+
+    res = align_global_host(DIAMOND_NODES, DIAMOND_EDGES, "AGAGCA")
+    assert res.cigar == "6M"
+    assert res.node_path == [0, 2, 3]
+
+
+def test_global_mismatch():
+    res = align_global_host(DIAMOND_NODES, DIAMOND_EDGES, "ACTGCC")
+    assert res.cigar == "6M"
+    assert res.best_score == 5 * 2 - 4
+    assert "*" in res.cs  # one substitution
+
+
+def test_global_insertion():
+    res = align_global_host(DIAMOND_NODES, DIAMOND_EDGES, "ACTTGCA")
+    assert res.best_score == 6 * 2 - gap_cost(1)
+    assert "I" in res.cigar
+    assert "+" in res.cs
+
+
+def test_global_deletion():
+    res = align_global_host(["ACT", "GGGG", "CA"], [(0, 1), (1, 2)], "ACTCA")
+    # delete the middle node entirely: 5 matches - gap(4)
+    assert res.best_score == 10 - gap_cost(4)
+    assert "4D" in res.cigar
+    assert "-gggg" in res.cs
+
+
+def test_local_no_gap():
+    res = align_local_no_gap_host(DIAMOND_NODES, DIAMOND_EDGES, "TTACTGCATT")
+    assert res.query_start == 2
+    assert res.query_end == 8
+    assert res.residue_matches == 6
+    assert res.node_path == [0, 1, 3]
+
+
+def _chain_for(index, mapper, seq, name="r"):
+    chains = mapper.map_reads([QuerySequence.from_name_and_string(name, seq)])[0]
+    return chains[0]
+
+
+@pytest.fixture(scope="module")
+def tindex():
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    return g, Index.build(g, 11, 100, 100)
+
+
+def test_find_range_chain(tindex):
+    g, index = tindex
+    mapper = Mapper(index, chain_min_n_anchors=3)
+    path_x_seq = "".join(g.sequence(h) for h in g.get_path(0).nodes)
+    chain = _chain_for(index, mapper, path_x_seq)
+    rng = find_range_chain(index, chain)
+    assert rng.orient == RangeOrient.FORWARD
+    from vgaligner_tpu.graph.handlegraph import handle_id
+
+    ids = [handle_id(h) for h in rng.handles]
+    assert ids == list(range(min(ids), max(ids) + 1))
+    assert min(ids) == 1 and max(ids) == 19
+
+
+def test_extend_range_noop_when_full_cover(tindex):
+    g, index = tindex
+    mapper = Mapper(index, chain_min_n_anchors=3)
+    path_x_seq = "".join(g.sequence(h) for h in g.get_path(0).nodes)
+    chain = _chain_for(index, mapper, path_x_seq)
+    rng = find_range_chain(index, chain)
+    ext = extend_range_chain(index, chain, rng)
+    assert ext.handles == rng.handles  # chain covers the whole read
+
+
+def test_find_nodes_edges(tindex):
+    g, index = tindex
+    mapper = Mapper(index, chain_min_n_anchors=3)
+    path_x_seq = "".join(g.sequence(h) for h in g.get_path(0).nodes)
+    chain = _chain_for(index, mapper, path_x_seq)
+    ext = extend_range_chain(index, chain, find_range_chain(index, chain))
+    nodes, edges = find_nodes_edges(index, ext)
+    assert len(nodes) == 19
+    assert all(a < b for a, b in edges)  # forward orient: loops removed
+    assert nodes[0] == "CAAATAAG"
+
+
+def test_also_align_end_to_end(tindex, tmp_path, monkeypatch):
+    """map --also-align analog over test.gfa: alignment GAF rows with POA
+    notes for a path read (both engines)."""
+    g, index = tindex
+    monkeypatch.chdir(tmp_path)
+    mapper = Mapper(index, chain_min_n_anchors=3)
+    path_x_seq = "".join(g.sequence(h) for h in g.get_path(0).nodes)
+    chains = mapper.map_reads(
+        [QuerySequence.from_name_and_string("px", path_x_seq)]
+    )
+
+    for engine in (PoaEngine.ABPOA, PoaEngine.RSPOA):
+        aligner = PoaAligner(index, engine, export_subgraphs=True, graph=g)
+        aln = aligner.best_alignment_for_query(chains[0], align_best_n=1)
+        s = aln.to_string()
+        cols = s.rstrip("\n").split("\t")
+        assert len(cols) == 13
+        assert cols[0] == "px"
+        assert cols[11] == "255"
+        # the alignment path must be exactly path x's nodes
+        from vgaligner_tpu.io.validate import parse_nodes_from_path_matching
+
+        assert parse_nodes_from_path_matching(cols[5]) == [
+            1, 3, 5, 6, 8, 9, 11, 12, 13, 15, 16, 18, 19,
+        ]
+        if engine == PoaEngine.ABPOA:
+            assert "cg:Z:50M" in cols[12]
+            assert "cs:Z::50" in cols[12]
+    # subgraph export side effect (align.rs:104-120)
+    assert os.path.exists(tmp_path / "subgraphs" / "px-subgraph-40.gfa")
+
+
+def test_placeholder_chain_alignment(tindex):
+    g, index = tindex
+    mapper = Mapper(index, chain_min_n_anchors=3)
+    chains = mapper.map_reads(
+        [QuerySequence.from_name_and_string("nope", "GGGGGGGGGGGGGGGG")]
+    )
+    aligner = PoaAligner(index, PoaEngine.ABPOA)
+    aln = aligner.best_alignment_for_query(chains[0])
+    assert aln.to_string().startswith("nope\t16\t*")

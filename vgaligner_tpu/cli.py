@@ -1,0 +1,186 @@
+"""Command-line interface: `vgaligner index` / `vgaligner map`.
+
+Behavioral reference: /root/reference/src/main.rs:30-39 +
+subcommands/cli.yml (flag surface) + subcommands/index_main.rs /
+map_main.rs (defaults and dispatch).  Flag names, shorthands and
+defaults mirror cli.yml:5-175; reference quirks preserved:
+
+  * out-prefix defaults to the input path with its extension stripped
+    (index_main.rs:17-20, map_main.rs:21-30);
+  * `--chain-overlap-max` is parsed but never read (cli.yml:110-116 has
+    no consumer in map_main.rs) — kept as an accepted no-op;
+  * bandwidth=50, secondary_chain_threshold=0.5 and max_mapq=60.0 are
+    hard-coded at the map call site (map_main.rs:100-117); the latter
+    two feed the mapq logic that the reference ships commented out
+    (chain.rs:560-642), so they are accepted-but-inert here too;
+  * --also-align requires -G/--graph (map.rs:155-159) and always
+    exports per-read subgraph GFAs (map.rs:165 passes true).
+
+`-t/--threads` is dead in the reference (rayon compiled out); here it
+caps the number of mesh devices used for data-parallel mapping (0 = all).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+log = logging.getLogger("vgaligner")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vgaligner", description="Aligns reads to a Variation Graph (TPU-native)"
+    )
+    sub = p.add_subparsers(dest="command")
+
+    ip = sub.add_parser("index", help="creates the index")
+    ip.add_argument("-i", "--input", required=True, metavar="FILE")
+    ip.add_argument("-o", "--output", dest="out_prefix", metavar="STRING")
+    ip.add_argument("-k", "--kmer-length", required=True, type=int, metavar="INTEGER")
+    ip.add_argument("-e", "--max-furcations", type=int, default=100, metavar="INTEGER")
+    ip.add_argument("-m", "--max-degree", type=int, default=100, metavar="INTEGER")
+    ip.add_argument("-r", "--sampling-rate", type=int, default=None, metavar="INTEGER")
+    ip.add_argument("-g", "--generate-mappings", action="store_true")
+    ip.add_argument("-p", "--mappings-path", metavar="FILE")
+    ip.add_argument("-t", "--threads", type=int, default=0, metavar="INTEGER")
+
+    mp = sub.add_parser("map", help="map sequences to a graph")
+    mp.add_argument("-i", "--index", required=True, metavar="FILE")
+    mp.add_argument("-f", "--input-file", required=True, metavar="FILE")
+    mp.add_argument("-o", "--out", dest="out_prefix", metavar="STRING")
+    mp.add_argument("-g", "--max-gap-length", type=int, default=1000, metavar="INTEGER")
+    mp.add_argument("-r", "--max-mismatch-rate", type=float, default=0.1, metavar="FLOAT")
+    mp.add_argument("-c", "--chain-overlap-max", type=float, default=None,
+                    metavar="FLOAT", help="accepted but unused (reference parity)")
+    mp.add_argument("-a", "--chain-min-anchors", type=int, default=3, metavar="INTEGER")
+    mp.add_argument("-b", "--align-best-n", type=int, default=1, metavar="INTEGER")
+    mp.add_argument("-C", "--write-console", action="store_true")
+    mp.add_argument("-D", "--also-align", action="store_true")
+    mp.add_argument("-t", "--threads", type=int, default=0, metavar="INTEGER")
+    mp.add_argument("-v", "--also-validate", action="store_true")
+    mp.add_argument("-G", "--graph", dest="input_graph", metavar="FILE")
+    mp.add_argument("-P", "--validation-path", metavar="FILE")
+    mp.add_argument("-p", "--poa-aligner", required=True, metavar="ALIGNER_NAME",
+                    choices=["rspoa", "abpoa"])
+    return p
+
+
+def _strip_ext(path: str) -> str:
+    for ext in (".gfa", ".fasta", ".fa", ".fastq", ".fq"):
+        if path.endswith(ext):
+            return path[: -len(ext)]
+    return path
+
+
+def index_main(args) -> None:
+    from .graph import graph_from_gfa
+    from .index import Index
+
+    out_prefix = args.out_prefix or _strip_ext(args.input)
+    graph = graph_from_gfa(args.input)
+    Index.build(
+        graph,
+        args.kmer_length,
+        max_furcations=args.max_furcations,
+        max_degree=args.max_degree,
+        out_prefix=out_prefix,
+        sampling_rate=args.sampling_rate,
+        generate_mappings=args.generate_mappings,
+        mappings_path=args.mappings_path,
+    )
+
+
+def map_main(args) -> None:
+    from .index import Index
+    from .io.fastx import read_seqs_from_file
+    from .io.gaf import write_gaf_to_file
+    from .models.mapper import Mapper
+    from .models.poa_aligner import PoaAligner, PoaEngine
+
+    idx_path = args.index
+    if idx_path.endswith(".idx.npz"):
+        index = Index.load(idx_path)
+    else:
+        index = Index.load_from_prefix(idx_path)
+
+    queries = read_seqs_from_file(args.input_file)
+    out_prefix = args.out_prefix or _strip_ext(args.input_file)
+
+    mesh = None
+    if args.threads != 1:
+        import jax
+
+        n_dev = len(jax.devices())
+        use = n_dev if args.threads == 0 else min(args.threads, n_dev)
+        if use > 1:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(use)
+
+    t0 = time.monotonic()
+    mapper = Mapper(
+        index,
+        bandwidth=50,  # map_main.rs:100-117 hard-codes these
+        max_gap=args.max_gap_length,
+        chain_min_n_anchors=args.chain_min_anchors,
+        mesh=mesh,
+    )
+    per_read_chains = mapper.map_reads(queries)
+    log.info("Chaining took: %d ms", (time.monotonic() - t0) * 1000)
+    log.info("Found %d chains!", sum(len(c) for c in per_read_chains))
+
+    chains_gaf = mapper.chains_to_gaf(per_read_chains)
+    file_name = out_prefix if out_prefix.endswith(".gaf") else out_prefix + "-chains.gaf"
+    write_gaf_to_file(chains_gaf, file_name)
+    log.info("Chains stored correctly in %s!", file_name)
+    if args.write_console:
+        for rec in chains_gaf:
+            print(rec.to_string(), end="")
+
+    if args.also_align:
+        if not args.input_graph:
+            sys.exit("--also-align requires -G/--graph (map.rs:155-159)")
+        from .graph import graph_from_gfa
+
+        graph = graph_from_gfa(args.input_graph)
+        engine = PoaEngine.ABPOA if args.poa_aligner == "abpoa" else PoaEngine.RSPOA
+        aligner = PoaAligner(index, engine, export_subgraphs=True, graph=graph)
+
+        t0 = time.monotonic()
+        alignments = [
+            aligner.best_alignment_for_query(chains, args.align_best_n)
+            for chains in per_read_chains
+        ]
+        log.info("Alignment took: %d ms", (time.monotonic() - t0) * 1000)
+        log.info("Found %d alignments!", len(alignments))
+
+        file_name = (
+            out_prefix if out_prefix.endswith(".gaf") else out_prefix + "-alignments.gaf"
+        )
+        write_gaf_to_file(alignments, file_name)
+        log.info("Alignments stored correctly in %s!", file_name)
+
+        if args.also_validate:
+            from .io.validate import create_validation_records, write_validation_to_file
+
+            records = create_validation_records(graph, alignments, queries)
+            write_validation_to_file(records, args.validation_path)
+            log.info("Validation stored correctly in %s!", args.validation_path)
+
+        if args.write_console:
+            for rec in alignments:
+                print(rec.to_string(), end="")
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+    args = _build_parser().parse_args(argv)
+    if args.command == "index":
+        index_main(args)
+    elif args.command == "map":
+        map_main(args)
+    else:
+        print("Missing subcommand, please add [index|map]")

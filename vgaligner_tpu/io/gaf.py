@@ -85,6 +85,61 @@ class GAFAlignment:
         )
 
     @classmethod
+    def from_abpoa_result(cls, res, chain, range_handles) -> "GAFAlignment":
+        """align.rs:1096-1168 (generate_alignment) — base-level GAF from
+        the global POA result.  The subgraph node path is mapped back to
+        original handles via the range handle list; notes carry
+        'as:i:-30 <cs>,cg:Z:<cigar>' and mapq is 255."""
+        from ..graph.handlegraph import handle_id, handle_is_reverse
+
+        parts = []
+        for node_idx in res.node_path:
+            h = range_handles[node_idx]
+            sign = "<" if handle_is_reverse(h) else ">"
+            parts.append(f"{sign}{handle_id(h)}")
+        return cls(
+            query_name=chain.query.name,
+            query_length=res.query_end - res.query_start,
+            query_start=res.query_start,
+            query_end=res.query_end,
+            strand="+",
+            path_matching="".join(parts),
+            path_length=len(res.path_vertices),
+            path_start=res.aln_start_offset,
+            path_end=res.aln_end_offset,
+            residue=0,
+            alignment_block_length=res.n_aligned,
+            mapping_quality=255,
+            notes="as:i:-30 " + res.cs + ",cg:Z:" + res.cigar,
+        )
+
+    @classmethod
+    def from_rspoa_result(cls, res, chain, range_handles) -> "GAFAlignment":
+        """align.rs:932-969 (from_rspoa_alignment) — local no-gap GAF."""
+        from ..graph.handlegraph import handle_id, handle_is_reverse
+
+        parts = []
+        for node_idx in res.node_path:
+            h = range_handles[node_idx]
+            sign = "<" if handle_is_reverse(h) else ">"
+            parts.append(f"{sign}{handle_id(h)}")
+        return cls(
+            query_name=chain.query.name,
+            query_length=len(chain.query.seq),
+            query_start=res.query_start,
+            query_end=res.query_end,
+            strand="+",
+            path_matching="".join(parts),
+            path_length=len(res.path_vertices),
+            path_start=res.path_start_offset,
+            path_end=res.path_end_offset,
+            residue=res.residue_matches,
+            alignment_block_length=0,
+            mapping_quality=255,
+            notes=res.cs + ",cg:Z:" + res.cigar,
+        )
+
+    @classmethod
     def from_placeholder_chain(cls, chain) -> "GAFAlignment":
         """align.rs:913-930 — the unmapped-read row."""
         assert chain.is_placeholder

@@ -1,0 +1,252 @@
+"""Chain -> subgraph extraction -> partial-order alignment -> GAF.
+
+Behavioral reference: /root/reference/src/align.rs.
+
+  * find_range_chain (align.rs:267-402): anchor endpoint handles -> the
+    contiguous node-id range in the chain's orientation(s);
+  * extend_range_chain (align.rs:523-665, the "_2" variant used in
+    production): widen the range left/right by the unaligned query
+    prefix/suffix, BFS over incoming/outgoing edges until enough
+    sequence is collected (with the reference's u64 wrapping on the
+    per-node corrections);
+  * find_nodes_edges (align.rs:670-724): node labels + 0-based edge
+    pairs restricted to the range, loop-removed by orientation;
+  * POA engines: abPOA-style global convex-gap alignment and
+    rspoa-style local no-gap alignment (ops/poa.py kernels; the
+    reference calls the abPOA C library via FFI, align.rs:202, and the
+    rspoa crate's align_local_no_gap, align.rs:160-164);
+  * best_alignment_for_query (align.rs:34-55): align the first
+    align_best_n chains, keep the longest path_length.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from enum import Enum
+from typing import List, Optional, Tuple
+
+from ..graph.handlegraph import handle_flip, handle_id, handle_is_reverse, handle_pack
+from ..index.build import Index
+from ..index.kmer_gen import FORWARD
+from ..io.gaf import GAFAlignment
+from .mapper import Chain
+
+log = logging.getLogger(__name__)
+
+_U64 = 1 << 64
+
+
+class RangeOrient(Enum):
+    FORWARD = 0
+    REVERSE = 1
+    BOTH = 2
+
+
+@dataclass
+class OrientedGraphRange:
+    orient: RangeOrient
+    handles: List[int]
+
+    @property
+    def first_handle(self) -> int:
+        return self.handles[0]
+
+    @property
+    def last_handle(self) -> int:
+        return self.handles[-1]
+
+
+def find_range_chain(index: Index, chain: Chain) -> OrientedGraphRange:
+    """Min/max anchor-endpoint handle -> node-id range (align.rs:267-402)."""
+    all_handles: List[int] = []
+    for a in chain.anchors:
+        all_handles.append(index.handle_from_seqpos(a.so, a.tb))
+    for a in chain.anchors:
+        all_handles.append(index.handle_from_seqpos(a.eo, a.te - 1))
+
+    min_handle = min(all_handles)
+    max_handle = max(all_handles)
+    lo, hi = handle_id(min_handle), handle_id(max_handle)
+
+    min_rev = handle_is_reverse(min_handle)
+    max_rev = handle_is_reverse(max_handle)
+    if not min_rev and not max_rev:
+        handles = [handle_pack(i, False) for i in range(lo, hi + 1)]
+        orient = RangeOrient.FORWARD
+    elif min_rev and max_rev:
+        handles = [handle_pack(i, True) for i in range(lo, hi + 1)]
+        orient = RangeOrient.REVERSE
+    else:
+        fwd = [handle_pack(i, False) for i in range(lo, hi + 1)]
+        rev = [handle_pack(i, True) for i in range(lo, hi + 1)]
+        handles = sorted(fwd + rev)
+        orient = RangeOrient.BOTH
+
+    if not handles and min_handle == max_handle:
+        handles.append(min_handle)
+    return OrientedGraphRange(orient=orient, handles=handles)
+
+
+def _bfs_extend(index: Index, seeds: List[Tuple[int, int]], incoming: bool) -> List[int]:
+    """Walk left (incoming) or right (outgoing), collecting every visited
+    handle until the remaining length is covered (align.rs:551-656)."""
+    collected: List[int] = []
+    frontier = seeds
+    guard = 0
+    while frontier:
+        guard += 1
+        if guard > 10_000:  # the reference has no cycle guard; we fail loud
+            raise RuntimeError("range extension did not converge (cyclic region?)")
+        nxt: List[Tuple[int, int]] = []
+        for remaining, handle in frontier:
+            collected.append(handle)
+            seq_len = len(index.seq_from_handle(handle))
+            if seq_len < remaining:
+                rem = remaining - seq_len
+                neighbors = (
+                    index.incoming_edges_from_handle(handle)
+                    if incoming
+                    else index.outgoing_edges_from_handle(handle)
+                )
+                nxt.extend((rem, h) for h in neighbors)
+        frontier = nxt
+    return collected
+
+
+def extend_range_chain(index: Index, chain: Chain, old_range: OrientedGraphRange) -> OrientedGraphRange:
+    """Widen the range by the unaligned query prefix/suffix
+    (extend_range_chain_2, align.rs:523-665).
+
+    The per-node corrections use u64 arithmetic that can wrap in the
+    reference (release build); the wrap is reproduced so the
+    "already-enough-sequence-on-node" test behaves identically.
+    """
+    handles = list(old_range.handles)
+
+    first_anchor = chain.anchors[0]
+    prefix_diff = first_anchor.qb
+    first_handle = old_range.first_handle
+    start_prefix_on_node = (
+        first_anchor.tb - index.get_bv_select(handle_id(first_handle))
+    ) % _U64
+    if start_prefix_on_node < prefix_diff:
+        prefix_diff -= start_prefix_on_node
+    else:
+        prefix_diff = 0
+
+    if prefix_diff > 0:
+        seeds = [
+            (prefix_diff, h) for h in index.incoming_edges_from_handle(first_handle)
+        ]
+        handles.extend(_bfs_extend(index, seeds, incoming=True))
+
+    last_anchor = chain.anchors[-1]
+    suffix_diff = len(chain.query.seq) - last_anchor.qe
+    last_handle = old_range.last_handle
+    end_suffix_on_node = (
+        index.get_bv_select(handle_id(last_handle) + 1) - 1 - (last_anchor.te - 1)
+    ) % _U64
+    if end_suffix_on_node > suffix_diff:
+        suffix_diff = 0
+    else:
+        suffix_diff -= end_suffix_on_node
+
+    if suffix_diff > 0:
+        seeds = [
+            (suffix_diff, h) for h in index.outgoing_edges_from_handle(last_handle)
+        ]
+        handles.extend(_bfs_extend(index, seeds, incoming=False))
+
+    handles = sorted(set(handles))
+    return OrientedGraphRange(orient=old_range.orient, handles=handles)
+
+
+def find_nodes_edges(index: Index, po_range: OrientedGraphRange) -> Tuple[List[str], List[Tuple[int, int]]]:
+    """Node labels + 0-based edges within the range, loops removed by
+    orientation (align.rs:670-724)."""
+    handles = po_range.handles
+    pos_of = {h: i for i, h in enumerate(handles)}
+    seqs = [index.seq_from_handle(h) for h in handles]
+
+    edges: List[Tuple[int, int]] = []
+    for h in handles:
+        for target in index.outgoing_edges_from_handle(h):
+            if target in pos_of:
+                edges.append((pos_of[h], pos_of[target]))
+
+    if po_range.orient == RangeOrient.FORWARD:
+        edges = [e for e in edges if e[0] < e[1]]
+    elif po_range.orient == RangeOrient.REVERSE:
+        edges = [e for e in edges if e[1] < e[0]]
+    return seqs, edges
+
+
+def get_subgraph_paths(graph, po_range: OrientedGraphRange):
+    """Paths restricted to the range, ids rebased to it (align.rs:1170-1189)."""
+    in_range = set(po_range.handles)
+    min_in_range = min(handle_id(h) for h in po_range.handles)
+    out = {}
+    for pid in graph.paths_iter():
+        nodes = [
+            handle_id(h) - min_in_range + 1
+            for h in graph.get_path(pid).nodes
+            if h in in_range
+        ]
+        out[pid] = nodes
+    return out
+
+
+class PoaEngine(Enum):
+    ABPOA = "abpoa"
+    RSPOA = "rspoa"
+
+
+class PoaAligner:
+    """Base-level aligner over chain-implied subgraphs (align.rs:34-228)."""
+
+    def __init__(self, index: Index, engine: PoaEngine = PoaEngine.ABPOA,
+                 export_subgraphs: bool = False, graph=None):
+        self.index = index
+        self.engine = engine
+        self.export_subgraphs = export_subgraphs
+        self.graph = graph  # needed only for subgraph-path export
+
+    def best_alignment_for_query(self, chains: List[Chain], align_best_n: int = 1) -> GAFAlignment:
+        """align.rs:34-55."""
+        alignments: List[GAFAlignment] = []
+        for chain in chains[: min(align_best_n, len(chains))]:
+            if chain.is_placeholder:
+                alignments.append(GAFAlignment.from_placeholder_chain(chain))
+            else:
+                alignments.append(self.obtain_base_level_alignment(chain))
+        alignments.sort(
+            key=lambda a: -1 if a.path_length is None else a.path_length, reverse=True
+        )
+        return alignments[0]
+
+    def obtain_base_level_alignment(self, chain: Chain) -> GAFAlignment:
+        """align.rs:58-145."""
+        po_range = find_range_chain(self.index, chain)
+        extended = extend_range_chain(self.index, chain, po_range)
+        nodes, edges = find_nodes_edges(self.index, extended)
+
+        if self.export_subgraphs and self.graph is not None:
+            from ..io.validate import create_subgraph_gfa, export_gfa
+
+            paths = get_subgraph_paths(self.graph, extended)
+            export_gfa(
+                create_subgraph_gfa(nodes, edges, paths),
+                f"{chain.query.name}-subgraph-{len(chain.anchors)}.gfa",
+            )
+
+        if self.engine == PoaEngine.RSPOA:
+            from ..ops.poa import align_local_no_gap_host
+
+            res = align_local_no_gap_host(nodes, edges, chain.query.seq)
+            return GAFAlignment.from_rspoa_result(res, chain, extended.handles)
+
+        from ..ops.poa import align_global_host
+
+        res = align_global_host(nodes, edges, chain.query.seq)
+        return GAFAlignment.from_abpoa_result(res, chain, extended.handles)
