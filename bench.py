@@ -28,8 +28,8 @@ GRAPH = "/root/reference/experiments-snakemake/2-DRB1-3123/graph.gfa"
 FALLBACK_GRAPH = "/root/reference/test/test.gfa"
 K = 11
 READ_LEN = 100
-N_READS = 512
-N_BATCHES = 4
+N_READS = 4096
+N_BATCHES = 2
 HOST_BASELINE_READS = 24
 
 
@@ -67,7 +67,9 @@ def main():
     reads = sample_reads(graph, N_READS, READ_LEN)
     queries = [QuerySequence.from_name_and_string(f"r{i}", s) for i, s in enumerate(reads)]
 
-    mapper = Mapper(index, chain_min_n_anchors=3)
+    # fast precision: f32 scaled-integer DP (exact f64 is the CPU parity
+    # mode; TPU f64 is emulated and ~4-8x slower — see ops/chain.py)
+    mapper = Mapper(index, chain_min_n_anchors=3, precision="fast")
 
     # warm-up (compile)
     mapper.map_reads(queries)

@@ -313,6 +313,20 @@ class Index:
             np.searchsorted(self.node_starts[: self.n_nodes], self.seq_length - pos, side="left")
         )
 
+    def node_ids_from_seqpos_vec(self, orients, pos):
+        """Vectorized node_id_from_seqpos + node-start offsets.
+
+        Returns (ids, offsets) where offsets = pos - node_start-on-forward
+        (the AnchorPosOnGraph convention for both orients, chain.rs:89-128).
+        """
+        fwd_ids = np.searchsorted(self.node_starts, pos, side="right")
+        rev_ids = np.searchsorted(
+            self.node_starts[: self.n_nodes], self.seq_length - pos, side="left"
+        )
+        ids = np.where(np.asarray(orients) == FORWARD, fwd_ids, rev_ids)
+        offs = pos - self.node_starts[np.maximum(ids - 1, 0)]
+        return ids, offs
+
     def handle_from_seqpos(self, orient: int, pos: int) -> int:
         node_id = self.node_id_from_seqpos(orient, pos)
         return handle_pack(node_id, orient == REVERSE)

@@ -63,16 +63,27 @@ class GAFAlignment:
         reference saturating-casts to 0 (align.rs:904).
         """
         assert not chain.is_placeholder
+        import numpy as np
+
+        n = chain.n_anchors
+        pos = np.concatenate([chain.atb, chain.ate - 1])  # ends inclusive
+        if chain.aso is None:
+            orients = np.zeros(2 * n, dtype=np.int8)
+        else:
+            orients = np.concatenate([chain.aso, chain.aeo])
+        ids, offs = _graph_pos_vectorized(index, orients, pos)
         parts: List[str] = []
-        for a in chain.anchors:
-            sg = _anchor_graph_pos(index, a.so, a.tb)
-            eg = _anchor_graph_pos(index, a.eo, a.te - 1)  # end inclusive
-            parts.append(f"({_node_str(*sg)},{_node_str(*eg)}),")
+        for i in range(n):
+            s_sign = ">" if orients[i] == FORWARD else "<"
+            e_sign = ">" if orients[n + i] == FORWARD else "<"
+            parts.append(
+                f"({s_sign}{ids[i]}:{offs[i]},{e_sign}{ids[n + i]}:{offs[n + i]}),"
+            )
         return cls(
             query_name=chain.query.name,
             query_length=len(chain.query.seq),
-            query_start=chain.anchors[0].qb,
-            query_end=chain.anchors[-1].qe,
+            query_start=int(chain.aqb[0]),
+            query_end=int(chain.aqb[-1]) + chain.k,
             strand="+",
             path_matching="".join(parts),
             path_length=0,
@@ -81,7 +92,7 @@ class GAFAlignment:
             residue=0,
             alignment_block_length=0,
             mapping_quality=0,  # min(f64::MIN as u64, 254) == 0
-            notes=f"ta:Z:chain,n_anchors: {len(chain.anchors)}",
+            notes=f"ta:Z:chain,n_anchors: {n}",
         )
 
     @classmethod
@@ -150,18 +161,9 @@ class GAFAlignment:
         )
 
 
-def _anchor_graph_pos(index, orient: int, pos: int):
-    """(orient, node_id, offset_from_node_start) — AnchorPosOnGraph::new
-    (chain.rs:89-128): offset is pos - node_start-on-forward for *both*
-    orients (the reverse case keeps the same formula, chain.rs:98-103)."""
-    handle_num = index.node_id_from_seqpos(orient, pos)
-    node_start = index.get_bv_select(handle_num)
-    return orient, handle_num, pos - node_start
-
-
-def _node_str(orient: int, node_id: int, offset: int) -> str:
-    sign = ">" if orient == FORWARD else "<"
-    return f"{sign}{node_id}:{offset}"
+def _graph_pos_vectorized(index, orients, pos):
+    """Vectorized AnchorPosOnGraph::new (chain.rs:89-128)."""
+    return index.node_ids_from_seqpos_vec(orients, pos)
 
 
 def write_gaf_to_file(alignments: List[GAFAlignment], file_name: str) -> None:

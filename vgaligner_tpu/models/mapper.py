@@ -31,7 +31,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass, field
 from functools import partial
-from typing import List, Optional, Sequence
+from typing import List, NamedTuple, Optional, Sequence
 
 import jax
 import numpy as np
@@ -49,8 +49,7 @@ log = logging.getLogger(__name__)
 F64_MIN = -np.finfo(np.float64).max  # mapping_quality sentinel (f64::MIN)
 
 
-@dataclass
-class ChainAnchor:
+class ChainAnchor(NamedTuple):
     """An anchor inside a chain (chain.rs:29-75), forward-only production
     path so both orients are Forward."""
 
@@ -65,14 +64,57 @@ class ChainAnchor:
 
 @dataclass
 class Chain:
-    """chain.rs:177-272."""
+    """chain.rs:177-272.
+
+    Anchor data is stored as arrays (aqb/atb/ate, ascending chain order,
+    forward-only orients) so batch emission never builds per-anchor
+    Python objects; `.anchors` materializes ChainAnchor views on demand
+    for the POA path and tests."""
 
     query: QuerySequence
-    anchors: List[ChainAnchor] = field(default_factory=list)
+    aqb: Optional[np.ndarray] = None  # int64 [n] query begins
+    atb: Optional[np.ndarray] = None  # int64 [n] target begins
+    ate: Optional[np.ndarray] = None  # int64 [n] target ends
+    aso: Optional[np.ndarray] = None  # int8 [n] start orients (None = fwd)
+    aeo: Optional[np.ndarray] = None  # int8 [n] end orients (None = fwd)
+    k: int = 0
     score: float = 0.0
     mapping_quality: float = F64_MIN
     is_secondary: bool = False
     is_placeholder: bool = False
+
+    @classmethod
+    def from_anchor_list(cls, query, anchors: List[ChainAnchor]) -> "Chain":
+        return cls(
+            query=query,
+            aqb=np.asarray([a.qb for a in anchors], dtype=np.int64),
+            atb=np.asarray([a.tb for a in anchors], dtype=np.int64),
+            ate=np.asarray([a.te for a in anchors], dtype=np.int64),
+            aso=np.asarray([a.so for a in anchors], dtype=np.int8),
+            aeo=np.asarray([a.eo for a in anchors], dtype=np.int8),
+            k=(anchors[0].qe - anchors[0].qb) if anchors else 0,
+        )
+
+    @property
+    def n_anchors(self) -> int:
+        return 0 if self.aqb is None else len(self.aqb)
+
+    @property
+    def anchors(self) -> List[ChainAnchor]:
+        if self.aqb is None:
+            return []
+        return [
+            ChainAnchor(
+                id=i,
+                qb=int(self.aqb[i]),
+                qe=int(self.aqb[i]) + self.k,
+                tb=int(self.atb[i]),
+                te=int(self.ate[i]),
+                so=FORWARD if self.aso is None else int(self.aso[i]),
+                eo=FORWARD if self.aeo is None else int(self.aeo[i]),
+            )
+            for i in range(len(self.aqb))
+        ]
 
 
 def _next_pow2(x: int) -> int:
@@ -114,6 +156,7 @@ class Mapper:
         chain_min_n_anchors: int = 3,
         max_anchors_cap: int = 65536,
         mesh=None,
+        precision: str = "exact",
     ) -> None:
         self.index = index
         self.bandwidth = bandwidth
@@ -121,6 +164,7 @@ class Mapper:
         self.chain_min_n_anchors = chain_min_n_anchors
         self.max_anchors_cap = max_anchors_cap
         self.mesh = mesh
+        self.precision = precision
         self.dindex = index.device()
         if mesh is not None:
             from ..parallel.mesh import replicate
@@ -137,21 +181,23 @@ class Mapper:
     # ---- device pipeline ----------------------------------------------
 
     @staticmethod
-    @partial(jax.jit, static_argnames=("k", "a_max", "bandwidth"))
-    def _device_map(codes, lens, dindex, gap_table, k, a_max, bandwidth):
-        """One fused mapping step.  Returns exactly two host-bound arrays
-        (packed per-anchor channels + per-read counts) because the host
-        link has high per-transfer latency; everything the backtrack and
-        GAF emission need is packed on device:
+    @partial(jax.jit, static_argnames=("k", "a_max", "bandwidth", "precision"))
+    def _device_map(codes, lens, dindex, gap_table, k, a_max, bandwidth,
+                    precision="exact"):
+        """One fused mapping step.  The host link has high per-transfer
+        latency and low bandwidth, so the host-bound payload is a single
+        int32 channel per anchor plus per-read counts:
 
-          packed[B, 4, A] int32: ch0 = (pred+1) | is_start<<20   ch1 = qb
-                                 ch2 = target_begin              ch3 = target_end
-          counts[B, 2]    int32: (n_valid, n_anchors_total)
+          packed[B, A] int32: (pred+1) | is_start<<17 | query_begin<<18
+          counts[B, 2] int32: (n_valid, n_anchors_total)
 
         is_start encodes the reference's chain-start test
-        (pred.is_some() && f == curr_max, chain.rs:469) evaluated in f64
-        on device.  int32 target coords bound the linearization to 2^31
-        (HLA-scale; the pangenome-scale index will shard coordinates).
+        (pred.is_some() && f == curr_max, chain.rs:469) evaluated on
+        device.  Target coordinates (tb, te) are returned device-resident
+        and gathered later only for the few anchors that end up in chains.
+        The bit layout bounds pred to 2^17 (max_anchors_cap) and query
+        positions to 2^13 — long-read (>8 kb) batches need the striped
+        long-read path (future work, SURVEY §5 sequence-parallel analog).
         """
         import jax.numpy as jnp
 
@@ -159,22 +205,17 @@ class Mapper:
         anchors = lookup_and_materialize_anchors(dindex, wcodes, wvalid, a_max)
         scores = chain_scores(
             anchors.qb, anchors.tb, anchors.te, anchors.valid,
-            gap_table, seed_length=k, bandwidth=bandwidth,
+            gap_table, seed_length=k, bandwidth=bandwidth, precision=precision,
         )
         is_start = (
             scores.valid
             & (scores.pred != -1)
             & (scores.f == scores.curr_max[:, None])
         )
-        ch0 = (scores.pred + 1) | (is_start.astype(jnp.int32) << 20)
-        packed = jnp.stack(
-            [
-                ch0,
-                scores.qb.astype(jnp.int32),
-                scores.tb.astype(jnp.int32),
-                scores.te.astype(jnp.int32),
-            ],
-            axis=1,
+        packed = (
+            (scores.pred + 1)
+            | (is_start.astype(jnp.int32) << 17)
+            | (scores.qb.astype(jnp.int32) << 18)
         )
         counts = jnp.stack(
             [
@@ -183,9 +224,41 @@ class Mapper:
             ],
             axis=1,
         )
-        return packed, counts
+        return packed, counts, scores.tb, scores.te
+
+    @staticmethod
+    @jax.jit
+    def _gather_coords(tb, te, bi, pi):
+        import jax.numpy as jnp
+
+        return jnp.stack([tb[bi, pi], te[bi, pi]]).astype(jnp.int64)
 
     # ---- public API ----------------------------------------------------
+
+    def _anchor_totals(self, seqs: Sequence[str]) -> np.ndarray:
+        """Exact anchor count per read, batch-vectorized on host numpy.
+
+        One searchsorted over the whole batch's window codes; used to
+        bucket reads by anchor capacity so one repetitive read does not
+        inflate the scan length and transfer size of the entire batch.
+        """
+        k = self.index.kmer_length
+        l_pad = max(max(len(s) for s in seqs), k)
+        codes, lens = encode_reads_host(seqs, l_pad)
+        B, W = len(seqs), l_pad - k + 1
+        w = np.zeros((B, W), dtype=np.int64)
+        ok = np.ones((B, W), dtype=bool)
+        c64 = codes.astype(np.int64)
+        for j in range(k):
+            b = c64[:, j : j + W]
+            ok &= b < 4
+            w = (w << 2) | np.where(b < 4, b, 0)
+        ok &= (np.arange(W)[None, :] + k) <= lens[:, None]
+        n = len(self.index.kmer_codes)
+        g = np.searchsorted(self.index.kmer_codes, w.ravel()).reshape(B, W)
+        gc = np.minimum(g, max(n - 1, 0))
+        found = ok & (g < n) & (self.index.kmer_codes[gc] == w)
+        return np.where(found, self.index.fo_counts[gc], 0).sum(axis=1)
 
     def map_reads(self, queries: Sequence[QuerySequence]) -> List[List[Chain]]:
         """Chains per query, in input order (map.rs:56-111)."""
@@ -201,11 +274,45 @@ class Mapper:
         if not mappable:
             return out
 
+        with self.timer.phase("count"):
+            totals = self._anchor_totals([queries[i].seq for i in mappable])
+
+        # two buckets: the common case (<=256 anchors, ~98% of short reads)
+        # and one sized for the largest outlier — every extra bucket costs
+        # host-link round trips, which dominate on this transport
+        buckets: dict = {}
+        big = int(totals.max())
+        if big > self.max_anchors_cap:
+            log.warning(
+                "read with %d anchors truncated to cap %d", big, self.max_anchors_cap
+            )
+        big_a_max = min(max(_next_pow2(max(big, 1)), 256), self.max_anchors_cap)
+        for local, qi in enumerate(mappable):
+            a_max = 256 if totals[local] <= 256 else big_a_max
+            buckets.setdefault(a_max, []).append(qi)
+
+        pending = []
+        for a_max, qidx in sorted(buckets.items()):
+            pending.append(self._map_bucket(queries, qidx, a_max, out))
+        self._finalize_chains(queries, pending, out)
+        return out
+
+    def _map_bucket(self, queries, qidx: List[int], a_max: int, out):
+        k = self.index.kmer_length
+        mappable = qidx
         seqs = [queries[i].seq for i in mappable]
         l_pad = _next_pow2(max(max(len(s) for s in seqs), k))
 
         with self.timer.phase("encode"):
             codes, lens = encode_reads_host(seqs, l_pad)
+        # pad the batch dimension to a power of two so executables are
+        # cached across batches with varying bucket occupancy
+        b_pow2 = _next_pow2(max(codes.shape[0], 8))
+        if b_pow2 != codes.shape[0]:
+            codes = np.pad(
+                codes, ((0, b_pow2 - codes.shape[0]), (0, 0)), constant_values=4
+            )
+            lens = np.pad(lens, (0, b_pow2 - lens.shape[0]))
         import jax.numpy as jnp
 
         if self.mesh is not None:
@@ -221,60 +328,89 @@ class Mapper:
         else:
             codes_d, lens_d = jnp.asarray(codes), jnp.asarray(lens)
 
-        # adaptive anchor capacity: run at the sticky a_max, grow and re-run
-        # on overflow (the device reports true totals in the same transfer)
+        if l_pad > 8191:
+            raise NotImplementedError(
+                "reads longer than 8 kb need the striped long-read path "
+                "(query positions are packed into 13 bits for transfer)"
+            )
+
         gap_table = jnp.asarray(self._gap_table)
-        while True:
-            with self.timer.phase("device_map"):
-                packed_d, counts_d = self._device_map(
-                    codes_d, lens_d, self.dindex,
-                    gap_table, k, self._a_max, self.bandwidth,
-                )
-            with self.timer.phase("gather"):
-                packed, counts = jax.device_get((packed_d, counts_d))
-            max_total = int(counts[:, 1].max())
-            if max_total <= self._a_max or self._a_max >= self.max_anchors_cap:
-                if max_total > self.max_anchors_cap:
-                    log.warning(
-                        "read with %d anchors truncated to cap %d",
-                        max_total, self.max_anchors_cap,
-                    )
-                break
-            self._a_max = int(min(_next_pow2(max_total), self.max_anchors_cap))
+        with self.timer.phase("device_map"):
+            packed_d, counts_d, tb_d, te_d = self._device_map(
+                codes_d, lens_d, self.dindex,
+                gap_table, k, a_max, self.bandwidth, self.precision,
+            )
+        with self.timer.phase("gather"):
+            packed, counts = jax.device_get((packed_d, counts_d))
 
-        pred = (packed[:, 0] & ((1 << 20) - 1)) - 1
-        starts = (packed[:, 0] >> 20) & 1
-        qb = packed[:, 1]
-        tb = packed[:, 2]
-        te = packed[:, 3]
+        pred = (packed & ((1 << 17) - 1)) - 1
+        starts = (packed >> 17) & 1
+        qb = packed >> 18
 
+        # pointer walks, visiting only chain-start anchors
         with self.timer.phase("backtrack"):
-            for b, qi in enumerate(mappable):
-                positions = self._backtrack_positions(
-                    pred[b], starts[b], int(counts[b, 0])
+            per_read_chains: List[List[List[int]]] = []
+            for b in range(len(mappable)):
+                per_read_chains.append(
+                    self._backtrack_positions(pred[b], starts[b], int(counts[b, 0]))
                 )
-                chains: List[Chain] = []
-                for chain in positions:
-                    chains.append(
-                        Chain(
-                            query=queries[qi],
-                            anchors=[
-                                ChainAnchor(
-                                    id=p,  # sorted position (generation id
-                                    # is not re-derived; unused in GAF)
-                                    qb=int(qb[b, p]),
-                                    qe=int(qb[b, p]) + k,
-                                    tb=int(tb[b, p]),
-                                    te=int(te[b, p]),
-                                )
-                                for p in chain
-                            ],
-                        )
+
+        return mappable, per_read_chains, qb, tb_d, te_d
+
+    def _finalize_chains(self, queries, pending, out) -> None:
+        """Gather chain-member coordinates for ALL buckets in one
+        device_get (transfers issue together; the host link charges per
+        round trip), then build Chain objects."""
+        import jax.numpy as jnp
+
+        k = self.index.kmer_length
+        gathers = []
+        with self.timer.phase("chain_gather"):
+            for mappable, per_read_chains, qb, tb_d, te_d in pending:
+                bidx: List[int] = []
+                pidx: List[int] = []
+                for b, read_chains in enumerate(per_read_chains):
+                    for chain in read_chains:
+                        bidx.extend([b] * len(chain))
+                        pidx.extend(chain)
+                if bidx:
+                    n_pad = _next_pow2(len(bidx))
+                    bi = np.zeros(n_pad, dtype=np.int32)
+                    pi = np.zeros(n_pad, dtype=np.int32)
+                    bi[: len(bidx)] = bidx
+                    pi[: len(pidx)] = pidx
+                    gathers.append(
+                        self._gather_coords(tb_d, te_d, jnp.asarray(bi), jnp.asarray(pi))
                     )
-                if not chains:
-                    chains.append(Chain(query=queries[qi], is_placeholder=True))
-                out[qi] = chains
-        return out
+                else:
+                    gathers.append(None)
+            fetched = jax.device_get([g for g in gathers if g is not None])
+        coords = iter(fetched)
+
+        with self.timer.phase("emit"):
+            for gi, (mappable, per_read_chains, qb, _, _) in enumerate(pending):
+                if gathers[gi] is not None:
+                    sel = next(coords)
+                    sel_tb, sel_te = sel[0], sel[1]
+                flat = 0
+                for b, qi in enumerate(mappable):
+                    chains: List[Chain] = []
+                    for chain in per_read_chains[b]:
+                        n = len(chain)
+                        pos = np.asarray(chain, dtype=np.int64)
+                        chains.append(
+                            Chain(
+                                query=queries[qi],
+                                aqb=qb[b, pos].astype(np.int64),
+                                atb=sel_tb[flat : flat + n],
+                                ate=sel_te[flat : flat + n],
+                                k=k,
+                            )
+                        )
+                        flat += n
+                    if not chains:
+                        chains.append(Chain(query=queries[qi], is_placeholder=True))
+                    out[qi] = chains
 
     def _backtrack_positions(self, pred, starts, n: int) -> List[List[int]]:
         """Reference backtrack (chain.rs:464-557) over sorted positions.
@@ -282,14 +418,17 @@ class Mapper:
         `starts[i]` encodes (pred != -1 and f == curr_max) computed on
         device; the walk nulls predecessors so shared prefixes truncate at
         (but include) already-consumed anchors, exactly as the reference.
-        Returns ascending position lists per surviving chain, in discovery
-        order (the reference's by-score sort is a stable no-op, score 0).
+        Only start positions are visited (descending, like the reference's
+        full scan — non-start positions can never open a chain).  Returns
+        ascending position lists per surviving chain, in discovery order
+        (the reference's by-score sort is a stable no-op, score 0).
         """
         chains: List[List[int]] = []
-        for i in range(n - 1, -1, -1):
-            if starts[i] and pred[i] != -1:
+        start_positions = np.nonzero(starts[:n])[0]
+        for i in start_positions[::-1]:
+            if pred[i] != -1:
                 positions: List[int] = []
-                cur = i
+                cur = int(i)
                 while pred[cur] != -1:
                     p = int(pred[cur])
                     pred[cur] = -1

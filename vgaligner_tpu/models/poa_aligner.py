@@ -59,14 +59,18 @@ class OrientedGraphRange:
 
 def find_range_chain(index: Index, chain: Chain) -> OrientedGraphRange:
     """Min/max anchor-endpoint handle -> node-id range (align.rs:267-402)."""
-    all_handles: List[int] = []
-    for a in chain.anchors:
-        all_handles.append(index.handle_from_seqpos(a.so, a.tb))
-    for a in chain.anchors:
-        all_handles.append(index.handle_from_seqpos(a.eo, a.te - 1))
+    import numpy as np
 
-    min_handle = min(all_handles)
-    max_handle = max(all_handles)
+    n = chain.n_anchors
+    pos = np.concatenate([chain.atb, chain.ate - 1])
+    if chain.aso is None:
+        orients = np.zeros(2 * n, dtype=np.int8)
+    else:
+        orients = np.concatenate([chain.aso, chain.aeo])
+    ids, _ = index.node_ids_from_seqpos_vec(orients, pos)
+    handles = (ids.astype(np.int64) << 1) | (orients != 0)
+    min_handle = int(handles.min())
+    max_handle = int(handles.max())
     lo, hi = handle_id(min_handle), handle_id(max_handle)
 
     min_rev = handle_is_reverse(min_handle)
@@ -124,11 +128,10 @@ def extend_range_chain(index: Index, chain: Chain, old_range: OrientedGraphRange
     """
     handles = list(old_range.handles)
 
-    first_anchor = chain.anchors[0]
-    prefix_diff = first_anchor.qb
+    prefix_diff = int(chain.aqb[0])
     first_handle = old_range.first_handle
     start_prefix_on_node = (
-        first_anchor.tb - index.get_bv_select(handle_id(first_handle))
+        int(chain.atb[0]) - index.get_bv_select(handle_id(first_handle))
     ) % _U64
     if start_prefix_on_node < prefix_diff:
         prefix_diff -= start_prefix_on_node
@@ -141,11 +144,10 @@ def extend_range_chain(index: Index, chain: Chain, old_range: OrientedGraphRange
         ]
         handles.extend(_bfs_extend(index, seeds, incoming=True))
 
-    last_anchor = chain.anchors[-1]
-    suffix_diff = len(chain.query.seq) - last_anchor.qe
+    suffix_diff = len(chain.query.seq) - (int(chain.aqb[-1]) + chain.k)
     last_handle = old_range.last_handle
     end_suffix_on_node = (
-        index.get_bv_select(handle_id(last_handle) + 1) - 1 - (last_anchor.te - 1)
+        index.get_bv_select(handle_id(last_handle) + 1) - 1 - (int(chain.ate[-1]) - 1)
     ) % _U64
     if end_suffix_on_node > suffix_diff:
         suffix_diff = 0
@@ -237,7 +239,7 @@ class PoaAligner:
             paths = get_subgraph_paths(self.graph, extended)
             export_gfa(
                 create_subgraph_gfa(nodes, edges, paths),
-                f"{chain.query.name}-subgraph-{len(chain.anchors)}.gfa",
+                f"{chain.query.name}-subgraph-{chain.n_anchors}.gfa",
             )
 
         if self.engine == PoaEngine.RSPOA:

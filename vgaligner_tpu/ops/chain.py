@@ -73,7 +73,7 @@ class ChainScores(NamedTuple):
     curr_max: jnp.ndarray  # [B] float64 global best proposed score
 
 
-@partial(jax.jit, static_argnames=("seed_length", "bandwidth"))
+@partial(jax.jit, static_argnames=("seed_length", "bandwidth", "precision"))
 def chain_scores(
     qb: jnp.ndarray,
     tb: jnp.ndarray,
@@ -82,8 +82,22 @@ def chain_scores(
     gap_table: jnp.ndarray,
     seed_length: int,
     bandwidth: int = 50,
+    precision: str = "exact",
 ) -> ChainScores:
-    """Batched chaining DP. Inputs are AnchorBatch arrays [B, A]."""
+    """Batched chaining DP. Inputs are AnchorBatch arrays [B, A].
+
+    precision:
+      * "exact" — f64, the reference's exact op sequence (bit-identical
+        scores on IEEE backends; the parity mode);
+      * "fast" — f32 with scores pre-scaled by 1000 so every value is an
+        exactly-representable integer (< 2^24): no division, no f64
+        emulation on TPU.  Gap costs are f32-rounded, so proposals within
+        ~0.01 milli-units of a rounding boundary may differ from exact
+        mode — chains can differ only at such ties.  f/curr_max are
+        returned in the scaled domain (consistent for the == test).
+    """
+    if precision == "fast":
+        return _chain_scores_fast(qb, tb, te, valid, gap_table, seed_length, bandwidth)
 
     max_gap = gap_table.shape[0] - 1
     # runtime scalar defeating XLA's div-by-constant strength reduction
@@ -150,7 +164,8 @@ def chain_scores(
             return (f, curr_max), pred_i
 
         (f_fin, curr_max), preds = jax.lax.scan(
-            step, (f0, jnp.float64(0.0)), jnp.arange(1, A, dtype=jnp.int32)
+            step, (f0, jnp.float64(0.0)), jnp.arange(1, A, dtype=jnp.int32),
+            unroll=8,  # amortize per-step dispatch overhead on TPU
         )
         preds = jnp.concatenate([jnp.full((1,), -1, jnp.int32), preds])
         return f_fin, preds, curr_max
@@ -159,4 +174,78 @@ def chain_scores(
     return ChainScores(
         order=order, qb=qb_s, tb=tb_s, te=te_s, valid=valid_s,
         f=f, pred=pred, curr_max=curr_max,
+    )
+
+
+def _chain_scores_fast(qb, tb, te, valid, gap_table, seed_length, bandwidth):
+    """f32 scaled-integer variant of the DP (see chain_scores docstring)."""
+    NEG32 = jnp.float32(-3.0e38)
+    max_gap = gap_table.shape[0] - 1
+    gap_1000 = (gap_table * 1000.0).astype(jnp.float32)
+
+    sort_key = jnp.where(valid, te, jnp.iinfo(jnp.int64).max)
+    order = jnp.argsort(sort_key, axis=1, stable=True).astype(jnp.int32)
+    qb_s = jnp.take_along_axis(qb, order, axis=1)
+    tb_s = jnp.take_along_axis(tb, order, axis=1).astype(jnp.int32)
+    te_s = jnp.take_along_axis(te, order, axis=1).astype(jnp.int32)
+    valid_s = jnp.take_along_axis(valid, order, axis=1)
+
+    k_f = jnp.float32(seed_length * 1000)
+    qe_s = qb_s + seed_length
+
+    def one_read(qb_r, tb_r, te_r, qe_r, valid_r):
+        A = qb_r.shape[0]
+        w = min(bandwidth, A)
+        f0 = jnp.full((A,), k_f, dtype=jnp.float32)
+
+        def step(carry, i):
+            f, curr_max = carry
+            s = jnp.maximum(i - w, 0)
+            j_ids = s + jnp.arange(w, dtype=jnp.int32)
+            in_window = j_ids < i
+
+            qb_j = jax.lax.dynamic_slice(qb_r, (s,), (w,))
+            tb_j = jax.lax.dynamic_slice(tb_r, (s,), (w,))
+            te_j = jax.lax.dynamic_slice(te_r, (s,), (w,))
+            qe_j = jax.lax.dynamic_slice(qe_r, (s,), (w,))
+            f_j = jax.lax.dynamic_slice(f, (s,), (w,))
+            v_j = jax.lax.dynamic_slice(valid_r, (s,), (w,))
+
+            qb_i, tb_i, te_i, qe_i = qb_r[i], tb_r[i], te_r[i], qe_r[i]
+            mask = in_window & v_j & valid_r[i]
+
+            bad = (qe_j >= qe_i) | (te_j >= te_i)
+            ql = jnp.minimum(qb_i - qb_j, qe_i - qe_j)
+            tl = jnp.minimum(jnp.abs(tb_i - tb_j), jnp.abs(te_i - te_j))
+            gap = jnp.abs(ql - tl)
+            bad = bad | (gap > max_gap)
+            gcost = gap_1000[jnp.clip(gap, 0, max_gap)]
+            mlen = (jnp.minimum(jnp.minimum(ql, tl), seed_length) * 1000).astype(jnp.float32)
+
+            y = f_j + mlen - gcost
+            prop = jnp.where(y >= 0.0, jnp.floor(y + 0.5), jnp.ceil(y - 0.5))
+            prop = jnp.where(mask & ~bad, prop, NEG32)
+
+            m = jnp.max(prop)
+            j_star_rev = jnp.argmax(prop[::-1])
+            j_star = s + (w - 1 - j_star_rev).astype(jnp.int32)
+
+            improved = m > k_f
+            f_i = jnp.where(improved, m, k_f)
+            pred_i = jnp.where(improved, j_star, jnp.int32(-1))
+            f = jax.lax.dynamic_update_slice(f, f_i[None], (i,))
+            curr_max = jnp.maximum(curr_max, m)
+            return (f, curr_max), pred_i
+
+        (f_fin, curr_max), preds = jax.lax.scan(
+            step, (f0, jnp.float32(0.0)), jnp.arange(1, A, dtype=jnp.int32),
+            unroll=8,  # amortize per-step dispatch overhead on TPU
+        )
+        preds = jnp.concatenate([jnp.full((1,), -1, jnp.int32), preds])
+        return f_fin, preds, curr_max
+
+    f, pred, curr_max = jax.vmap(one_read)(qb_s, tb_s, te_s, qe_s, valid_s)
+    return ChainScores(
+        order=order, qb=qb_s, tb=tb_s.astype(jnp.int64), te=te_s.astype(jnp.int64),
+        valid=valid_s, f=f, pred=pred, curr_max=curr_max,
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..index.build import DeviceIndex
@@ -53,14 +54,26 @@ def lookup_and_materialize_anchors(
     cum = jnp.cumsum(counts, axis=1)  # [B, W]
     total = cum[:, -1] if cum.shape[1] else jnp.zeros(cum.shape[0], jnp.int32)
 
-    # slot a -> (kmer window w, within-kmer position)
-    slots = jnp.arange(a_max, dtype=jnp.int32)  # [A]
-    # w = first window with cum[w] > a  (vectorized searchsorted per read)
-    w_of = _vmap_searchsorted(cum, slots)
-    w_clip = jnp.minimum(w_of, max(cum.shape[1] - 1, 0))
-    prev_cum = jnp.where(w_clip > 0, jnp.take_along_axis(cum, jnp.maximum(w_clip - 1, 0), axis=1), 0)
-    within = slots[None, :] - prev_cum  # [B, A]
+    # slot a -> (kmer window w, within-kmer position) via run-start scatter
+    # + cummax: window w's anchors occupy slots [cum[w-1], cum[w]).  This
+    # is a TPU-friendly replacement for a per-read binary search (scatter
+    # and a prefix max instead of B vmapped searchsorteds).
+    B, W = counts.shape
+    cum_prev = cum - counts  # run start per window
+    w_ids = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (B, W))
+    scatter_pos = jnp.where(
+        (counts > 0) & (cum_prev < a_max), cum_prev, a_max
+    )  # zero-count windows park out of range
+    run_start = jnp.full((B, a_max + 1), -1, dtype=jnp.int32)
+    run_start = run_start.at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], scatter_pos
+    ].max(w_ids)
+    w_of = jax.lax.cummax(run_start[:, :a_max], axis=1)  # [B, A]
+
+    slots = jnp.arange(a_max, dtype=jnp.int32)
     valid = slots[None, :] < total[:, None]
+    w_clip = jnp.clip(w_of, 0, max(W - 1, 0))
+    within = slots[None, :] - jnp.take_along_axis(cum_prev, w_clip, axis=1)
 
     table_row = jnp.take_along_axis(offsets, w_clip, axis=1) + within
     table_row = jnp.where(valid, table_row, 0)
@@ -69,9 +82,3 @@ def lookup_and_materialize_anchors(
     qb = w_clip.astype(jnp.int32)
 
     return AnchorBatch(qb=qb, tb=tb, te=te, valid=valid, n_anchors=total)
-
-
-def _vmap_searchsorted(cum: jnp.ndarray, slots: jnp.ndarray) -> jnp.ndarray:
-    import jax
-
-    return jax.vmap(lambda row: jnp.searchsorted(row, slots, side="right"))(cum)
