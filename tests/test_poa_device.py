@@ -1,0 +1,84 @@
+"""Device POA kernel vs the scalar host oracle (ops/poa.py)."""
+
+import numpy as np
+import pytest
+
+from vgaligner_tpu.ops.poa import align_global_host
+from vgaligner_tpu.ops.poa_device import align_global_batch
+
+DIAMOND_NODES = ["A", "CT", "GA", "GCA"]
+DIAMOND_EDGES = [(0, 1), (0, 2), (1, 3), (2, 3)]
+
+
+def _assert_same(res_d, res_h):
+    assert res_d.best_score == res_h.best_score
+    assert res_d.cigar == res_h.cigar
+    assert res_d.cs == res_h.cs
+    assert res_d.node_path == res_h.node_path
+    assert res_d.path_vertices == res_h.path_vertices
+    assert res_d.aln_start_offset == res_h.aln_start_offset
+    assert res_d.aln_end_offset == res_h.aln_end_offset
+    assert res_d.n_aligned == res_h.n_aligned
+
+
+def test_device_matches_host_basics():
+    problems = [
+        (DIAMOND_NODES, DIAMOND_EDGES, "ACTGCA"),   # exact path
+        (DIAMOND_NODES, DIAMOND_EDGES, "AGAGCA"),   # other branch
+        (DIAMOND_NODES, DIAMOND_EDGES, "ACTGCC"),   # mismatch
+        (DIAMOND_NODES, DIAMOND_EDGES, "ACTTGCA"),  # insertion
+        (["ACT", "GGGG", "CA"], [(0, 1), (1, 2)], "ACTCA"),  # deletion
+        (["ACT"], [], "ACT"),                        # single node
+    ]
+    device = align_global_batch(problems)
+    for prob, res_d in zip(problems, device):
+        res_h = align_global_host(*prob)
+        _assert_same(res_d, res_h)
+
+
+def _random_dag(rng, n_nodes):
+    nodes = []
+    for _ in range(n_nodes):
+        ln = int(rng.integers(1, 6))
+        nodes.append("".join("ACGT"[c] for c in rng.integers(0, 4, ln)))
+    edges = []
+    for b in range(1, n_nodes):
+        for a in rng.choice(b, size=min(b, int(rng.integers(1, 3))), replace=False):
+            edges.append((int(a), b))
+    return nodes, edges
+
+
+def _random_query_from_path(rng, nodes, edges, mutate=0.1):
+    # walk a random source->sink path, then mutate
+    succ = {}
+    for a, b in edges:
+        succ.setdefault(a, []).append(b)
+    cur = 0
+    seq = nodes[0]
+    while cur in succ:
+        cur = int(rng.choice(succ[cur]))
+        seq += nodes[cur]
+    s = list(seq)
+    for i in range(len(s)):
+        r = rng.random()
+        if r < mutate / 3:
+            s[i] = "ACGT"[int(rng.integers(0, 4))]
+        elif r < 2 * mutate / 3:
+            s[i] = s[i] + "ACGT"[int(rng.integers(0, 4))]
+        elif r < mutate:
+            s[i] = ""
+    return "".join(s) or "A"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_device_matches_host_random(seed):
+    rng = np.random.default_rng(seed)
+    problems = []
+    for _ in range(4):
+        nodes, edges = _random_dag(rng, int(rng.integers(2, 10)))
+        q = _random_query_from_path(rng, nodes, edges)
+        problems.append((nodes, edges, q))
+    device = align_global_batch(problems)
+    for prob, res_d in zip(problems, device):
+        res_h = align_global_host(*prob)
+        _assert_same(res_d, res_h)

@@ -150,10 +150,9 @@ def map_main(args) -> None:
         aligner = PoaAligner(index, engine, export_subgraphs=True, graph=graph)
 
         t0 = time.monotonic()
-        alignments = [
-            aligner.best_alignment_for_query(chains, args.align_best_n)
-            for chains in per_read_chains
-        ]
+        alignments = aligner.best_alignments_for_queries(
+            per_read_chains, args.align_best_n
+        )
         log.info("Alignment took: %d ms", (time.monotonic() - t0) * 1000)
         log.info("Found %d alignments!", len(alignments))
 

@@ -227,6 +227,61 @@ class PoaAligner:
         )
         return alignments[0]
 
+    def best_alignments_for_queries(
+        self, per_read_chains: List[List[Chain]], align_best_n: int = 1
+    ) -> List[GAFAlignment]:
+        """Batched --also-align: all chain subgraphs extracted host-side,
+        then aligned in ONE device POA batch (the abPOA engine; rspoa
+        falls back to per-chain host alignment).  Per read, the longest
+        path_length wins (align.rs:52-54)."""
+        if self.engine != PoaEngine.ABPOA:
+            return [
+                self.best_alignment_for_query(chains, align_best_n)
+                for chains in per_read_chains
+            ]
+
+        problems = []
+        owners: List[Tuple[int, Chain, OrientedGraphRange]] = []
+        placeholders: dict = {}
+        for qi, chains in enumerate(per_read_chains):
+            for chain in chains[: min(align_best_n, len(chains))]:
+                if chain.is_placeholder:
+                    placeholders.setdefault(qi, GAFAlignment.from_placeholder_chain(chain))
+                    continue
+                rng = extend_range_chain(
+                    self.index, chain, find_range_chain(self.index, chain)
+                )
+                nodes, edges = find_nodes_edges(self.index, rng)
+                if self.export_subgraphs and self.graph is not None:
+                    from ..io.validate import create_subgraph_gfa, export_gfa
+
+                    export_gfa(
+                        create_subgraph_gfa(nodes, edges, get_subgraph_paths(self.graph, rng)),
+                        f"{chain.query.name}-subgraph-{chain.n_anchors}.gfa",
+                    )
+                problems.append((nodes, edges, chain.query.seq))
+                owners.append((qi, chain, rng))
+
+        per_read: dict = {qi: [a] for qi, a in placeholders.items()}
+        if problems:
+            from ..ops.poa_device import align_global_batch
+
+            results = align_global_batch(problems)
+            for (qi, chain, rng), res in zip(owners, results):
+                per_read.setdefault(qi, []).append(
+                    GAFAlignment.from_abpoa_result(res, chain, rng.handles)
+                )
+
+        out: List[GAFAlignment] = []
+        for qi in range(len(per_read_chains)):
+            alns = per_read.get(qi, [])
+            alns.sort(
+                key=lambda a: -1 if a.path_length is None else a.path_length,
+                reverse=True,
+            )
+            out.append(alns[0])
+        return out
+
     def obtain_base_level_alignment(self, chain: Chain) -> GAFAlignment:
         """align.rs:58-145."""
         po_range = find_range_chain(self.index, chain)

@@ -333,8 +333,11 @@ def align_global_host(
     return _finish_result(bg, q, ops, best_score, 0, L)
 
 
+_BASE = "ACGTN"
+_BASE_L = "acgtn"
+
+
 def _finish_result(bg: BaseGraph, q: np.ndarray, ops, best_score, qs, qe) -> PoaResult:
-    from ..utils.dna import decode_seq
 
     # CIGAR (M covers both = and X, like abPOA's default cigar)
     cig_parts: List[str] = []
@@ -365,20 +368,18 @@ def _finish_result(bg: BaseGraph, q: np.ndarray, ops, best_score, qs, qe) -> Poa
             cs_parts.append(f":{match_run}")
             match_run = 0
         if op == "X":
-            ref = decode_seq([bg.codes[v]]).lower()
-            alt = decode_seq([q[j]]).lower()
-            cs_parts.append(f"*{ref}{alt}")
+            cs_parts.append(f"*{_BASE_L[bg.codes[v]]}{_BASE_L[q[j]]}")
             i += 1
         elif op == "I":
             run = []
             while i < len(ops) and ops[i][0] == "I":
-                run.append(decode_seq([q[ops[i][2]]]).lower())
+                run.append(_BASE_L[q[ops[i][2]]])
                 i += 1
             cs_parts.append("+" + "".join(run))
         else:  # D
             run = []
             while i < len(ops) and ops[i][0] == "D":
-                run.append(decode_seq([bg.codes[ops[i][1]]]).lower())
+                run.append(_BASE_L[bg.codes[ops[i][1]]])
                 i += 1
             cs_parts.append("-" + "".join(run))
     if match_run:
