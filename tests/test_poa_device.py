@@ -82,3 +82,38 @@ def test_device_matches_host_random(seed):
     for prob, res_d in zip(problems, device):
         res_h = align_global_host(*prob)
         _assert_same(res_d, res_h)
+
+
+@pytest.mark.parametrize("seed", [123, 321])
+def test_device_matches_host_long_gaps(seed):
+    """Long (25-60 base) indels cross the two-piece gap crossover
+    (gap length 20 at abPOA defaults), exercising the closed-form
+    in-row recurrence where class dominance is tightest."""
+    rng = np.random.default_rng(seed)
+    problems = []
+    for _ in range(4):
+        n_nodes = int(rng.integers(5, 25))
+        nodes = [
+            "".join("ACGT"[c] for c in rng.integers(0, 4, int(rng.integers(3, 20))))
+            for _ in range(n_nodes)
+        ]
+        edges = []
+        for b in range(1, n_nodes):
+            for a in rng.choice(b, size=min(b, int(rng.integers(1, 3))), replace=False):
+                edges.append((int(a), b))
+        succ = {}
+        for a, b in edges:
+            succ.setdefault(a, []).append(b)
+        cur, seq = 0, nodes[0]
+        while cur in succ:
+            cur = int(rng.choice(succ[cur]))
+            seq += nodes[cur]
+        q = list(seq)
+        pos = int(rng.integers(0, len(q)))
+        q.insert(pos, "".join("ACGT"[c] for c in rng.integers(0, 4, int(rng.integers(25, 60)))))
+        dpos = int(rng.integers(0, max(len(q) - 40, 1)))
+        del q[dpos : dpos + int(rng.integers(25, 40))]
+        problems.append((nodes, edges, "".join(q) or "A"))
+    device = align_global_batch(problems)
+    for prob, res_d in zip(problems, device):
+        _assert_same(res_d, align_global_host(*prob))

@@ -12,11 +12,12 @@ scoring and tie-breaks):
   * one lax.scan step per vertex; predecessor rows are gathered from the
     carried H/E1/E2 matrices (virtual-source row stored at index V);
   * the within-row insertion recurrence (F1/F2 with two-piece affine
-    gaps) is a max-plus *associative scan* over the query dimension:
-    the 3-state system (h, f1, f2) + constant channel composes as 4x4
-    max-plus matrix products, giving log-depth rows instead of an L-step
-    serial loop — the "anti-diagonal" trick of SURVEY §5 folded into
-    closed form;
+    gaps) is solved in *closed form*: under abPOA's defaults every
+    in-row gap run opens from an h_pre column (cross-class switches and
+    re-opens are strictly dominated whenever o1,o2>0, o1+e1>e2 and
+    o2+e2>e1), so f_c[j] = max_{m<j}(h_pre[m] + e_c*m) - o_c - e_c*j —
+    two shifted prefix-maxes replace the serial L-step loop (the
+    "anti-diagonal" trick of SURVEY §5 folded into closed form);
   * per-cell traceback decisions are packed into one int32 and the
     traceback itself runs on device as a vmapped while_loop, so only the
     compact op tape crosses the host link.
@@ -91,11 +92,6 @@ def prepare_problem(bg: BaseGraph, qcodes: np.ndarray, v_pad: int, l_pad: int) -
     return PoaProblem(vcodes, vpred, is_sink, V, q, len(qcodes))
 
 
-def _maxplus_matmat(A, B):
-    """(A ⊗ B)[..., i, k] = max_j A[..., i, j] + B[..., j, k] (batched)."""
-    return jnp.max(A[..., :, :, None] + B[..., None, :, :], axis=-2)
-
-
 @partial(jax.jit, static_argnames=("v_steps",))
 def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
     """One batch of global POA problems.
@@ -117,17 +113,7 @@ def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
         E1m = jnp.full((V + 1, L + 1), NEGF, dtype=jnp.float32)
         E2m = jnp.full((V + 1, L + 1), NEGF, dtype=jnp.float32)
         tbits = jnp.zeros((V, L + 1), dtype=jnp.int32)
-
-        # constant part of the in-row max-plus transition matrix
-        M_const = jnp.asarray(
-            [
-                [max(-oe1, -oe2), -e1, -e2, NEGF],
-                [-oe1, -e1, NEGF, NEGF],
-                [-oe2, NEGF, -e2, NEGF],
-                [NEGF, NEGF, NEGF, 0.0],
-            ],
-            dtype=jnp.float32,
-        )
+        jcol = jnp.arange(L + 1, dtype=jnp.float32)
 
         def step(carry, v):
             H, E1m, E2m, tbits = carry
@@ -145,20 +131,35 @@ def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
             E1p = jnp.where(live, E1p, NEGF)
             E2p = jnp.where(live, E2p, NEGF)
 
-            # E states (graph gaps); per-column best slot + open/ext bit
+            # E states (graph gaps); per-column best slot + open/ext bit.
+            # Slots and flags are recovered with compare + one-hot-select
+            # reductions: per-column argmax/take_along_axis lower to
+            # gathers that cost ~20x the DP itself on TPU.
+            p_iota = jnp.arange(P_MAX, dtype=jnp.int32)[:, None]
+
+            def slot_min(cand, best):
+                """First slot achieving the column max (argmax tie rule)."""
+                return jnp.min(
+                    jnp.where(cand == best[None, :], p_iota, P_MAX), axis=0
+                ).astype(jnp.int32)
+
+            def at_slot(flags, slot):
+                """flags[slot[j], j] via one-hot select (bool flags)."""
+                return jnp.max(flags & (p_iota == slot[None, :]), axis=0)
+
             open1 = Hp - oe1
             ext1 = E1p - e1
             cand1 = jnp.maximum(open1, ext1)
             best1 = jnp.max(cand1, axis=0)
-            slot1 = jnp.argmax(cand1, axis=0)
-            opn1 = jnp.take_along_axis(open1, slot1[None, :], axis=0)[0] >= jnp.take_along_axis(ext1, slot1[None, :], axis=0)[0]
+            slot1 = slot_min(cand1, best1)
+            opn1 = at_slot(open1 >= ext1, slot1)
 
             open2 = Hp - oe2
             ext2 = E2p - e2
             cand2 = jnp.maximum(open2, ext2)
             best2 = jnp.max(cand2, axis=0)
-            slot2 = jnp.argmax(cand2, axis=0)
-            opn2 = jnp.take_along_axis(open2, slot2[None, :], axis=0)[0] >= jnp.take_along_axis(ext2, slot2[None, :], axis=0)[0]
+            slot2 = slot_min(cand2, best2)
+            opn2 = at_slot(open2 >= ext2, slot2)
 
             # match/mismatch from (p, j-1)
             sub = jnp.where(q_b == vcodes_b[v], np.float32(MATCH), np.float32(MISMATCH))
@@ -166,7 +167,7 @@ def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
             m_cand = jnp.full((P_MAX, L + 1), NEGF, dtype=jnp.float32)
             m_cand = m_cand.at[:, 1:].set(Hp[:, :-1] + sub[None, :])
             m_best = jnp.max(m_cand, axis=0)
-            m_slot = jnp.argmax(m_cand, axis=0)
+            m_slot = slot_min(m_cand, m_best)
 
             # combine M/E1/E2 (tie order M > E1 > E2)
             h_pre = jnp.maximum(m_best, jnp.maximum(best1, best2))
@@ -176,17 +177,20 @@ def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
                 jnp.where(best1 >= best2, _CASE_E1, _CASE_E2),
             )
 
-            # in-row F recurrence via max-plus associative scan.
-            # s_j = M_j ⊗ s_{j-1}, so prefix[j] must be M_j ⊗ ... ⊗ M_1:
-            # combine with flipped operand order (still associative).
-            Ms = jnp.broadcast_to(M_const, (L, 4, 4))
-            Ms = Ms.at[:, 0, 3].set(h_pre[1:])
-            prods = jax.lax.associative_scan(lambda a, b: _maxplus_matmat(b, a), Ms)
-            s0 = jnp.stack([h_pre[0], NEGF, NEGF, jnp.float32(0.0)])
-            states = jnp.max(prods + s0[None, None, :], axis=2)  # [L, 4]
-            h_row = jnp.concatenate([h_pre[:1], states[:, 0]])
-            f1_row = jnp.concatenate([jnp.full((1,), NEGF, jnp.float32), states[:, 1]])
-            f2_row = jnp.concatenate([jnp.full((1,), NEGF, jnp.float32), states[:, 2]])
+            # in-row F recurrence in closed form (see module docstring):
+            # f_c[j] = max_{m<j}(h_pre[m] + e_c*m) - o_c - e_c*j.  The
+            # traceback-visited values and decisions are identical to the
+            # serial recurrence; only unreachable stored F values differ.
+            c1 = jax.lax.cummax(h_pre + e1 * jcol)
+            c2 = jax.lax.cummax(h_pre + e2 * jcol)
+            neg1 = jnp.full((1,), NEGF, jnp.float32)
+            f1_row = jnp.concatenate(
+                [neg1, c1[:-1] - np.float32(GAP_OPEN1) - e1 * jcol[1:]]
+            )
+            f2_row = jnp.concatenate(
+                [neg1, c2[:-1] - np.float32(GAP_OPEN2) - e2 * jcol[1:]]
+            )
+            h_row = jnp.maximum(h_pre, jnp.maximum(f1_row, f2_row))
 
             # decisions recovered from values (ties: hpre > F1 > F2;
             # open >= extend)
@@ -201,11 +205,12 @@ def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
             f1_open = f1_row == prev_h - oe1
             f2_open = f2_row == prev_h - oe2
 
+            pred_live = jnp.broadcast_to(preds[:, None] >= 0, (P_MAX, L + 1))
             m_slot_store = jnp.where(
-                vpred_b[v][m_slot] >= 0, m_slot, _VIRT_SLOT
+                at_slot(pred_live, m_slot), m_slot, _VIRT_SLOT
             ).astype(jnp.int32)
-            slot1_store = jnp.where(vpred_b[v][slot1] >= 0, slot1, _VIRT_SLOT).astype(jnp.int32)
-            slot2_store = jnp.where(vpred_b[v][slot2] >= 0, slot2, _VIRT_SLOT).astype(jnp.int32)
+            slot1_store = jnp.where(at_slot(pred_live, slot1), slot1, _VIRT_SLOT).astype(jnp.int32)
+            slot2_store = jnp.where(at_slot(pred_live, slot2), slot2, _VIRT_SLOT).astype(jnp.int32)
 
             bits = (
                 case.astype(jnp.int32)
@@ -238,83 +243,73 @@ def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
         best_score = sink_scores[best_sink]
 
         # ---- device traceback --------------------------------------------
+        # A fixed-length scan emitting (op, vid) per step: carrying only
+        # the tiny walk state and emitting the tape as scan outputs keeps
+        # every buffer aliasable (a while_loop scattering into carried
+        # [T] tapes forces XLA to copy the tapes every iteration, which
+        # dominated the whole kernel).  Finished walks emit OP_END.
         T = V + L + 2
-        ops0 = jnp.full((T,), OP_END, dtype=jnp.int8)
-        vids0 = jnp.full((T,), -1, dtype=jnp.int32)
 
-        def tb_cond(state):
-            v, j, st, t, ops, vids = state
-            return ~((v == -2) & (j == 0)) & (t < T)
-
-        def tb_body(state):
-            v, j, st, t, ops, vids = state
+        def tb_step(state, _):
+            v, j, st = state
+            done = (v == -2) & (j == 0)
             vc = jnp.maximum(v, 0)
             bits = tbits[vc, j]
+            case = bits & 7
 
-            def from_virtual(_):
-                # leading insertion against the virtual source
-                return (v, j - 1, jnp.int32(0), t + 1,
-                        ops.at[t].set(OP_I), vids.at[t].set(-1))
+            # state H (st == 0): resolve the case; non-match cases merely
+            # switch state without consuming a step (emit nothing yet)
+            m_slot = (bits >> 3) & 15
+            m_nxt = jnp.where(
+                m_slot == _VIRT_SLOT, jnp.int32(-2),
+                vpred_b[vc][jnp.minimum(m_slot, P_MAX - 1)],
+            )
+            at_h = st == 0
+            is_match = at_h & (case == _CASE_M)
+            switch_to = jnp.where(at_h & ~is_match, case, st)
 
-            def at_h(_):
-                case = bits & 7
-
-                def do_match(_):
-                    slot = (bits >> 3) & 15
-                    nxt = jnp.where(
-                        slot == _VIRT_SLOT, jnp.int32(-2),
-                        vpred_b[vc][jnp.minimum(slot, P_MAX - 1)],
-                    )
-                    return (nxt, j - 1, jnp.int32(0), t + 1,
-                            ops.at[t].set(OP_M), vids.at[t].set(v))
-
-                def to_state(case):
-                    return (v, j, case, t, ops, vids)
-
-                return jax.lax.switch(
-                    jnp.clip(case, 0, 4),
-                    [
-                        do_match,
-                        lambda _: to_state(jnp.int32(1)),
-                        lambda _: to_state(jnp.int32(2)),
-                        lambda _: to_state(jnp.int32(3)),
-                        lambda _: to_state(jnp.int32(4)),
-                    ],
-                    None,
-                )
-
-            def at_e(_):
-                is_e1 = st == 1
-                opn = jnp.where(is_e1, (bits >> 7) & 1, (bits >> 12) & 1)
-                slot = jnp.where(is_e1, (bits >> 8) & 15, (bits >> 13) & 15)
-                nxt = jnp.where(
-                    slot == _VIRT_SLOT, jnp.int32(-2),
-                    vpred_b[vc][jnp.minimum(slot, P_MAX - 1)],
-                )
-                st2 = jnp.where(opn == 1, jnp.int32(0), st)
-                return (nxt, j, st2, t + 1,
-                        ops.at[t].set(OP_D), vids.at[t].set(v))
-
-            def at_f(_):
-                opn = jnp.where(st == 3, (bits >> 17) & 1, (bits >> 18) & 1)
-                st2 = jnp.where(opn == 1, jnp.int32(0), st)
-                return (v, j - 1, st2, t + 1,
-                        ops.at[t].set(OP_I), vids.at[t].set(v))
-
-            return jax.lax.cond(
-                v == -2,
-                from_virtual,
-                lambda _: jax.lax.switch(
-                    jnp.clip(st, 0, 4),
-                    [at_h, at_e, at_e, at_f, at_f],
-                    None,
-                ),
-                None,
+            # E states (st 1/2): graph deletion, follow the stored slot
+            in_e = (switch_to == 1) | (switch_to == 2)
+            e_opn = jnp.where(switch_to == 1, (bits >> 7) & 1, (bits >> 12) & 1)
+            e_slot = jnp.where(switch_to == 1, (bits >> 8) & 15, (bits >> 13) & 15)
+            e_nxt = jnp.where(
+                e_slot == _VIRT_SLOT, jnp.int32(-2),
+                vpred_b[vc][jnp.minimum(e_slot, P_MAX - 1)],
             )
 
-        init = (best_sink.astype(jnp.int32), nq_b.astype(jnp.int32),
-                jnp.int32(0), jnp.int32(0), ops0, vids0)
-        v_f, j_f, st_f, t_f, ops, vids = jax.lax.while_loop(tb_cond, tb_body, init)
+            # F states (st 3/4): in-row insertion
+            in_f = (switch_to == 3) | (switch_to == 4)
+            f_opn = jnp.where(switch_to == 3, (bits >> 17) & 1, (bits >> 18) & 1)
+
+            from_virtual = v == -2  # leading insertion against the source
+
+            op = jnp.where(
+                from_virtual | in_f, jnp.int8(OP_I),
+                jnp.where(in_e, jnp.int8(OP_D), jnp.int8(OP_M)),
+            )
+            vid = jnp.where(from_virtual, jnp.int32(-1), v)
+            v2 = jnp.where(
+                from_virtual | in_f, v, jnp.where(in_e, e_nxt, m_nxt)
+            )
+            j2 = jnp.where(from_virtual | in_f | is_match, j - 1, j)
+            st2 = jnp.where(
+                from_virtual | is_match, jnp.int32(0),
+                jnp.where(
+                    in_e, jnp.where(e_opn == 1, jnp.int32(0), switch_to),
+                    jnp.where(in_f, jnp.where(f_opn == 1, jnp.int32(0), switch_to), st),
+                ),
+            )
+
+            op = jnp.where(done, jnp.int8(OP_END), op)
+            vid = jnp.where(done, jnp.int32(-1), vid)
+            v2 = jnp.where(done, v, v2)
+            j2 = jnp.where(done, j, j2)
+            st2 = jnp.where(done, st, st2)
+            return (v2, j2, st2), (op, vid)
+
+        init = (best_sink.astype(jnp.int32), nq_b.astype(jnp.int32), jnp.int32(0))
+        _, (ops, vids) = jax.lax.scan(tb_step, init, None, length=T, unroll=4)
+        t_f = jnp.sum(ops != OP_END).astype(jnp.int32)
         return best_score, ops, vids, t_f
 
     return jax.vmap(one)(vcodes, vpred, is_sink, nv, q, nq)
