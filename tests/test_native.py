@@ -1,0 +1,169 @@
+"""Native (C++) host runtime vs the pure-Python reference paths.
+
+Every native entry point must be byte/value-identical to its Python
+fallback; these tests build both and compare exactly.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from vgaligner_tpu import native
+from vgaligner_tpu.graph import graph_from_gfa
+from vgaligner_tpu.graph.handlegraph import HashGraph, handle_pack
+from vgaligner_tpu.graph.linearize import find_forward_sequence
+from vgaligner_tpu.index.kmer_gen import generate_kmers, generate_pos_on_ref
+from vgaligner_tpu.utils.dna import kmer_code
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+TEST_GFA = "/root/reference/test/test.gfa"
+
+
+def _python_kmer_index(graph, k, e, d, r):
+    lin = find_forward_sequence(graph)
+    kmers = generate_kmers(graph, k, edge_max=e, degree_max=d, sampling_rate=r)
+    seqs, offsets, counts, positions = generate_pos_on_ref(
+        graph, kmers, lin.seq_len, lin.node_starts
+    )
+    codes = np.asarray([kmer_code(s) for s in seqs], dtype=np.int64)
+    return codes, offsets, counts, positions
+
+
+def _native_kmer_index(graph, k, e, d, r):
+    lin = find_forward_sequence(graph)
+    return native.kmer_index_native(graph, k, e, d, r, lin.node_starts, lin.seq_len)
+
+
+def _diamond():
+    g = HashGraph()
+    h1 = g.create_handle("ACT", 1)
+    h2 = g.create_handle("CT", 2)
+    h3 = g.create_handle("GA", 3)
+    h4 = g.create_handle("GCAC", 4)
+    g.create_edge(h1, h2)
+    g.create_edge(h1, h3)
+    g.create_edge(h2, h4)
+    g.create_edge(h3, h4)
+    return g
+
+
+@pytest.mark.parametrize("k", [3, 5, 11])
+def test_kmer_index_matches_python_diamond(k):
+    g = _diamond()
+    for e, d, r in [(100, 100, None), (None, None, None), (1, 2, None), (100, 100, 3)]:
+        pc, po, pn, pp = _python_kmer_index(g, k, e, d, r)
+        nc, no, nn, npos = _native_kmer_index(g, k, e, d, r)
+        np.testing.assert_array_equal(pc, nc)
+        np.testing.assert_array_equal(po, no)
+        np.testing.assert_array_equal(pn, nn)
+        np.testing.assert_array_equal(pp, npos)
+
+
+@pytest.mark.skipif(not os.path.exists(TEST_GFA), reason="fixture missing")
+@pytest.mark.parametrize("k", [5, 11])
+def test_kmer_index_matches_python_test_gfa(k):
+    g = graph_from_gfa(TEST_GFA)
+    pc, po, pn, pp = _python_kmer_index(g, k, 100, 100, None)
+    nc, no, nn, npos = _native_kmer_index(g, k, 100, 100, None)
+    np.testing.assert_array_equal(pc, nc)
+    np.testing.assert_array_equal(po, no)
+    np.testing.assert_array_equal(pn, nn)
+    np.testing.assert_array_equal(pp, npos)
+
+
+def test_kmer_index_random_graphs():
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        g = HashGraph()
+        n = int(rng.integers(4, 20))
+        for i in range(1, n + 1):
+            ln = int(rng.integers(1, 8))
+            g.create_handle("".join("ACGT"[c] for c in rng.integers(0, 4, ln)), i)
+        for b in range(2, n + 1):
+            for a in rng.choice(b - 1, size=min(b - 1, 2), replace=False) + 1:
+                g.create_edge(handle_pack(int(a), False), handle_pack(b, False))
+        pc, po, pn, pp = _python_kmer_index(g, 7, 100, 100, None)
+        nc, no, nn, npos = _native_kmer_index(g, 7, 100, 100, None)
+        np.testing.assert_array_equal(pc, nc)
+        np.testing.assert_array_equal(pp, npos)
+        np.testing.assert_array_equal(po, no)
+        np.testing.assert_array_equal(pn, nn)
+
+
+def test_build_poa_batch_matches_python():
+    from vgaligner_tpu.ops.poa import build_base_graph
+    from vgaligner_tpu.ops.poa_device import P_MAX, prepare_problem
+
+    rng = np.random.default_rng(3)
+    problems = []
+    for _ in range(6):
+        nn = int(rng.integers(2, 10))
+        nodes = ["".join("ACGT"[c] for c in rng.integers(0, 4, int(rng.integers(1, 6)))) for _ in range(nn)]
+        edges = []
+        for b in range(1, nn):
+            for a in rng.choice(b, size=min(b, int(rng.integers(1, 3))), replace=False):
+                edges.append((int(a), b))
+        problems.append((nodes, edges))
+
+    v_pad = 64
+    built = native.build_poa_batch_native(problems, v_pad, P_MAX)
+    assert built is not None
+    vcodes, vpred, is_sink, nv, node_of, off_in = built
+    for p, (nodes, edges) in enumerate(problems):
+        bg = build_base_graph(nodes, edges)
+        prob = prepare_problem(bg, np.zeros(1, np.int8), v_pad, 8)
+        np.testing.assert_array_equal(vcodes[p], prob.vcodes)
+        np.testing.assert_array_equal(vpred[p], prob.vpred)
+        np.testing.assert_array_equal(is_sink[p].astype(bool), prob.is_sink)
+        assert int(nv[p]) == prob.nv
+        V = len(bg.codes)
+        np.testing.assert_array_equal(node_of[p, :V], bg.node_of)
+        np.testing.assert_array_equal(off_in[p, :V], bg.offset_in_node)
+
+
+def test_align_global_batch_native_matches_host():
+    """End-to-end device batch through the native prep/decode path."""
+    from vgaligner_tpu.ops.poa import align_global_host
+    from vgaligner_tpu.ops.poa_device import align_global_batch
+
+    problems = [
+        (["A", "CT", "GA", "GCA"], [(0, 1), (0, 2), (1, 3), (2, 3)], "ACTGCA"),
+        (["A", "CT", "GA", "GCA"], [(0, 1), (0, 2), (1, 3), (2, 3)], "AGAGCC"),
+        (["ACT", "GGGG", "CA"], [(0, 1), (1, 2)], "ACTCA"),
+        (["ACTGACTG"], [], "ACTGCTG"),
+    ]
+    res = align_global_batch(problems)
+    for prob, rd in zip(problems, res):
+        rh = align_global_host(*prob)
+        assert rd.best_score == rh.best_score
+        assert rd.cigar == rh.cigar
+        assert rd.cs == rh.cs
+        assert rd.node_path == rh.node_path
+        assert rd.path_vertices == rh.path_vertices
+        assert rd.aln_start_offset == rh.aln_start_offset
+        assert rd.aln_end_offset == rh.aln_end_offset
+        assert rd.n_aligned == rh.n_aligned
+        assert rd.path_start_offset == rh.path_start_offset
+        assert rd.path_end_offset == rh.path_end_offset
+        assert rd.residue_matches == rh.residue_matches
+
+
+def test_index_build_native_matches_python_fallback(monkeypatch):
+    """Index.build arrays must not depend on the native toggle."""
+    from vgaligner_tpu.index import Index
+
+    g = _diamond()
+    idx_native = Index.build(g, 5, 100, 100)
+    monkeypatch.setenv("VGALIGNER_NO_NATIVE", "1")
+    idx_py = Index.build(g, 5, 100, 100)
+    np.testing.assert_array_equal(idx_native.kmer_codes, idx_py.kmer_codes)
+    np.testing.assert_array_equal(idx_native.kmer_offsets, idx_py.kmer_offsets)
+    np.testing.assert_array_equal(idx_native.kmer_counts, idx_py.kmer_counts)
+    np.testing.assert_array_equal(idx_native.positions, idx_py.positions)
+    np.testing.assert_array_equal(idx_native.fo_positions, idx_py.fo_positions)
+    np.testing.assert_array_equal(idx_native.fo_offsets, idx_py.fo_offsets)
+    np.testing.assert_array_equal(idx_native.fo_counts, idx_py.fo_counts)

@@ -119,25 +119,40 @@ class Index:
             )
             log.info("Mappings correctly stored in %s!", mappings_path or "mappings.json")
 
-        t0 = time.monotonic()
-        kmers = generate_kmers(
-            graph,
-            kmer_length,
-            edge_max=max_furcations,
-            degree_max=max_degree,
-            sampling_rate=sampling_rate,
-        )
-        log.info("Finding the kmers required: %d ms", (time.monotonic() - t0) * 1000)
+        from ..native import available as native_available
 
-        t0 = time.monotonic()
-        unique_seqs, offsets, counts, positions = generate_pos_on_ref(
-            graph, kmers, seq_length, lin.node_starts
-        )
-        log.info("Converting the kmers required: %d ms", (time.monotonic() - t0) * 1000)
+        if native_available():
+            from ..native import kmer_index_native
 
-        from ..utils.dna import kmer_code
+            t0 = time.monotonic()
+            codes, offsets, counts, positions = kmer_index_native(
+                graph, kmer_length, max_furcations, max_degree,
+                sampling_rate, lin.node_starts, seq_length,
+            )
+            log.info(
+                "Finding + converting the kmers required: %d ms (native)",
+                (time.monotonic() - t0) * 1000,
+            )
+        else:
+            t0 = time.monotonic()
+            kmers = generate_kmers(
+                graph,
+                kmer_length,
+                edge_max=max_furcations,
+                degree_max=max_degree,
+                sampling_rate=sampling_rate,
+            )
+            log.info("Finding the kmers required: %d ms", (time.monotonic() - t0) * 1000)
 
-        codes = np.asarray([kmer_code(s) for s in unique_seqs], dtype=np.int64)
+            t0 = time.monotonic()
+            unique_seqs, offsets, counts, positions = generate_pos_on_ref(
+                graph, kmers, seq_length, lin.node_starts
+            )
+            log.info("Converting the kmers required: %d ms", (time.monotonic() - t0) * 1000)
+
+            from ..utils.dna import kmer_code
+
+            codes = np.asarray([kmer_code(s) for s in unique_seqs], dtype=np.int64)
         if len(codes) > 1 and not (np.diff(codes) > 0).all():
             raise AssertionError(
                 "unique k-mer codes not strictly increasing — sorted-seq / "
@@ -149,11 +164,11 @@ class Index:
         # chain.rs:154 applied at build time).
         fo_mask = (positions[:, 0] == FORWARD) & (positions[:, 2] == FORWARD)
         fo_positions = positions[fo_mask][:, [1, 3]].copy()
-        fo_counts = np.zeros_like(counts)
-        for g in range(len(counts)):
-            fo_counts[g] = int(
-                fo_mask[offsets[g] : offsets[g] + counts[g]].sum()
-            )
+        if len(counts):
+            cum = np.concatenate([[0], np.cumsum(fo_mask)]).astype(np.int64)
+            fo_counts = (cum[offsets + counts] - cum[offsets]).astype(counts.dtype)
+        else:
+            fo_counts = np.zeros_like(counts)
         fo_offsets = np.concatenate([[0], np.cumsum(fo_counts)[:-1]]).astype(np.int64)
 
         index = cls(

@@ -1,0 +1,286 @@
+"""Native host runtime (C++ via ctypes).
+
+The device compute path is JAX/XLA; this package is the native runtime
+around it — the host-side hot loops that build the index and feed/drain
+the POA device kernel (see host_kernels.cpp).  The shared library is
+compiled lazily with g++ on first use and cached next to the source;
+every entry point has a pure-Python fallback, and tests assert exact
+equivalence between the two (tests/test_native.py).
+
+Set VGALIGNER_NO_NATIVE=1 to force the Python fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "host_kernels.cpp")
+_LIB_PATH = os.path.join(_DIR, "_host_kernels.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i8p = ctypes.POINTER(ctypes.c_int8)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_charp = ctypes.c_char_p
+
+
+def _build() -> Optional[str]:
+    """Compile the shared library if missing or stale."""
+    try:
+        if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+            return _LIB_PATH
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            _SRC, "-o", _LIB_PATH + ".tmp",
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
+        return _LIB_PATH
+    except Exception as exc:  # pragma: no cover - toolchain-dependent
+        log.warning("native build failed, using Python fallbacks: %s", exc)
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded library, or None (→ callers use Python fallbacks)."""
+    global _lib, _tried
+    if os.environ.get("VGALIGNER_NO_NATIVE"):
+        return None
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        path = _build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        lib.vg_free.argtypes = [ctypes.c_void_p]
+        lib.vg_free.restype = None
+        lib.vg_kmer_index.argtypes = [
+            ctypes.c_int64, _charp, _i64p, _i64p, _i64p, _i64p, _i64p,
+            _i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
+            ctypes.POINTER(_i64p), _i64p, ctypes.POINTER(_i64p),
+        ]
+        lib.vg_kmer_index.restype = ctypes.c_int64
+        lib.vg_build_poa_batch.argtypes = [
+            ctypes.c_int64, _charp, _i64p, _i64p, _i64p, _i64p,
+            ctypes.c_int64, ctypes.c_int64,
+            _i8p, _i32p, _u8p, _i32p, _i32p, _i32p,
+        ]
+        lib.vg_build_poa_batch.restype = ctypes.c_int64
+        lib.vg_finish_tapes.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, _i8p, _i32p, _i32p,
+            _i64p, _i8p, _i32p, _i32p,
+            _i8p, ctypes.c_int64,
+            _charp, ctypes.c_int64, _i32p,
+            _charp, ctypes.c_int64, _i32p,
+            _i32p, ctypes.c_int64, _i32p,
+            _i32p, ctypes.c_int64, _i32p,
+            _i32p,
+        ]
+        lib.vg_finish_tapes.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _p64(a: np.ndarray):
+    return a.ctypes.data_as(_i64p)
+
+
+def _p32(a: np.ndarray):
+    return a.ctypes.data_as(_i32p)
+
+
+def _p8(a: np.ndarray):
+    return a.ctypes.data_as(_i8p)
+
+
+def kmer_index_native(graph, k: int, edge_max, degree_max, sampling_rate,
+                      node_starts: np.ndarray, seq_len: int,
+                      drop_handle_on_n: bool = True):
+    """Native replacement for generate_kmers + generate_pos_on_ref.
+
+    Returns (codes, offsets, counts, positions) with codes the sorted
+    2-bit packed unique k-mer codes (kmer_gen.py returns the seq strings;
+    Index.build converts to codes — the native path skips the strings).
+    """
+    lib = get_lib()
+    assert lib is not None
+    from ..graph.handlegraph import handle_pack
+
+    ids = graph.node_ids()
+    n = len(ids)
+    # contiguity is enforced by Index.build before calling
+    labels = []
+    label_off = np.zeros(n + 1, dtype=np.int64)
+    l_off = np.zeros(n + 1, dtype=np.int64)
+    r_off = np.zeros(n + 1, dtype=np.int64)
+    l_dat: list = []
+    r_dat: list = []
+    for i, nid in enumerate(ids):
+        node = graph._nodes[nid]
+        labels.append(node.sequence)
+        label_off[i + 1] = label_off[i] + len(node.sequence)
+        l_dat.extend(node.left_edges)
+        r_dat.extend(node.right_edges)
+        l_off[i + 1] = len(l_dat)
+        r_off[i + 1] = len(r_dat)
+    labels_b = "".join(labels).encode("ascii")
+    l_arr = np.asarray(l_dat, dtype=np.int64) if l_dat else np.zeros(1, np.int64)
+    r_arr = np.asarray(r_dat, dtype=np.int64) if r_dat else np.zeros(1, np.int64)
+    ns = np.ascontiguousarray(node_starts[:n], dtype=np.int64)
+
+    oc, oo, ocn, op = _i64p(), _i64p(), _i64p(), _i64p()
+    n_pos = ctypes.c_int64(0)
+    n_unique = lib.vg_kmer_index(
+        n, labels_b, _p64(label_off), _p64(l_off), _p64(l_arr),
+        _p64(r_off), _p64(r_arr), _p64(ns), seq_len, k,
+        -1 if edge_max is None else edge_max,
+        -1 if degree_max is None else degree_max,
+        0 if sampling_rate is None else sampling_rate,
+        1 if drop_handle_on_n else 0,
+        ctypes.byref(oc), ctypes.byref(oo), ctypes.byref(ocn),
+        ctypes.byref(n_pos), ctypes.byref(op),
+    )
+    try:
+        codes = np.ctypeslib.as_array(oc, shape=(max(n_unique, 1),))[:n_unique].copy()
+        offsets = np.ctypeslib.as_array(oo, shape=(max(n_unique, 1),))[:n_unique].copy()
+        counts = np.ctypeslib.as_array(ocn, shape=(max(n_unique, 1),))[:n_unique].copy()
+        npos = int(n_pos.value)
+        positions = (
+            np.ctypeslib.as_array(op, shape=(max(npos, 1) * 4,))[: npos * 4]
+            .copy()
+            .reshape(-1, 4)
+        )
+    finally:
+        lib.vg_free(oc)
+        lib.vg_free(oo)
+        lib.vg_free(ocn)
+        lib.vg_free(op)
+    return codes.astype(np.int64), offsets.astype(np.int64), counts.astype(np.int64), positions.astype(np.int64)
+
+
+def build_poa_batch_native(problems, v_pad: int, p_max: int):
+    """Batch (nodes, edges) subgraphs -> padded POA arrays.
+
+    problems: list of (node_labels: List[str], edges: List[(a, b)]).
+    Returns (vcodes [B,v_pad] i8, vpred [B,v_pad,p_max] i32,
+    is_sink [B,v_pad] u8, nv [B] i32, node_of [B,v_pad] i32,
+    off_in [B,v_pad] i32) or None when a problem exceeds the pads
+    (caller falls back to the Python path).
+    """
+    lib = get_lib()
+    assert lib is not None
+    B = len(problems)
+    labels_parts: list = []
+    n_total = sum(len(nodes) for nodes, _ in problems)
+    e_total = sum(len(edges) for _, edges in problems)
+    label_off = np.zeros(n_total + 1, dtype=np.int64)
+    prob_node_off = np.zeros(B + 1, dtype=np.int64)
+    prob_edge_off = np.zeros(B + 1, dtype=np.int64)
+    edges_flat = np.zeros(max(e_total, 1) * 2, dtype=np.int64)
+    ni = 0
+    ei = 0
+    for p, (nodes, edges) in enumerate(problems):
+        for s in nodes:
+            labels_parts.append(s)
+            label_off[ni + 1] = label_off[ni] + len(s)
+            ni += 1
+        for a, b in edges:
+            edges_flat[2 * ei] = a
+            edges_flat[2 * ei + 1] = b
+            ei += 1
+        prob_node_off[p + 1] = ni
+        prob_edge_off[p + 1] = ei
+    labels_b = "".join(labels_parts).encode("ascii")
+
+    vcodes = np.empty((B, v_pad), dtype=np.int8)
+    vpred = np.empty((B, v_pad, p_max), dtype=np.int32)
+    is_sink = np.empty((B, v_pad), dtype=np.uint8)
+    nv = np.empty(B, dtype=np.int32)
+    node_of = np.empty((B, v_pad), dtype=np.int32)
+    off_in = np.empty((B, v_pad), dtype=np.int32)
+    rc = lib.vg_build_poa_batch(
+        B, labels_b, _p64(label_off), _p64(prob_node_off),
+        _p64(prob_edge_off), _p64(edges_flat), v_pad, p_max,
+        _p8(vcodes), _p32(vpred), vcodes_u8(is_sink), _p32(nv),
+        _p32(node_of), _p32(off_in),
+    )
+    if rc != 0:
+        return None
+    return vcodes, vpred, is_sink, nv, node_of, off_in
+
+
+def vcodes_u8(a: np.ndarray):
+    return a.ctypes.data_as(_u8p)
+
+
+def finish_tapes_native(ops: np.ndarray, vids: np.ndarray, tlens: np.ndarray,
+                        bg_off: np.ndarray, bg_codes: np.ndarray,
+                        bg_node_of: np.ndarray, bg_off_in: np.ndarray,
+                        q: np.ndarray):
+    """Decode device op tapes into cigar/cs strings + node paths.
+
+    ops [B,T] i8, vids [B,T] i32, tlens [B] i32; bg arrays concatenated
+    with bg_off [B+1]; q [B, q_stride] i8.  Returns per-problem lists
+    (cigars, css, node_paths, path_vertex_counts, path_vertices,
+    scalars [B,6]).
+    """
+    lib = get_lib()
+    assert lib is not None
+    B, T = ops.shape
+    stride = 4 * T + 64
+    cigar_buf = np.empty((B, stride), dtype=np.int8)
+    cs_buf = np.empty((B, stride), dtype=np.int8)
+    np_buf = np.empty((B, T), dtype=np.int32)
+    pv_buf = np.empty((B, T), dtype=np.int32)
+    cigar_len = np.empty(B, dtype=np.int32)
+    cs_len = np.empty(B, dtype=np.int32)
+    np_len = np.empty(B, dtype=np.int32)
+    pv_len = np.empty(B, dtype=np.int32)
+    scalars = np.empty((B, 6), dtype=np.int32)
+
+    ops_c = np.ascontiguousarray(ops, dtype=np.int8)
+    vids_c = np.ascontiguousarray(vids, dtype=np.int32)
+    tlens_c = np.ascontiguousarray(tlens, dtype=np.int32)
+    q_c = np.ascontiguousarray(q, dtype=np.int8)
+    bg_codes_c = np.ascontiguousarray(bg_codes, dtype=np.int8)
+    bg_node_of_c = np.ascontiguousarray(bg_node_of, dtype=np.int32)
+    bg_off_in_c = np.ascontiguousarray(bg_off_in, dtype=np.int32)
+    bg_off_c = np.ascontiguousarray(bg_off, dtype=np.int64)
+
+    lib.vg_finish_tapes(
+        B, T, _p8(ops_c), _p32(vids_c), _p32(tlens_c),
+        _p64(bg_off_c), _p8(bg_codes_c), _p32(bg_node_of_c), _p32(bg_off_in_c),
+        _p8(q_c), q_c.shape[1],
+        cigar_buf.ctypes.data_as(_charp), stride, _p32(cigar_len),
+        cs_buf.ctypes.data_as(_charp), stride, _p32(cs_len),
+        _p32(np_buf), T, _p32(np_len),
+        _p32(pv_buf), T, _p32(pv_len),
+        _p32(scalars),
+    )
+    cigars = [cigar_buf[p, : cigar_len[p]].tobytes().decode("ascii") for p in range(B)]
+    css = [cs_buf[p, : cs_len[p]].tobytes().decode("ascii") for p in range(B)]
+    node_paths = [np_buf[p, : np_len[p]].tolist() for p in range(B)]
+    path_vertices = [pv_buf[p, : pv_len[p]].tolist() for p in range(B)]
+    return cigars, css, node_paths, path_vertices, scalars

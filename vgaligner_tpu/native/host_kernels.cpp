@@ -1,0 +1,612 @@
+// TPU-native host runtime kernels for vgaligner_tpu.
+//
+// The device side of the framework is JAX/XLA (chaining DP, POA DP);
+// this library is the native host runtime around it, replacing the
+// Python hot loops that feed and drain the device:
+//
+//   * vg_kmer_index      — graph k-mer DFS enumeration + linearized
+//                          position conversion (the index-build hot
+//                          loops; behavioral reference
+//                          /root/reference/src/kmer.rs:93-505,816-928,
+//                          mirrored from vgaligner_tpu/index/kmer_gen.py)
+//   * vg_build_poa_batch — chain-implied subgraph -> padded POA problem
+//                          arrays (topological order + base-level
+//                          expansion; reference align.rs:670-724,
+//                          mirrors ops/poa.py build_base_graph +
+//                          ops/poa_device.py prepare_problem)
+//   * vg_finish_tapes    — device op tapes -> CIGAR / cs strings and
+//                          node paths (reference align.rs:1096-1167,
+//                          mirrors ops/poa.py _finish_result)
+//
+// Exact-parity contract: each function must produce byte-identical
+// results to its Python reference implementation (tests/test_native.py
+// asserts equivalence); the Python paths remain as fallbacks.
+//
+// Build: g++ -O3 -march=native -shared -fPIC (see native/__init__.py).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <deque>
+#include <string>
+#include <vector>
+
+namespace {
+
+inline int8_t base_code(char c) {
+  switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    default: return 4;
+  }
+}
+
+// dna.rs:19-33 switch_base semantics (U->A, unknown->'N', case kept)
+inline char complement(char c) {
+  switch (c) {
+    case 'a': return 't'; case 'c': return 'g'; case 't': return 'a';
+    case 'g': return 'c'; case 'u': return 'a';
+    case 'A': return 'T'; case 'C': return 'G'; case 'T': return 'A';
+    case 'G': return 'C'; case 'U': return 'A';
+    default: return 'N';
+  }
+}
+
+inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ull;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+  return x ^ (x >> 31);
+}
+
+}  // namespace
+
+extern "C" {
+
+void vg_free(void* p) { std::free(p); }
+
+// ---------------------------------------------------------------------------
+// K-mer enumeration + position conversion (kmer.rs:93-505, 816-928)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Km {
+  char seq[32];
+  int32_t len;
+  int8_t begin_orient, end_orient;  // 0 fwd, 1 rev (of the *handle*)
+  int32_t begin_off, end_off;
+  int64_t first_handle, last_handle;
+  uint8_t handle_orient;
+  int32_t forks;
+};
+
+inline bool km_key_eq(const Km& a, const Km& b) {
+  return a.len == b.len && std::memcmp(a.seq, b.seq, a.len) == 0 &&
+         a.begin_orient == b.begin_orient && a.begin_off == b.begin_off &&
+         a.end_orient == b.end_orient && a.end_off == b.end_off &&
+         a.first_handle == b.first_handle && a.last_handle == b.last_handle &&
+         a.handle_orient == b.handle_orient && a.forks == b.forks;
+}
+
+struct GraphView {
+  int64_t n;
+  const char* labels;
+  const int64_t* label_off;  // [n+1]
+  const int64_t* l_off;      // [n+1] left-edge CSR
+  const int64_t* l_dat;      // packed handles, insertion order
+  const int64_t* r_off;
+  const int64_t* r_dat;
+
+  int64_t label_len(int64_t id) const {  // ids are 1-based contiguous
+    return label_off[id] - label_off[id - 1];
+  }
+  // base at position p of the handle-oriented label (revcomp for reverse)
+  char base_at(int64_t handle, int64_t p) const {
+    int64_t id = handle >> 1;
+    const char* lab = labels + label_off[id - 1];
+    int64_t len = label_len(id);
+    if (handle & 1) return complement(lab[len - 1 - p]);
+    return lab[p];
+  }
+  // right_neighbors(handle): rev ? flipped left list : right list
+  void right_neighbors(int64_t handle, std::vector<int64_t>& out) const {
+    out.clear();
+    int64_t id = handle >> 1;
+    if (handle & 1) {
+      for (int64_t e = l_off[id - 1]; e < l_off[id]; ++e)
+        out.push_back(l_dat[e] ^ 1);
+    } else {
+      for (int64_t e = r_off[id - 1]; e < r_off[id]; ++e)
+        out.push_back(r_dat[e]);
+    }
+  }
+};
+
+// All k-mers starting in `handle` (kmer.rs:347-505). Returns false when
+// the whole handle+orientation is aborted by an N (drop_handle_on_n).
+bool kmers_for_handle_orient(const GraphView& g, int64_t handle,
+                             bool orient, int32_t k, int64_t edge_max,
+                             int64_t degree_max, int64_t sampling_rate,
+                             bool drop_handle_on_n,
+                             std::vector<Km>& complete_out,
+                             std::vector<Km>& scratch_stack,
+                             std::vector<int64_t>& nbrs,
+                             std::vector<int64_t>& nbrs2) {
+  size_t base_out = complete_out.size();
+  g.right_neighbors(handle, nbrs);
+  if (degree_max >= 0 && (int64_t)nbrs.size() > degree_max) return true;
+
+  int64_t id = handle >> 1;
+  int64_t handle_len = g.label_len(id);
+  int8_t h_or = (handle & 1) ? 1 : 0;
+  bool limits = edge_max >= 0 || degree_max >= 0;
+
+  auto keep = [&](const Km& km) {
+    if (sampling_rate <= 0) return true;
+    uint64_t code = 0;
+    for (int32_t i = 0; i < km.len; ++i) {
+      int8_t c = base_code(km.seq[i]);
+      if (c >= 4) { code = (uint64_t)(-1); break; }
+      code = (code << 2) | (uint64_t)c;
+    }
+    return splitmix64(code) % (uint64_t)sampling_rate == 0;
+  };
+
+  std::vector<Km>& incomplete = scratch_stack;
+  incomplete.clear();
+
+  for (int64_t i = 0; i < handle_len; ++i) {
+    int64_t end = std::min<int64_t>(i + k, handle_len);
+    Km km;
+    km.len = (int32_t)(end - i);
+    bool has_n = false;
+    for (int64_t p = i; p < end; ++p) {
+      char c = g.base_at(handle, p);
+      km.seq[p - i] = c;
+      if (c == 'N') has_n = true;
+    }
+    km.begin_orient = h_or;
+    km.begin_off = (int32_t)i;
+    km.end_orient = h_or;
+    km.end_off = (int32_t)end;
+    km.first_handle = handle;
+    km.last_handle = handle;
+    km.handle_orient = orient ? 1 : 0;
+    km.forks = 0;
+
+    if (has_n) {
+      if (drop_handle_on_n) { complete_out.resize(base_out); return false; }
+      continue;
+    }
+    if (km.len == k) {
+      if (keep(km)) complete_out.push_back(km);
+    } else {
+      int64_t next_count = limits ? (int64_t)nbrs.size() : 0;
+      if ((edge_max < 0 && degree_max < 0) ||
+          (degree_max >= 0 && next_count < degree_max) ||
+          (edge_max >= 0 && km.forks < edge_max)) {
+        for (int64_t nb : nbrs) {
+          Km inc = km;
+          inc.last_handle = nb;
+          if (next_count > 1) inc.forks += 1;
+          incomplete.push_back(inc);
+        }
+      }
+    }
+  }
+
+  // LIFO completion across edges (kmer.rs:449-497)
+  while (!incomplete.empty()) {
+    Km km = incomplete.back();
+    incomplete.pop_back();
+    int64_t h = km.last_handle;
+    int64_t h_len = g.label_len(h >> 1);
+    int64_t end = std::min<int64_t>(k - km.len, h_len);
+    bool has_n = false;
+    for (int64_t p = 0; p < end; ++p) {
+      char c = g.base_at(h, p);
+      km.seq[km.len + p] = c;
+      if (c == 'N') has_n = true;
+    }
+    km.len += (int32_t)end;
+    km.end_orient = (h & 1) ? 1 : 0;
+    km.end_off = (int32_t)end;
+    km.last_handle = h;
+
+    if (has_n) {
+      if (drop_handle_on_n) { complete_out.resize(base_out); return false; }
+      continue;
+    }
+    if (km.len == k) {
+      if (keep(km)) complete_out.push_back(km);
+    } else {
+      g.right_neighbors(h, nbrs2);
+      int64_t next_count = limits ? (int64_t)nbrs2.size() : 0;
+      for (int64_t nb : nbrs2) {
+        if ((edge_max < 0 && degree_max < 0) ||
+            (degree_max >= 0 && next_count < degree_max) ||
+            (edge_max >= 0 && km.forks < edge_max)) {
+          Km inc = km;
+          inc.last_handle = nb;
+          if (next_count > 1) inc.forks += 1;
+          incomplete.push_back(inc);
+        }
+      }
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+// Enumerate, sort, dedup graph k-mers and convert to grouped linearized
+// positions. Node ids must be contiguous 1..n (enforced by the caller,
+// as in index.rs:489-498). Returns n_unique; outputs are malloc'd and
+// must be released with vg_free.
+int64_t vg_kmer_index(
+    int64_t n_nodes, const char* labels, const int64_t* label_off,
+    const int64_t* l_off, const int64_t* l_dat, const int64_t* r_off,
+    const int64_t* r_dat, const int64_t* node_starts, int64_t seq_len,
+    int32_t k, int64_t edge_max, int64_t degree_max, int64_t sampling_rate,
+    int32_t drop_handle_on_n,
+    int64_t** out_codes, int64_t** out_offsets, int64_t** out_counts,
+    int64_t* out_n_pos, int64_t** out_positions) {
+  GraphView g{n_nodes, labels, label_off, l_off, l_dat, r_off, r_dat};
+
+  std::vector<Km> kmers;
+  std::vector<Km> stack;
+  std::vector<int64_t> nbrs, nbrs2;
+  for (int64_t id = 1; id <= n_nodes; ++id) {
+    // orientation order True, False (kmer_gen.py generate_kmers)
+    kmers_for_handle_orient(g, id << 1, true, k, edge_max, degree_max,
+                            sampling_rate, drop_handle_on_n != 0, kmers,
+                            stack, nbrs, nbrs2);
+    kmers_for_handle_orient(g, (id << 1) | 1, false, k, edge_max, degree_max,
+                            sampling_rate, drop_handle_on_n != 0, kmers,
+                            stack, nbrs, nbrs2);
+  }
+
+  // stable sort by sequence only (kmer.rs:295-298), then dedup runs of
+  // fully identical records (kmer.rs:299-301)
+  std::stable_sort(kmers.begin(), kmers.end(), [](const Km& a, const Km& b) {
+    int c = std::memcmp(a.seq, b.seq, std::min(a.len, b.len));
+    if (c != 0) return c < 0;
+    return a.len < b.len;
+  });
+  std::vector<Km> dedup;
+  dedup.reserve(kmers.size());
+  for (const Km& km : kmers) {
+    if (!dedup.empty() && km_key_eq(dedup.back(), km)) continue;
+    dedup.push_back(km);
+  }
+
+  // group by sequence; positions on the linearization (kmer.rs:752-928)
+  struct Row { int64_t so, s, eo, e; };
+  std::vector<int64_t> codes, offsets, counts;
+  std::vector<Row> rows;
+  auto seq_pos = [&](int64_t handle) -> int64_t {
+    int64_t id = handle >> 1;
+    int64_t start = node_starts[id - 1];
+    if (handle & 1) return seq_len - start - g.label_len(id);
+    return start;
+  };
+  size_t i = 0;
+  while (i < dedup.size()) {
+    size_t j = i;
+    while (j < dedup.size() && dedup[j].len == dedup[i].len &&
+           std::memcmp(dedup[j].seq, dedup[i].seq, dedup[i].len) == 0)
+      ++j;
+    int64_t code = 0;
+    bool bad = false;
+    for (int32_t p = 0; p < dedup[i].len; ++p) {
+      int8_t c = base_code(dedup[i].seq[p]);
+      if (c >= 4) { bad = true; break; }
+      code = (code << 2) | (int64_t)c;
+    }
+    codes.push_back(bad ? -1 : code);
+    offsets.push_back((int64_t)rows.size());
+    counts.push_back((int64_t)(j - i));
+    size_t row0 = rows.size();
+    for (size_t t = i; t < j; ++t) {
+      const Km& km = dedup[t];
+      rows.push_back(Row{(int64_t)km.begin_orient,
+                         seq_pos(km.first_handle) + km.begin_off,
+                         (int64_t)km.end_orient,
+                         seq_pos(km.last_handle) + km.end_off});
+    }
+    std::sort(rows.begin() + row0, rows.end(),
+              [](const Row& a, const Row& b) {
+                if (a.so != b.so) return a.so < b.so;
+                if (a.s != b.s) return a.s < b.s;
+                if (a.eo != b.eo) return a.eo < b.eo;
+                return a.e < b.e;
+              });
+    i = j;
+  }
+
+  int64_t n_unique = (int64_t)codes.size();
+  int64_t n_pos = (int64_t)rows.size();
+  *out_codes = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(n_unique, 1));
+  *out_offsets = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(n_unique, 1));
+  *out_counts = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(n_unique, 1));
+  *out_positions = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(n_pos * 4, 1));
+  std::memcpy(*out_codes, codes.data(), sizeof(int64_t) * n_unique);
+  std::memcpy(*out_offsets, offsets.data(), sizeof(int64_t) * n_unique);
+  std::memcpy(*out_counts, counts.data(), sizeof(int64_t) * n_unique);
+  for (int64_t r = 0; r < n_pos; ++r) {
+    (*out_positions)[r * 4 + 0] = rows[r].so;
+    (*out_positions)[r * 4 + 1] = rows[r].s;
+    (*out_positions)[r * 4 + 2] = rows[r].eo;
+    (*out_positions)[r * 4 + 3] = rows[r].e;
+  }
+  *out_n_pos = n_pos;
+  return n_unique;
+}
+
+// ---------------------------------------------------------------------------
+// Batch subgraph -> padded POA problem arrays (align.rs:670-724;
+// mirrors ops/poa.py build_base_graph + ops/poa_device.py
+// prepare_problem, including the FIFO Kahn order and cycle fallback)
+// ---------------------------------------------------------------------------
+
+// Inputs are a batch of B problems, concatenated:
+//   labels / label_off[prob_node_off[B]+1]: node labels per problem
+//   prob_node_off[B+1]: node-count prefix; prob_edge_off[B+1]
+//   edges[2*total_edges] (a, b) 0-based within each problem
+// Caller-allocated outputs:
+//   vcodes   int8  [B * v_pad]   (pad value 4)
+//   vpred    int32 [B * v_pad * p_max] (-1 pad)
+//   is_sink  uint8 [B * v_pad]
+//   nv       int32 [B]
+//   node_of  int32 [B * v_pad]   (original node index per vertex)
+//   off_in   int32 [B * v_pad]
+// Returns 0 on success; (p+1) if problem p exceeds v_pad or fan-in p_max.
+int64_t vg_build_poa_batch(
+    int64_t B, const char* labels, const int64_t* label_off,
+    const int64_t* prob_node_off, const int64_t* prob_edge_off,
+    const int64_t* edges, int64_t v_pad, int64_t p_max,
+    int8_t* vcodes, int32_t* vpred, uint8_t* is_sink, int32_t* nv,
+    int32_t* node_of, int32_t* off_in) {
+  std::vector<int64_t> out_head, out_next, out_dst;  // per-problem adj list
+  std::vector<int64_t> indeg, topo, order_pos, node_first, node_last;
+  std::vector<uint8_t> seen, has_pred, has_succ;
+
+  std::memset(vcodes, 4, (size_t)(B * v_pad));
+  std::fill(vpred, vpred + B * v_pad * p_max, -1);
+  std::memset(is_sink, 0, (size_t)(B * v_pad));
+  std::memset(node_of, 0, sizeof(int32_t) * (size_t)(B * v_pad));
+  std::memset(off_in, 0, sizeof(int32_t) * (size_t)(B * v_pad));
+
+  for (int64_t p = 0; p < B; ++p) {
+    int64_t n0 = prob_node_off[p], n1 = prob_node_off[p + 1];
+    int64_t e0 = prob_edge_off[p], e1 = prob_edge_off[p + 1];
+    int64_t n = n1 - n0;
+
+    // Kahn's algorithm, FIFO, stable in list order (ops/poa.py:70-89)
+    out_head.assign(n, -1);
+    out_next.assign(std::max<int64_t>(e1 - e0, 1), -1);
+    out_dst.assign(std::max<int64_t>(e1 - e0, 1), -1);
+    indeg.assign(n, 0);
+    // adjacency preserving edge order: build reversed then walk reversed
+    for (int64_t e = e1 - 1; e >= e0; --e) {
+      int64_t a = edges[2 * e], b = edges[2 * e + 1];
+      int64_t slot = e - e0;
+      out_dst[slot] = b;
+      out_next[slot] = out_head[a];
+      out_head[a] = slot;
+      indeg[b] += 1;
+    }
+    topo.clear();
+    seen.assign(n, 0);
+    std::deque<int64_t> ready;
+    for (int64_t v = 0; v < n; ++v)
+      if (indeg[v] == 0) ready.push_back(v);
+    while (!ready.empty()) {
+      int64_t cur = ready.front();
+      ready.pop_front();
+      topo.push_back(cur);
+      seen[cur] = 1;
+      for (int64_t s = out_head[cur]; s != -1; s = out_next[s]) {
+        if (--indeg[out_dst[s]] == 0) ready.push_back(out_dst[s]);
+      }
+    }
+    if ((int64_t)topo.size() < n)  // cycle fallback: remaining in order
+      for (int64_t v = 0; v < n; ++v)
+        if (!seen[v]) topo.push_back(v);
+
+    order_pos.assign(n, 0);
+    for (int64_t t = 0; t < n; ++t) order_pos[topo[t]] = t;
+
+    // base-level expansion in topo order
+    node_first.assign(n, 0);
+    node_last.assign(n, 0);
+    int64_t vid = 0;
+    int8_t* vc = vcodes + p * v_pad;
+    int32_t* no = node_of + p * v_pad;
+    int32_t* oi = off_in + p * v_pad;
+    for (int64_t t = 0; t < n; ++t) {
+      int64_t node = topo[t];
+      int64_t g0 = label_off[n0 + node], g1 = label_off[n0 + node + 1];
+      node_first[node] = vid;
+      if (vid + (g1 - g0) > v_pad) return p + 1;
+      for (int64_t c = g0; c < g1; ++c) {
+        vc[vid] = base_code(labels[c]);
+        no[vid] = (int32_t)node;
+        oi[vid] = (int32_t)(c - g0);
+        ++vid;
+      }
+      node_last[node] = vid - 1;
+    }
+    nv[p] = (int32_t)vid;
+
+    // predecessors: edge preds on node_first (edge order, skipping
+    // cycle-fallback back-edges), then the intra-node chain
+    int32_t* vp = vpred + p * v_pad * p_max;
+    std::vector<int8_t> np_count(vid, 0);
+    has_pred.assign(n, 0);
+    has_succ.assign(n, 0);
+    for (int64_t e = e0; e < e1; ++e) {
+      int64_t a = edges[2 * e], b = edges[2 * e + 1];
+      if (order_pos[a] < order_pos[b]) {
+        int64_t v = node_first[b];
+        if (np_count[v] >= p_max) return p + 1;
+        vp[v * p_max + np_count[v]++] = (int32_t)node_last[a];
+        has_pred[b] = 1;
+        has_succ[a] = 1;
+      }
+    }
+    for (int64_t t = 0; t < n; ++t) {
+      int64_t node = topo[t];
+      for (int64_t v = node_first[node] + 1; v <= node_last[node]; ++v) {
+        if (np_count[v] >= p_max) return p + 1;
+        vp[v * p_max + np_count[v]++] = (int32_t)(v - 1);
+      }
+    }
+    uint8_t* sk = is_sink + p * v_pad;
+    for (int64_t node = 0; node < n; ++node)
+      if (!has_succ[node]) sk[node_last[node]] = 1;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Device op tapes -> CIGAR / cs strings + node paths
+// (align.rs:1096-1167; mirrors ops/poa.py _finish_result and the tape
+// decoding of ops/poa_device.py _align_bucket)
+// ---------------------------------------------------------------------------
+
+// Per problem: the raw tape ops[T]/vids[T] with valid length t (to be
+// reversed), base-graph arrays and the query codes.  String buffers are
+// caller-allocated with stride buf_stride; returns 0.
+// op codes: 0 M, 1 I, 2 D (3 END, never inside the valid tape).
+int64_t vg_finish_tapes(
+    int64_t B, int64_t T, const int8_t* ops, const int32_t* vids,
+    const int32_t* tlens,
+    // per-problem base-graph views (concatenated, bg_off[B+1])
+    const int64_t* bg_off, const int8_t* bg_codes, const int32_t* bg_node_of,
+    const int32_t* bg_off_in_node,
+    // queries, padded [B, q_stride]
+    const int8_t* q, int64_t q_stride,
+    // outputs
+    char* cigar_buf, int64_t cigar_stride, int32_t* cigar_len,
+    char* cs_buf, int64_t cs_stride, int32_t* cs_len,
+    int32_t* node_path_buf, int64_t np_stride, int32_t* np_len,
+    int32_t* path_v_buf, int64_t pv_stride, int32_t* pv_len,
+    // scalars per problem: n_aligned, residue, first_v, last_v,
+    // path_start_offset, path_end_offset
+    int32_t* scalars /* [B * 6] */) {
+  static const char* kBaseL = "acgtn";
+  for (int64_t p = 0; p < B; ++p) {
+    const int8_t* po = ops + p * T;
+    const int32_t* pv = vids + p * T;
+    int64_t t = tlens[p];
+    const int8_t* codes = bg_codes + bg_off[p];
+    const int32_t* nodeof = bg_node_of + bg_off[p];
+    const int32_t* offin = bg_off_in_node + bg_off[p];
+    const int8_t* qp = q + p * q_stride;
+
+    char* cg = cigar_buf + p * cigar_stride;
+    char* cs = cs_buf + p * cs_stride;
+    int32_t* npb = node_path_buf + p * np_stride;
+    int32_t* pvb = path_v_buf + p * pv_stride;
+    int64_t cg_n = 0, cs_n = 0, np_n = 0, pv_n = 0;
+
+    std::memcpy(cs + cs_n, "cs:Z:", 5);
+    cs_n += 5;
+
+    // walk the tape in forward order (reverse of the emitted order),
+    // classifying M as match/mismatch by query-vs-vertex base
+    char run_op = 0;
+    int64_t run_len = 0;
+    auto flush_cigar = [&]() {
+      if (run_op) {
+        cg_n += std::snprintf(cg + cg_n, 16, "%lld", (long long)run_len);
+        cg[cg_n++] = run_op;
+      }
+    };
+    int64_t match_run = 0;
+    auto flush_match = [&]() {
+      if (match_run) {
+        cs[cs_n++] = ':';
+        cs_n += std::snprintf(cs + cs_n, 16, "%lld", (long long)match_run);
+        match_run = 0;
+      }
+    };
+    char prev_cs_op = 0;  // for I/D run grouping in cs
+    int32_t n_aligned = 0, residue = 0;
+    int64_t qpos = 0;
+    int32_t first_v = -1, last_v = -1;
+
+    for (int64_t s = t - 1; s >= 0; --s) {
+      int8_t op = po[s];
+      int32_t v = pv[s];
+      char c;  // cigar class
+      if (op == 0) {  // M (match or mismatch)
+        bool is_match = v >= 0 && qp[qpos] == codes[v];
+        c = 'M';
+        n_aligned += 1;
+        if (is_match) {
+          residue += 1;
+          match_run += 1;
+          prev_cs_op = 0;
+        } else {
+          flush_match();
+          cs[cs_n++] = '*';
+          cs[cs_n++] = kBaseL[codes[v] > 4 ? 4 : codes[v]];
+          cs[cs_n++] = kBaseL[qp[qpos] > 4 ? 4 : qp[qpos]];
+          prev_cs_op = 0;
+        }
+        qpos += 1;
+      } else if (op == 1) {  // I
+        c = 'I';
+        flush_match();
+        if (prev_cs_op != 'I') cs[cs_n++] = '+';
+        cs[cs_n++] = kBaseL[qp[qpos] > 4 ? 4 : qp[qpos]];
+        prev_cs_op = 'I';
+        qpos += 1;
+      } else {  // D
+        c = 'D';
+        flush_match();
+        if (prev_cs_op != 'D') cs[cs_n++] = '-';
+        cs[cs_n++] = kBaseL[codes[v] > 4 ? 4 : codes[v]];
+        prev_cs_op = 'D';
+      }
+      if (c == run_op) {
+        run_len += 1;
+      } else {
+        flush_cigar();
+        run_op = c;
+        run_len = 1;
+      }
+      if ((op == 0 || op == 2) && v >= 0) {  // path vertices: M/X/D
+        pvb[pv_n++] = v;
+        if (first_v < 0) first_v = v;
+        last_v = v;
+        int32_t n = nodeof[v];
+        if (np_n == 0 || npb[np_n - 1] != n) npb[np_n++] = n;
+      }
+    }
+    flush_cigar();
+    flush_match();
+
+    cigar_len[p] = (int32_t)cg_n;
+    cs_len[p] = (int32_t)cs_n;
+    np_len[p] = (int32_t)np_n;
+    pv_len[p] = (int32_t)pv_n;
+    int32_t fv = first_v < 0 ? 0 : first_v;
+    int32_t lv = last_v < 0 ? 0 : last_v;
+    scalars[p * 6 + 0] = n_aligned;
+    scalars[p * 6 + 1] = residue;
+    scalars[p * 6 + 2] = fv;
+    scalars[p * 6 + 3] = lv;
+    scalars[p * 6 + 4] = first_v < 0 ? 0 : offin[fv];
+    scalars[p * 6 + 5] = last_v < 0 ? 0 : offin[lv];
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -329,13 +329,38 @@ def align_global_batch(
 
     Returns a list of PoaResult (ops/poa.py) equal to align_global_host on
     each problem.  Problems are bucketed by pow2-padded (V, L) so one
-    outlier subgraph does not inflate the whole batch.
+    outlier subgraph does not inflate the whole batch.  Host-side problem
+    preparation and tape decoding run in the native runtime when built
+    (vgaligner_tpu/native), with the Python path as fallback.
     """
-    bgs_all = [build_base_graph(n, e) for n, e, _ in problems]
     from ..utils.dna import encode_seq as _enc
+    from ..native import available as _native_ok
 
     qs_all = [_enc(q) for _, _, q in problems]
-    buckets: dict = {}
+
+    if _native_ok():
+        vs = [sum(len(s) for s in nodes) for nodes, _, _ in problems]
+        buckets: dict = {}
+        for i, (v, q) in enumerate(zip(vs, qs_all)):
+            key = (_next_pow2(max(v, 256)), _next_pow2(max(len(q), 128)))
+            buckets.setdefault(key, []).append(i)
+        out = [None] * len(problems)
+        for (v_pad, l_pad), idxs in sorted(buckets.items()):
+            res = _align_bucket_native(
+                [(problems[i][0], problems[i][1]) for i in idxs],
+                [qs_all[i] for i in idxs], v_pad, l_pad,
+            )
+            if res is None:  # pads exceeded (e.g. fan-in > P_MAX)
+                res = _align_bucket(
+                    [build_base_graph(problems[i][0], problems[i][1]) for i in idxs],
+                    [qs_all[i] for i in idxs], v_pad, l_pad,
+                )
+            for i, r in zip(idxs, res):
+                out[i] = r
+        return out
+
+    bgs_all = [build_base_graph(n, e) for n, e, _ in problems]
+    buckets = {}
     for i, (bg, q) in enumerate(zip(bgs_all, qs_all)):
         key = (
             _next_pow2(max(len(bg.codes), 256)),
@@ -350,6 +375,82 @@ def align_global_batch(
         )):
             out[i] = res
     return out
+
+
+def _run_kernel(vcodes, vpred, is_sink, nv, q_pad, nq, v_pad, l_pad):
+    init_row = np.empty(l_pad + 1, dtype=np.float32)
+    init_row[0] = 0.0
+    for j in range(1, l_pad + 1):
+        init_row[j] = -gap_cost(j)
+    return jax.device_get(
+        poa_global_kernel(
+            jnp.asarray(vcodes), jnp.asarray(vpred),
+            jnp.asarray(is_sink.astype(bool)), jnp.asarray(nv),
+            jnp.asarray(q_pad), jnp.asarray(nq), jnp.asarray(init_row),
+            v_pad,
+        )
+    )
+
+
+def _align_bucket_native(node_edge_probs, qs, v_pad: int, l_pad: int):
+    """Native-runtime bucket path: C++ problem prep + tape decode around
+    the device kernel.  Returns None if a problem exceeds the pads."""
+    from ..native import build_poa_batch_native, finish_tapes_native
+    from .poa import PoaResult
+
+    built = build_poa_batch_native(node_edge_probs, v_pad, P_MAX)
+    if built is None:
+        return None
+    vcodes, vpred, is_sink, nv, node_of, off_in = built
+    n_real = len(qs)
+    # pad the batch dim so executables cache across batches
+    b_pad = _next_pow2(max(n_real, 4))
+    if b_pad != n_real:
+        rep = b_pad - n_real
+        vcodes = np.concatenate([vcodes, np.repeat(vcodes[:1], rep, 0)])
+        vpred = np.concatenate([vpred, np.repeat(vpred[:1], rep, 0)])
+        is_sink = np.concatenate([is_sink, np.repeat(is_sink[:1], rep, 0)])
+        nv = np.concatenate([nv, np.repeat(nv[:1], rep)])
+        node_of = np.concatenate([node_of, np.repeat(node_of[:1], rep, 0)])
+        off_in = np.concatenate([off_in, np.repeat(off_in[:1], rep, 0)])
+
+    q_pad = np.full((b_pad, l_pad), 4, dtype=np.int8)
+    nq = np.zeros(b_pad, dtype=np.int32)
+    for i, qc in enumerate(qs):
+        q_pad[i, : len(qc)] = qc
+        nq[i] = len(qc)
+    nq[n_real:] = nq[0]
+    q_pad[n_real:] = q_pad[0]
+
+    scores, ops, vids, tlens = _run_kernel(
+        vcodes, vpred, is_sink, nv, q_pad, nq, v_pad, l_pad
+    )
+
+    bg_off = np.arange(b_pad + 1, dtype=np.int64) * v_pad
+    cigars, css, node_paths, path_vertices, scalars = finish_tapes_native(
+        ops, vids, tlens.astype(np.int32), bg_off,
+        vcodes.reshape(-1), node_of.reshape(-1), off_in.reshape(-1), q_pad,
+    )
+    results = []
+    for i in range(n_real):
+        results.append(
+            PoaResult(
+                cigar=cigars[i],
+                cs=css[i],
+                path_vertices=path_vertices[i],
+                node_path=node_paths[i],
+                aln_start_offset=int(scalars[i, 2]),
+                aln_end_offset=int(scalars[i, 3]),
+                n_aligned=int(scalars[i, 0]),
+                best_score=int(scores[i]),
+                query_start=0,
+                query_end=len(qs[i]),
+                path_start_offset=int(scalars[i, 4]),
+                path_end_offset=int(scalars[i, 5]),
+                residue_matches=int(scalars[i, 1]),
+            )
+        )
+    return results
 
 
 def _align_bucket(bgs, qs, v_pad: int, l_pad: int):
