@@ -167,3 +167,45 @@ def test_index_build_native_matches_python_fallback(monkeypatch):
     np.testing.assert_array_equal(idx_native.fo_positions, idx_py.fo_positions)
     np.testing.assert_array_equal(idx_native.fo_offsets, idx_py.fo_offsets)
     np.testing.assert_array_equal(idx_native.fo_counts, idx_py.fo_counts)
+
+
+def test_also_align_native_matches_python_pipeline():
+    """Full --also-align over test.gfa: the native extraction+prep+decode
+    path must emit byte-identical GAF to the pure-Python path."""
+    import subprocess
+    import sys
+
+    code = r"""
+import sys
+sys.path.insert(0, '/root/repo')
+from vgaligner_tpu.graph import graph_from_gfa
+from vgaligner_tpu.index import Index
+from vgaligner_tpu.io.fastx import QuerySequence
+from vgaligner_tpu.models.mapper import Mapper
+from vgaligner_tpu.models.poa_aligner import PoaAligner, PoaEngine
+
+g = graph_from_gfa('/root/reference/test/test.gfa')
+index = Index.build(g, 11, 100, 100)
+reads = []
+for pid in g.paths_iter():
+    seq = ''.join(g.sequence(h) for h in g.get_path(pid).nodes)
+    for s in range(0, max(len(seq) - 30, 1), 7):
+        reads.append(seq[s:s + 30])
+queries = [QuerySequence.from_name_and_string(f'r{i}', s) for i, s in enumerate(reads)]
+mapper = Mapper(index, chain_min_n_anchors=2)
+chains = mapper.map_reads(queries)
+aligner = PoaAligner(index, PoaEngine.ABPOA)
+for a in aligner.best_alignments_for_queries(chains):
+    print(a.to_string())
+"""
+    env_native = dict(os.environ)
+    env_native.pop("VGALIGNER_NO_NATIVE", None)
+    env_py = dict(os.environ, VGALIGNER_NO_NATIVE="1")
+    for e in (env_native, env_py):
+        e["JAX_PLATFORMS"] = "cpu"
+    r1 = subprocess.run([sys.executable, "-c", code], capture_output=True, env=env_native)
+    r2 = subprocess.run([sys.executable, "-c", code], capture_output=True, env=env_py)
+    assert r1.returncode == 0, r1.stderr.decode()[-2000:]
+    assert r2.returncode == 0, r2.stderr.decode()[-2000:]
+    assert r1.stdout == r2.stdout
+    assert len(r1.stdout.splitlines()) > 10

@@ -240,14 +240,29 @@ class PoaAligner:
                 for chains in per_read_chains
             ]
 
-        problems = []
-        owners: List[Tuple[int, Chain, OrientedGraphRange]] = []
+        from ..native import available as _native_ok
+
+        selected: List[Tuple[int, Chain]] = []
         placeholders: dict = {}
         for qi, chains in enumerate(per_read_chains):
             for chain in chains[: min(align_best_n, len(chains))]:
                 if chain.is_placeholder:
                     placeholders.setdefault(qi, GAFAlignment.from_placeholder_chain(chain))
                     continue
+                selected.append((qi, chain))
+
+        per_read: dict = {qi: [a] for qi, a in placeholders.items()}
+        if selected and _native_ok() and not self.export_subgraphs:
+            for (qi, chain), (res, handles) in zip(
+                selected, self._align_chains_native([c for _, c in selected])
+            ):
+                per_read.setdefault(qi, []).append(
+                    GAFAlignment.from_abpoa_result(res, chain, handles)
+                )
+        elif selected:
+            problems = []
+            owners: List[Tuple[int, Chain, OrientedGraphRange]] = []
+            for qi, chain in selected:
                 rng = extend_range_chain(
                     self.index, chain, find_range_chain(self.index, chain)
                 )
@@ -262,8 +277,6 @@ class PoaAligner:
                 problems.append((nodes, edges, chain.query.seq))
                 owners.append((qi, chain, rng))
 
-        per_read: dict = {qi: [a] for qi, a in placeholders.items()}
-        if problems:
             from ..ops.poa_device import align_global_batch
 
             results = align_global_batch(problems)
@@ -281,6 +294,90 @@ class PoaAligner:
             )
             out.append(alns[0])
         return out
+
+    def _align_chains_native(self, chains: List[Chain]):
+        """Fully native --also-align batch: C++ subgraph extraction +
+        problem prep + tape decode around the device POA kernel.  Node
+        labels never materialize as Python strings.  Returns a list of
+        (PoaResult, range_handles) aligned with `chains`."""
+        import numpy as np
+
+        from ..native import build_poa_batch_arrays, extract_subgraphs_native
+        from ..ops.poa_device import P_MAX, _next_pow2, kernel_and_finish
+        from ..utils.dna import encode_seq
+
+        n = len(chains)
+        n_anchors = np.asarray([c.n_anchors for c in chains], dtype=np.int64)
+        anchor_off = np.concatenate([[0], np.cumsum(n_anchors)])
+        aqb = np.concatenate([c.aqb for c in chains])
+        atb = np.concatenate([c.atb for c in chains])
+        ate = np.concatenate([c.ate for c in chains])
+        any_orient = any(c.aso is not None for c in chains)
+        aso = aeo = None
+        if any_orient:
+            aso = np.concatenate(
+                [c.aso if c.aso is not None else np.zeros(c.n_anchors, np.int8) for c in chains]
+            )
+            aeo = np.concatenate(
+                [c.aeo if c.aeo is not None else np.zeros(c.n_anchors, np.int8) for c in chains]
+            )
+        qlen = np.asarray([len(c.query.seq) for c in chains], dtype=np.int64)
+        k = chains[0].k
+
+        handle_off, handles, label_off, labels, edge_off, edges, status = (
+            extract_subgraphs_native(
+                self.index, anchor_off, aqb, atb, ate, aso, aeo, qlen, k
+            )
+        )
+        if status.any():
+            # reproduce the Python path's failure (BFS guard): it raises
+            bad = int(np.nonzero(status)[0][0])
+            extend_range_chain(
+                self.index, chains[bad], find_range_chain(self.index, chains[bad])
+            )
+            raise RuntimeError("native extraction failed but Python path succeeded")
+
+        qs = [encode_seq(c.query.seq) for c in chains]
+        v_per = label_off[handle_off[1:]] - label_off[handle_off[:-1]]
+        buckets: dict = {}
+        for i in range(n):
+            key = (
+                _next_pow2(max(int(v_per[i]), 256)),
+                _next_pow2(max(len(qs[i]), 128)),
+            )
+            buckets.setdefault(key, []).append(i)
+
+        out = [None] * n
+        edges_flat = np.ascontiguousarray(edges.reshape(-1), dtype=np.int64)
+        for (v_pad, l_pad), idxs in sorted(buckets.items()):
+            sel = np.asarray(idxs, dtype=np.int64)
+            built = build_poa_batch_arrays(
+                labels, label_off, handle_off.astype(np.int64),
+                edge_off.astype(np.int64), edges_flat, sel, v_pad, P_MAX,
+            )
+            if built is None:
+                # fan-in above P_MAX: decode these problems to Python
+                # objects and use the host oracle (rare)
+                from ..ops.poa import align_global_host
+
+                for i in idxs:
+                    nodes = [
+                        labels[label_off[j] : label_off[j + 1]].decode("ascii")
+                        for j in range(handle_off[i], handle_off[i + 1])
+                    ]
+                    prob_edges = [
+                        (int(a), int(b))
+                        for a, b in edges[edge_off[i] : edge_off[i + 1]]
+                    ]
+                    out[i] = align_global_host(nodes, prob_edges, chains[i].query.seq)
+                continue
+            for i, res in zip(idxs, kernel_and_finish(built, [qs[i] for i in idxs], v_pad, l_pad)):
+                out[i] = res
+
+        return [
+            (out[i], handles[handle_off[i] : handle_off[i + 1]].tolist())
+            for i in range(n)
+        ]
 
     def obtain_base_level_alignment(self, chain: Chain) -> GAFAlignment:
         """align.rs:58-145."""

@@ -79,11 +79,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.vg_kmer_index.restype = ctypes.c_int64
         lib.vg_build_poa_batch.argtypes = [
-            ctypes.c_int64, _charp, _i64p, _i64p, _i64p, _i64p,
+            ctypes.c_int64, _i64p, _charp, _i64p, _i64p, _i64p, _i64p,
             ctypes.c_int64, ctypes.c_int64,
             _i8p, _i32p, _u8p, _i32p, _i32p, _i32p,
         ]
         lib.vg_build_poa_batch.restype = ctypes.c_int64
+        lib.vg_extract_subgraphs.argtypes = [
+            ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
+            _charp, _charp, ctypes.c_int64,
+            ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i8p, _i8p,
+            _i64p, ctypes.c_int64,
+            ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
+            ctypes.POINTER(_i64p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
+            ctypes.POINTER(_u8p),
+        ]
+        lib.vg_extract_subgraphs.restype = ctypes.c_int64
         lib.vg_finish_tapes.argtypes = [
             ctypes.c_int64, ctypes.c_int64, _i8p, _i32p, _i32p,
             _i64p, _i8p, _i32p, _i32p,
@@ -180,6 +191,38 @@ def kmer_index_native(graph, k: int, edge_max, degree_max, sampling_rate,
     return codes.astype(np.int64), offsets.astype(np.int64), counts.astype(np.int64), positions.astype(np.int64)
 
 
+def build_poa_batch_arrays(labels_b: bytes, label_off: np.ndarray,
+                           prob_node_off: np.ndarray,
+                           prob_edge_off: np.ndarray, edges_flat: np.ndarray,
+                           sel: Optional[np.ndarray], v_pad: int, p_max: int):
+    """Array-form batch subgraph -> padded POA arrays (native).
+
+    `sel` picks problems out of the concatenated inputs (None = all).
+    Returns None when a selected problem exceeds v_pad or fan-in p_max.
+    """
+    lib = get_lib()
+    assert lib is not None
+    B = len(prob_node_off) - 1 if sel is None else len(sel)
+    sel_c = None if sel is None else np.ascontiguousarray(sel, dtype=np.int64)
+
+    vcodes = np.empty((B, v_pad), dtype=np.int8)
+    vpred = np.empty((B, v_pad, p_max), dtype=np.int32)
+    is_sink = np.empty((B, v_pad), dtype=np.uint8)
+    nv = np.empty(B, dtype=np.int32)
+    node_of = np.empty((B, v_pad), dtype=np.int32)
+    off_in = np.empty((B, v_pad), dtype=np.int32)
+    rc = lib.vg_build_poa_batch(
+        B, None if sel_c is None else _p64(sel_c), labels_b,
+        _p64(label_off), _p64(prob_node_off),
+        _p64(prob_edge_off), _p64(edges_flat), v_pad, p_max,
+        _p8(vcodes), _p32(vpred), vcodes_u8(is_sink), _p32(nv),
+        _p32(node_of), _p32(off_in),
+    )
+    if rc != 0:
+        return None
+    return vcodes, vpred, is_sink, nv, node_of, off_in
+
+
 def build_poa_batch_native(problems, v_pad: int, p_max: int):
     """Batch (nodes, edges) subgraphs -> padded POA arrays.
 
@@ -189,8 +232,6 @@ def build_poa_batch_native(problems, v_pad: int, p_max: int):
     off_in [B,v_pad] i32) or None when a problem exceeds the pads
     (caller falls back to the Python path).
     """
-    lib = get_lib()
-    assert lib is not None
     B = len(problems)
     labels_parts: list = []
     n_total = sum(len(nodes) for nodes, _ in problems)
@@ -213,26 +254,80 @@ def build_poa_batch_native(problems, v_pad: int, p_max: int):
         prob_node_off[p + 1] = ni
         prob_edge_off[p + 1] = ei
     labels_b = "".join(labels_parts).encode("ascii")
-
-    vcodes = np.empty((B, v_pad), dtype=np.int8)
-    vpred = np.empty((B, v_pad, p_max), dtype=np.int32)
-    is_sink = np.empty((B, v_pad), dtype=np.uint8)
-    nv = np.empty(B, dtype=np.int32)
-    node_of = np.empty((B, v_pad), dtype=np.int32)
-    off_in = np.empty((B, v_pad), dtype=np.int32)
-    rc = lib.vg_build_poa_batch(
-        B, labels_b, _p64(label_off), _p64(prob_node_off),
-        _p64(prob_edge_off), _p64(edges_flat), v_pad, p_max,
-        _p8(vcodes), _p32(vpred), vcodes_u8(is_sink), _p32(nv),
-        _p32(node_of), _p32(off_in),
+    return build_poa_batch_arrays(
+        labels_b, label_off, prob_node_off, prob_edge_off, edges_flat,
+        None, v_pad, p_max,
     )
-    if rc != 0:
-        return None
-    return vcodes, vpred, is_sink, nv, node_of, off_in
 
 
 def vcodes_u8(a: np.ndarray):
     return a.ctypes.data_as(_u8p)
+
+
+def extract_subgraphs_native(index, anchor_off: np.ndarray, aqb: np.ndarray,
+                             atb: np.ndarray, ate: np.ndarray,
+                             aso: Optional[np.ndarray],
+                             aeo: Optional[np.ndarray],
+                             qlen: np.ndarray, k: int):
+    """Batched chain -> subgraph extraction over the index arrays.
+
+    Returns (handle_off [B+1], handles, label_off [total_nodes+1],
+    labels bytes, edge_off [B+1], edges [total_edges,2], status [B])
+    where status[p] != 0 marks a problem needing the Python fallback.
+    """
+    lib = get_lib()
+    assert lib is not None
+    B = len(anchor_off) - 1
+    seq_fwd = index.seq_fwd.encode("ascii")
+    seq_rev = index.seq_rev.encode("ascii")
+    ns = np.ascontiguousarray(index.node_starts, dtype=np.int64)
+    edg = np.ascontiguousarray(index.edges, dtype=np.int64)
+    eidx = np.ascontiguousarray(index.edge_idx, dtype=np.int64)
+    etn = np.ascontiguousarray(index.edges_to_node, dtype=np.int64)
+
+    ao = np.ascontiguousarray(anchor_off, dtype=np.int64)
+    aqb_c = np.ascontiguousarray(aqb, dtype=np.int64)
+    atb_c = np.ascontiguousarray(atb, dtype=np.int64)
+    ate_c = np.ascontiguousarray(ate, dtype=np.int64)
+    aso_c = None if aso is None else np.ascontiguousarray(aso, dtype=np.int8)
+    aeo_c = None if aeo is None else np.ascontiguousarray(aeo, dtype=np.int8)
+    ql = np.ascontiguousarray(qlen, dtype=np.int64)
+
+    oh, ohs, olo = _i64p(), _i64p(), _i64p()
+    olb = ctypes.c_char_p()
+    oeo, oe = _i64p(), _i64p()
+    ost = _u8p()
+    total_label = lib.vg_extract_subgraphs(
+        index.n_nodes, _p64(ns), _p64(edg), _p64(eidx), _p64(etn),
+        seq_fwd, seq_rev, index.seq_length,
+        B, _p64(ao), _p64(aqb_c), _p64(atb_c), _p64(ate_c),
+        None if aso_c is None else _p8(aso_c),
+        None if aeo_c is None else _p8(aeo_c),
+        _p64(ql), k,
+        ctypes.byref(oh), ctypes.byref(ohs), ctypes.byref(olo),
+        ctypes.byref(olb), ctypes.byref(oeo), ctypes.byref(oe),
+        ctypes.byref(ost),
+    )
+    try:
+        handle_off = np.ctypeslib.as_array(oh, shape=(B + 1,)).copy()
+        n_handles = int(handle_off[-1])
+        handles = np.ctypeslib.as_array(ohs, shape=(max(n_handles, 1),))[:n_handles].copy()
+        label_off = np.ctypeslib.as_array(olo, shape=(n_handles + 1,)).copy()
+        labels = ctypes.string_at(olb, int(total_label)) if total_label else b""
+        edge_off = np.ctypeslib.as_array(oeo, shape=(B + 1,)).copy()
+        n_edges = int(edge_off[-1])
+        edges_out = (
+            np.ctypeslib.as_array(oe, shape=(max(n_edges, 1) * 2,))[: n_edges * 2]
+            .copy()
+            .reshape(-1, 2)
+        )
+        status = np.ctypeslib.as_array(ost, shape=(max(B, 1),))[:B].copy()
+    finally:
+        for p in (oh, ohs, olo, oeo, oe):
+            lib.vg_free(p)
+        lib.vg_free(olb)
+        lib.vg_free(ost)
+    return handle_off, handles, label_off, labels, edge_off, edges_out, status
 
 
 def finish_tapes_native(ops: np.ndarray, vids: np.ndarray, tlens: np.ndarray,

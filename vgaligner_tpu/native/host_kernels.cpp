@@ -364,13 +364,15 @@ int64_t vg_kmer_index(
 //   nv       int32 [B]
 //   node_of  int32 [B * v_pad]   (original node index per vertex)
 //   off_in   int32 [B * v_pad]
-// Returns 0 on success; (p+1) if problem p exceeds v_pad or fan-in p_max.
+// `sel` picks which of the concatenated problems to build (batch row s
+// reads problem sel[s]) so bucket slicing never copies label data.
+// Returns 0 on success; (s+1) if row s exceeds v_pad or fan-in p_max.
 int64_t vg_build_poa_batch(
-    int64_t B, const char* labels, const int64_t* label_off,
-    const int64_t* prob_node_off, const int64_t* prob_edge_off,
-    const int64_t* edges, int64_t v_pad, int64_t p_max,
-    int8_t* vcodes, int32_t* vpred, uint8_t* is_sink, int32_t* nv,
-    int32_t* node_of, int32_t* off_in) {
+    int64_t B, const int64_t* sel, const char* labels,
+    const int64_t* label_off, const int64_t* prob_node_off,
+    const int64_t* prob_edge_off, const int64_t* edges, int64_t v_pad,
+    int64_t p_max, int8_t* vcodes, int32_t* vpred, uint8_t* is_sink,
+    int32_t* nv, int32_t* node_of, int32_t* off_in) {
   std::vector<int64_t> out_head, out_next, out_dst;  // per-problem adj list
   std::vector<int64_t> indeg, topo, order_pos, node_first, node_last;
   std::vector<uint8_t> seen, has_pred, has_succ;
@@ -381,7 +383,8 @@ int64_t vg_build_poa_batch(
   std::memset(node_of, 0, sizeof(int32_t) * (size_t)(B * v_pad));
   std::memset(off_in, 0, sizeof(int32_t) * (size_t)(B * v_pad));
 
-  for (int64_t p = 0; p < B; ++p) {
+  for (int64_t s = 0; s < B; ++s) {
+    int64_t p = sel ? sel[s] : s;
     int64_t n0 = prob_node_off[p], n1 = prob_node_off[p + 1];
     int64_t e0 = prob_edge_off[p], e1 = prob_edge_off[p + 1];
     int64_t n = n1 - n0;
@@ -425,14 +428,14 @@ int64_t vg_build_poa_batch(
     node_first.assign(n, 0);
     node_last.assign(n, 0);
     int64_t vid = 0;
-    int8_t* vc = vcodes + p * v_pad;
-    int32_t* no = node_of + p * v_pad;
-    int32_t* oi = off_in + p * v_pad;
+    int8_t* vc = vcodes + s * v_pad;
+    int32_t* no = node_of + s * v_pad;
+    int32_t* oi = off_in + s * v_pad;
     for (int64_t t = 0; t < n; ++t) {
       int64_t node = topo[t];
       int64_t g0 = label_off[n0 + node], g1 = label_off[n0 + node + 1];
       node_first[node] = vid;
-      if (vid + (g1 - g0) > v_pad) return p + 1;
+      if (vid + (g1 - g0) > v_pad) return s + 1;
       for (int64_t c = g0; c < g1; ++c) {
         vc[vid] = base_code(labels[c]);
         no[vid] = (int32_t)node;
@@ -441,11 +444,11 @@ int64_t vg_build_poa_batch(
       }
       node_last[node] = vid - 1;
     }
-    nv[p] = (int32_t)vid;
+    nv[s] = (int32_t)vid;
 
     // predecessors: edge preds on node_first (edge order, skipping
     // cycle-fallback back-edges), then the intra-node chain
-    int32_t* vp = vpred + p * v_pad * p_max;
+    int32_t* vp = vpred + s * v_pad * p_max;
     std::vector<int8_t> np_count(vid, 0);
     has_pred.assign(n, 0);
     has_succ.assign(n, 0);
@@ -453,7 +456,7 @@ int64_t vg_build_poa_batch(
       int64_t a = edges[2 * e], b = edges[2 * e + 1];
       if (order_pos[a] < order_pos[b]) {
         int64_t v = node_first[b];
-        if (np_count[v] >= p_max) return p + 1;
+        if (np_count[v] >= p_max) return s + 1;
         vp[v * p_max + np_count[v]++] = (int32_t)node_last[a];
         has_pred[b] = 1;
         has_succ[a] = 1;
@@ -462,15 +465,241 @@ int64_t vg_build_poa_batch(
     for (int64_t t = 0; t < n; ++t) {
       int64_t node = topo[t];
       for (int64_t v = node_first[node] + 1; v <= node_last[node]; ++v) {
-        if (np_count[v] >= p_max) return p + 1;
+        if (np_count[v] >= p_max) return s + 1;
         vp[v * p_max + np_count[v]++] = (int32_t)(v - 1);
       }
     }
-    uint8_t* sk = is_sink + p * v_pad;
+    uint8_t* sk = is_sink + s * v_pad;
     for (int64_t node = 0; node < n; ++node)
       if (!has_succ[node]) sk[node_last[node]] = 1;
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Chain -> subgraph extraction (align.rs:267-724; mirrors
+// models/poa_aligner.py find_range_chain + extend_range_chain +
+// find_nodes_edges over the index arrays)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct IndexView {
+  int64_t n;                    // n_nodes
+  const int64_t* node_starts;   // [n+1]
+  const int64_t* edges;         // packed handles
+  const int64_t* edge_idx;      // [n+1]
+  const int64_t* edges_to_node; // [n]
+  const char* seq_fwd;
+  const char* seq_rev;
+  int64_t seq_len;
+
+  int64_t label_len(int64_t id) const {
+    return node_starts[id] - node_starts[id - 1];
+  }
+  // index.rs:559-606 edge slices
+  void incoming(int64_t handle, std::vector<int64_t>& out) const {
+    out.clear();
+    if (handle & 1) {
+      std::vector<int64_t> tmp;
+      outgoing(handle ^ 1, tmp);
+      for (auto it = tmp.rbegin(); it != tmp.rend(); ++it) out.push_back(*it ^ 1);
+      return;
+    }
+    int64_t id = handle >> 1;
+    int64_t lo = edge_idx[id - 1];
+    int64_t etn = edges_to_node[id - 1];
+    for (int64_t e = lo; e < lo + etn; ++e) out.push_back(edges[e]);
+  }
+  void outgoing(int64_t handle, std::vector<int64_t>& out) const {
+    out.clear();
+    if (handle & 1) {
+      std::vector<int64_t> tmp;
+      incoming(handle ^ 1, tmp);
+      for (auto it = tmp.rbegin(); it != tmp.rend(); ++it) out.push_back(*it ^ 1);
+      return;
+    }
+    int64_t id = handle >> 1;
+    int64_t lo = edge_idx[id - 1], hi = edge_idx[id];
+    int64_t etn = edges_to_node[id - 1];
+    for (int64_t e = lo + etn; e < hi; ++e) out.push_back(edges[e]);
+  }
+  // node_id_from_seqpos (index.rs:388-411): searchsorted equivalents
+  int64_t node_id_fwd(int64_t pos) const {  // side='right' over [n+1]
+    const int64_t* lo = node_starts;
+    const int64_t* hi = node_starts + n + 1;
+    return std::upper_bound(lo, hi, pos) - lo;
+  }
+  int64_t node_id_rev(int64_t pos) const {  // side='left' over [:n]
+    const int64_t* lo = node_starts;
+    const int64_t* hi = node_starts + n;
+    return std::lower_bound(lo, hi, seq_len - pos) - lo;
+  }
+};
+
+}  // namespace
+
+// Batch chain -> (handles, node labels, edges) extraction.
+// Chains are concatenated anchor arrays with anchor_off[B+1]; aso/aeo
+// may be null (forward-only production chains, map.rs:62).
+// All outputs are malloc'd; status[p] != 0 marks a failed problem
+// (BFS guard, align-path divergence) for per-problem Python fallback.
+int64_t vg_extract_subgraphs(
+    int64_t n_nodes, const int64_t* node_starts, const int64_t* edges,
+    const int64_t* edge_idx, const int64_t* edges_to_node,
+    const char* seq_fwd, const char* seq_rev, int64_t seq_len,
+    int64_t B, const int64_t* anchor_off, const int64_t* aqb,
+    const int64_t* atb, const int64_t* ate, const int8_t* aso,
+    const int8_t* aeo, const int64_t* qlen, int64_t k,
+    int64_t** out_handle_off, int64_t** out_handles,
+    int64_t** out_label_off, char** out_labels,
+    int64_t** out_edge_off, int64_t** out_edges,
+    uint8_t** out_status) {
+  IndexView ix{n_nodes, node_starts, edges, edge_idx, edges_to_node,
+               seq_fwd, seq_rev, seq_len};
+
+  std::vector<int64_t> handle_off(1, 0), handles_all;
+  std::vector<int64_t> label_off(1, 0);
+  std::string labels_all;
+  std::vector<int64_t> edge_off(1, 0), edges_all;
+  std::vector<uint8_t> status(B, 0);
+
+  std::vector<int64_t> hlist, nbrs;
+  std::vector<std::pair<int64_t, int64_t>> frontier, nxt;
+
+  for (int64_t p = 0; p < B; ++p) {
+    int64_t a0 = anchor_off[p], a1 = anchor_off[p + 1];
+    int64_t na = a1 - a0;
+    hlist.clear();
+
+    // ---- find_range_chain (align.rs:267-402) -------------------------
+    int64_t min_handle = INT64_MAX, max_handle = INT64_MIN;
+    for (int64_t a = a0; a < a1; ++a) {
+      for (int s = 0; s < 2; ++s) {
+        int64_t pos = s == 0 ? atb[a] : ate[a] - 1;
+        int8_t orient = 0;
+        if (s == 0 && aso) orient = aso[a];
+        if (s == 1 && aeo) orient = aeo[a];
+        int64_t id = orient == 0 ? ix.node_id_fwd(pos) : ix.node_id_rev(pos);
+        int64_t h = (id << 1) | (orient != 0 ? 1 : 0);
+        min_handle = std::min(min_handle, h);
+        max_handle = std::max(max_handle, h);
+      }
+    }
+    int64_t lo = min_handle >> 1, hi = max_handle >> 1;
+    bool min_rev = min_handle & 1, max_rev = max_handle & 1;
+    int orient_kind;  // 0 fwd, 1 rev, 2 both
+    if (!min_rev && !max_rev) {
+      orient_kind = 0;
+      for (int64_t i = lo; i <= hi; ++i) hlist.push_back(i << 1);
+    } else if (min_rev && max_rev) {
+      orient_kind = 1;
+      for (int64_t i = lo; i <= hi; ++i) hlist.push_back((i << 1) | 1);
+    } else {
+      orient_kind = 2;
+      for (int64_t i = lo; i <= hi; ++i) {
+        hlist.push_back(i << 1);
+        hlist.push_back((i << 1) | 1);
+      }
+    }
+    if (hlist.empty() && min_handle == max_handle) hlist.push_back(min_handle);
+    int64_t first_handle = hlist.front(), last_handle = hlist.back();
+
+    // ---- extend_range_chain (align.rs:523-665) ------------------------
+    // u64 wrapping reproduced (reference release-build wrap semantics)
+    uint64_t prefix_diff = (uint64_t)aqb[a0];
+    uint64_t start_on_node =
+        (uint64_t)atb[a0] - (uint64_t)node_starts[(first_handle >> 1) - 1];
+    if (start_on_node < prefix_diff) prefix_diff -= start_on_node;
+    else prefix_diff = 0;
+
+    bool failed = false;
+    auto bfs = [&](uint64_t diff, int64_t seed_handle, bool incoming_dir) {
+      frontier.clear();
+      if (incoming_dir) ix.incoming(seed_handle, nbrs);
+      else ix.outgoing(seed_handle, nbrs);
+      for (int64_t h : nbrs) frontier.emplace_back((int64_t)diff, h);
+      int guard = 0;
+      while (!frontier.empty()) {
+        if (++guard > 10000) { failed = true; return; }
+        nxt.clear();
+        for (auto& fr : frontier) {
+          int64_t remaining = fr.first, h = fr.second;
+          hlist.push_back(h);
+          int64_t sl = ix.label_len(h >> 1);
+          if (sl < remaining) {
+            int64_t rem = remaining - sl;
+            if (incoming_dir) ix.incoming(h, nbrs); else ix.outgoing(h, nbrs);
+            for (int64_t nb : nbrs) nxt.emplace_back(rem, nb);
+          }
+        }
+        frontier.swap(nxt);
+      }
+    };
+    if (prefix_diff > 0) bfs(prefix_diff, first_handle, true);
+
+    uint64_t suffix_diff = (uint64_t)(qlen[p] - (aqb[a1 - 1] + k));
+    // get_bv_select(id+1) - 1 - (ate[-1]-1), u64-wrapped
+    uint64_t end_on_node = (uint64_t)node_starts[(last_handle >> 1)] - 1 -
+                           ((uint64_t)ate[a1 - 1] - 1);
+    if (end_on_node > suffix_diff) suffix_diff = 0;
+    else suffix_diff -= end_on_node;
+    if (!failed && suffix_diff > 0) bfs(suffix_diff, last_handle, false);
+
+    if (failed) {
+      status[p] = 1;
+      handle_off.push_back((int64_t)handles_all.size());
+      edge_off.push_back((int64_t)edges_all.size() / 2);
+      continue;
+    }
+
+    std::sort(hlist.begin(), hlist.end());
+    hlist.erase(std::unique(hlist.begin(), hlist.end()), hlist.end());
+
+    // ---- find_nodes_edges (align.rs:670-724) --------------------------
+    // labels in handle orientation (index.rs:503-533)
+    for (int64_t h : hlist) {
+      int64_t id = h >> 1;
+      int64_t s = node_starts[id - 1], e = node_starts[id];
+      if (h & 1)
+        labels_all.append(seq_rev + (seq_len - e), (size_t)(e - s));
+      else
+        labels_all.append(seq_fwd + s, (size_t)(e - s));
+      label_off.push_back((int64_t)labels_all.size());
+      handles_all.push_back(h);
+    }
+    // edges: outgoing within range; loop removal by orientation
+    for (size_t i = 0; i < hlist.size(); ++i) {
+      ix.outgoing(hlist[i], nbrs);
+      for (int64_t tgt : nbrs) {
+        auto it = std::lower_bound(hlist.begin(), hlist.end(), tgt);
+        if (it == hlist.end() || *it != tgt) continue;
+        int64_t j = it - hlist.begin();
+        if (orient_kind == 0 && !((int64_t)i < j)) continue;
+        if (orient_kind == 1 && !(j < (int64_t)i)) continue;
+        edges_all.push_back((int64_t)i);
+        edges_all.push_back(j);
+      }
+    }
+    handle_off.push_back((int64_t)handles_all.size());
+    edge_off.push_back((int64_t)edges_all.size() / 2);
+  }
+
+  auto alloc64 = [](const std::vector<int64_t>& v) {
+    int64_t* p = (int64_t*)std::malloc(sizeof(int64_t) * std::max<size_t>(v.size(), 1));
+    std::memcpy(p, v.data(), sizeof(int64_t) * v.size());
+    return p;
+  };
+  *out_handle_off = alloc64(handle_off);
+  *out_handles = alloc64(handles_all);
+  *out_label_off = alloc64(label_off);
+  *out_labels = (char*)std::malloc(std::max<size_t>(labels_all.size(), 1));
+  std::memcpy(*out_labels, labels_all.data(), labels_all.size());
+  *out_edge_off = alloc64(edge_off);
+  *out_edges = alloc64(edges_all);
+  *out_status = (uint8_t*)std::malloc(std::max<int64_t>(B, 1));
+  std::memcpy(*out_status, status.data(), (size_t)B);
+  return (int64_t)labels_all.size();
 }
 
 // ---------------------------------------------------------------------------

@@ -395,12 +395,20 @@ def _run_kernel(vcodes, vpred, is_sink, nv, q_pad, nq, v_pad, l_pad):
 def _align_bucket_native(node_edge_probs, qs, v_pad: int, l_pad: int):
     """Native-runtime bucket path: C++ problem prep + tape decode around
     the device kernel.  Returns None if a problem exceeds the pads."""
-    from ..native import build_poa_batch_native, finish_tapes_native
-    from .poa import PoaResult
+    from ..native import build_poa_batch_native
 
     built = build_poa_batch_native(node_edge_probs, v_pad, P_MAX)
     if built is None:
         return None
+    return kernel_and_finish(built, qs, v_pad, l_pad)
+
+
+def kernel_and_finish(built, qs, v_pad: int, l_pad: int):
+    """Run the device POA kernel over prebuilt problem arrays and decode
+    the tapes natively into PoaResults."""
+    from ..native import finish_tapes_native
+    from .poa import PoaResult
+
     vcodes, vpred, is_sink, nv, node_of, off_in = built
     n_real = len(qs)
     # pad the batch dim so executables cache across batches
