@@ -29,7 +29,7 @@ abPOA defaults); every value is exactly representable.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, NamedTuple, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -93,12 +93,12 @@ def prepare_problem(bg: BaseGraph, qcodes: np.ndarray, v_pad: int, l_pad: int) -
 
 
 @partial(jax.jit, static_argnames=("v_steps",))
-def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
-    """One batch of global POA problems.
+def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
+    """The DP section of one batch of global POA problems (XLA path).
 
     vcodes [B,V] int8, vpred [B,V,P], is_sink [B,V], nv [B], q [B,L] int8,
     nq [B], init_row [L+1] f32 (leading-insertion costs).
-    Returns (score [B], ops [B,T] int8, vids [B,T] int32, tlen [B]).
+    Returns (score [B] f32, best_sink [B] i32, tbits [B,V,L+1] i32).
     """
     B, V = vcodes.shape
     L = q.shape[1]
@@ -241,15 +241,29 @@ def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
         )
         best_sink = jnp.argmax(sink_scores)
         best_score = sink_scores[best_sink]
+        return best_score, best_sink.astype(jnp.int32), tbits
 
-        # ---- device traceback --------------------------------------------
-        # A fixed-length scan emitting (op, vid) per step: carrying only
-        # the tiny walk state and emitting the tape as scan outputs keeps
-        # every buffer aliasable (a while_loop scattering into carried
-        # [T] tapes forces XLA to copy the tapes every iteration, which
-        # dominated the whole kernel).  Finished walks emit OP_END.
-        T = V + L + 2
+    return jax.vmap(one)(vcodes, vpred, is_sink, nv, q, nq)
 
+
+@jax.jit
+def traceback_batch(tbits, vpred, best_sink, nq):
+    """Device traceback over the packed decision bits.
+
+    A fixed-length scan emitting (op, vid) per step: carrying only the
+    tiny walk state and emitting the tape as scan outputs keeps every
+    buffer aliasable (a while_loop scattering into carried [T] tapes
+    forces XLA to copy the tapes every iteration, which dominated the
+    whole kernel).  Finished walks emit OP_END.
+
+    tbits [B,V,C] i32 (C >= nq+1), vpred [B,V,P] i32, best_sink [B] i32,
+    nq [B] i32.  Returns (ops [B,T] i8, vids [B,T] i32, tlen [B] i32)
+    with T = V + C + 1.
+    """
+    B, V, C = tbits.shape
+    T = V + C + 1
+
+    def one(tbits, vpred_b, best_sink_b, nq_b):
         def tb_step(state, _):
             v, j, st = state
             done = (v == -2) & (j == 0)
@@ -307,12 +321,64 @@ def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
             st2 = jnp.where(done, st, st2)
             return (v2, j2, st2), (op, vid)
 
-        init = (best_sink.astype(jnp.int32), nq_b.astype(jnp.int32), jnp.int32(0))
+        init = (best_sink_b.astype(jnp.int32), nq_b.astype(jnp.int32), jnp.int32(0))
         _, (ops, vids) = jax.lax.scan(tb_step, init, None, length=T, unroll=4)
         t_f = jnp.sum(ops != OP_END).astype(jnp.int32)
-        return best_score, ops, vids, t_f
+        return ops, vids, t_f
 
-    return jax.vmap(one)(vcodes, vpred, is_sink, nv, q, nq)
+    return jax.vmap(one)(tbits, vpred, best_sink, nq)
+
+
+def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps,
+                      use_pallas: Optional[bool] = None):
+    """One batch of global POA problems: DP + traceback.
+
+    Returns (score [B], ops [B,T] int8, vids [B,T] int32, tlen [B]).
+    The DP runs as a Pallas TPU kernel (VMEM-resident state) on TPU
+    backends, falling back to the XLA scan elsewhere; both produce
+    identical traceback bits (tests/test_poa_pallas.py).
+    """
+    if use_pallas is None:
+        # The Pallas DP (ops/poa_pallas.py) keeps state VMEM-resident but
+        # pays Mosaic's serial per-vertex loop overhead; measured at
+        # 0.6-0.8x the XLA scan on v5e for HLA-scale problems, so XLA is
+        # the default.  Opt in with VGALIGNER_POA_PALLAS=1 (TPU only).
+        import os
+
+        use_pallas = (
+            os.environ.get("VGALIGNER_POA_PALLAS") == "1"
+            and jax.default_backend() != "cpu"
+        )
+    vpred = jnp.asarray(vpred)
+    if use_pallas:
+        B, V = vcodes.shape
+        L = q.shape[1]
+        l_w = ((L + 1 + 127) // 128) * 128
+        # VMEM budget: 3 scratch planes of (V+8) x l_w f32 plus the
+        # double-buffered tbits out block; beyond ~14MB fall back to XLA
+        if (5 * V + 24) * l_w * 4 > 14 * (1 << 20):
+            use_pallas = False
+    if use_pallas:
+        from .poa_pallas import poa_dp_pallas
+        pad = l_w - L
+        q_w = jnp.pad(jnp.asarray(q), ((0, 0), (0, pad)), constant_values=4)
+        init_w = jnp.pad(jnp.asarray(init_row), (0, pad - 1), constant_values=NEGF)
+        # the kernel is pure int32/f32; trace it with x64 off — under
+        # x64, stray i64 scalars hit a recursive Mosaic convert lowering.
+        # Device arrays keep their dtypes across the flag scope, so no
+        # host round-trip is needed.
+        with jax.enable_x64(False):
+            score, best_sink, tbits = poa_dp_pallas(
+                jnp.asarray(vcodes), vpred, jnp.asarray(is_sink),
+                jnp.asarray(nv), q_w, jnp.asarray(nq), init_w, V, l_w,
+                interpret=jax.default_backend() == "cpu",
+            )
+    else:
+        score, best_sink, tbits = poa_dp_xla(
+            vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps
+        )
+    ops, vids, tlen = traceback_batch(tbits, vpred, best_sink, jnp.asarray(nq))
+    return score, ops, vids, tlen
 
 
 def _next_pow2(x: int) -> int:
