@@ -177,6 +177,32 @@ def chain_scores(
     )
 
 
+def _gap_cost_f32(gap, seed_length: int):
+    """Analytic f32 scaled gap cost for fast mode: 10*k*g + 500*log2(g).
+
+    A table gather here costs ~10x the rest of the DP on TPU; the f32
+    log2 differs from the f64 table by <=1 ulp, which can flip a
+    rounding tie in rare cases — fast mode's documented tolerance.  Both
+    the XLA and Pallas fast paths use this same computation, so they
+    remain mutually bit-identical.
+    """
+    gap_f = gap.astype(jnp.float32)
+    cost = np.float32(10 * seed_length) * gap_f + 500.0 * jnp.log2(
+        jnp.maximum(gap_f, 1.0)
+    )
+    return jnp.where(gap == 0, np.float32(0), cost)
+
+
+def _use_pallas_chain() -> bool:
+    import os
+
+    if os.environ.get("VGALIGNER_CHAIN_PALLAS") == "0":
+        return False
+    return jax.default_backend() != "cpu" or (
+        os.environ.get("VGALIGNER_CHAIN_PALLAS") == "1"
+    )
+
+
 def _chain_scores_fast(qb, tb, te, valid, gap_table, seed_length, bandwidth):
     """f32 scaled-integer variant of the DP (see chain_scores docstring)."""
     NEG32 = jnp.float32(-3.0e38)
@@ -189,6 +215,31 @@ def _chain_scores_fast(qb, tb, te, valid, gap_table, seed_length, bandwidth):
     tb_s = jnp.take_along_axis(tb, order, axis=1).astype(jnp.int32)
     te_s = jnp.take_along_axis(te, order, axis=1).astype(jnp.int32)
     valid_s = jnp.take_along_axis(valid, order, axis=1)
+
+    B, A = qb_s.shape
+    if _use_pallas_chain() and A <= 2048:
+        from .chain_pallas import chain_dp_pallas
+
+        b_pad = ((B + 127) // 128) * 128
+        a_pad = ((A + 63) // 64) * 64  # anchor-chunk granularity (CH)
+
+        def padba(x, fill):
+            return jnp.pad(
+                x, ((0, b_pad - B), (0, a_pad - A)), constant_values=fill
+            )
+
+        with jax.enable_x64(False):  # kernel is pure i32/f32
+            f, pred, curr_max = chain_dp_pallas(
+                padba(qb_s.astype(jnp.int32), 0), padba(tb_s, 0),
+                padba(te_s, 0), padba(valid_s, False), gap_1000,
+                seed_length, bandwidth,
+                interpret=jax.default_backend() == "cpu",
+            )
+        return ChainScores(
+            order=order, qb=qb_s, tb=tb_s.astype(jnp.int64),
+            te=te_s.astype(jnp.int64), valid=valid_s,
+            f=f[:B, :A], pred=pred[:B, :A], curr_max=curr_max[:B],
+        )
 
     k_f = jnp.float32(seed_length * 1000)
     qe_s = qb_s + seed_length
@@ -219,7 +270,7 @@ def _chain_scores_fast(qb, tb, te, valid, gap_table, seed_length, bandwidth):
             tl = jnp.minimum(jnp.abs(tb_i - tb_j), jnp.abs(te_i - te_j))
             gap = jnp.abs(ql - tl)
             bad = bad | (gap > max_gap)
-            gcost = gap_1000[jnp.clip(gap, 0, max_gap)]
+            gcost = _gap_cost_f32(gap, seed_length)
             mlen = (jnp.minimum(jnp.minimum(ql, tl), seed_length) * 1000).astype(jnp.float32)
 
             y = f_j + mlen - gcost
