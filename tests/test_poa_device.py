@@ -117,3 +117,29 @@ def test_device_matches_host_long_gaps(seed):
     device = align_global_batch(problems)
     for prob, res_d in zip(problems, device):
         _assert_same(res_d, align_global_host(*prob))
+
+
+def test_local_batch_matches_host():
+    """Device local no-gap kernel (rspoa engine) vs the scalar oracle."""
+    from vgaligner_tpu.ops.poa import align_local_no_gap_host
+    from vgaligner_tpu.ops.poa_device import align_local_batch
+
+    rng = np.random.default_rng(11)
+    problems = [
+        (DIAMOND_NODES, DIAMOND_EDGES, "ACTGCA"),
+        (DIAMOND_NODES, DIAMOND_EDGES, "TTACTGCATT"),  # local: soft ends
+        (["ACT", "GGGG", "CA"], [(0, 1), (1, 2)], "CCGGGGCC"),
+        (["ACGTACGT"], [], "ACGT"),
+    ]
+    for _ in range(6):
+        nodes, edges = _random_dag(rng, int(rng.integers(2, 10)))
+        q = _random_query_from_path(rng, nodes, edges, mutate=0.2)
+        problems.append((nodes, edges, q))
+    for prob, res_d in zip(problems, align_local_batch(problems)):
+        res_h = align_local_no_gap_host(*prob)
+        assert res_d.best_score == res_h.best_score, prob
+        assert res_d.cigar == res_h.cigar
+        assert res_d.cs == res_h.cs
+        assert res_d.node_path == res_h.node_path
+        assert res_d.query_start == res_h.query_start
+        assert res_d.query_end == res_h.query_end

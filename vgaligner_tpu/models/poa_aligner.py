@@ -230,15 +230,12 @@ class PoaAligner:
     def best_alignments_for_queries(
         self, per_read_chains: List[List[Chain]], align_best_n: int = 1
     ) -> List[GAFAlignment]:
-        """Batched --also-align: all chain subgraphs extracted host-side,
-        then aligned in ONE device POA batch (the abPOA engine; rspoa
-        falls back to per-chain host alignment).  Per read, the longest
-        path_length wins (align.rs:52-54)."""
+        """Batched --also-align: all chain subgraphs extracted (natively
+        when built), then aligned in ONE device POA batch — global
+        convex-gap for the abPOA engine, local no-gap for rspoa.  Per
+        read, the longest path_length wins (align.rs:52-54)."""
         if self.engine != PoaEngine.ABPOA:
-            return [
-                self.best_alignment_for_query(chains, align_best_n)
-                for chains in per_read_chains
-            ]
+            return self._best_alignments_rspoa(per_read_chains, align_best_n)
 
         from ..native import available as _native_ok
 
@@ -283,6 +280,45 @@ class PoaAligner:
             for (qi, chain, rng), res in zip(owners, results):
                 per_read.setdefault(qi, []).append(
                     GAFAlignment.from_abpoa_result(res, chain, rng.handles)
+                )
+
+        out: List[GAFAlignment] = []
+        for qi in range(len(per_read_chains)):
+            alns = per_read.get(qi, [])
+            alns.sort(
+                key=lambda a: -1 if a.path_length is None else a.path_length,
+                reverse=True,
+            )
+            out.append(alns[0])
+        return out
+
+    def _best_alignments_rspoa(
+        self, per_read_chains: List[List[Chain]], align_best_n: int
+    ) -> List[GAFAlignment]:
+        """rspoa engine: batched local no-gap device alignment."""
+        from ..ops.poa_device import align_local_batch
+
+        problems = []
+        owners: List[Tuple[int, Chain, OrientedGraphRange]] = []
+        per_read: dict = {}
+        for qi, chains in enumerate(per_read_chains):
+            for chain in chains[: min(align_best_n, len(chains))]:
+                if chain.is_placeholder:
+                    per_read.setdefault(qi, []).append(
+                        GAFAlignment.from_placeholder_chain(chain)
+                    )
+                    continue
+                rng = extend_range_chain(
+                    self.index, chain, find_range_chain(self.index, chain)
+                )
+                nodes, edges = find_nodes_edges(self.index, rng)
+                problems.append((nodes, edges, chain.query.seq))
+                owners.append((qi, chain, rng))
+
+        if problems:
+            for (qi, chain, rng), res in zip(owners, align_local_batch(problems)):
+                per_read.setdefault(qi, []).append(
+                    GAFAlignment.from_rspoa_result(res, chain, rng.handles)
                 )
 
         out: List[GAFAlignment] = []

@@ -388,6 +388,173 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+# ---------------------------------------------------------------------------
+# Local gapless POA (rspoa align_local_no_gap, align.rs:160-164)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("v_steps",))
+def poa_local_kernel(vcodes, vpred, nv, q, nq, v_steps):
+    """Batched local gapless POA DP + traceback.
+
+    Mirrors ops/poa.py align_local_no_gap_host exactly: zero-floored
+    match/mismatch DP over the base DAG, strict-improvement source
+    updates in predecessor-list order, best cell = earliest (v, j) in
+    scan order.  Returns (best [B] f32, ops [B,T] i8, vids [B,T] i32,
+    tlen [B] i32, qend [B] i32) with T = L + 1.
+    """
+    B, V = vcodes.shape
+    L = q.shape[1]
+
+    def one(vcodes_b, vpred_b, nv_b, q_b, nq_b):
+        H = jnp.zeros((V + 1, L + 1), dtype=jnp.float32)  # row V: virtual 0s
+        cells = jnp.zeros((V, L + 1), dtype=jnp.int32)  # slot | pos<<4
+        p_iota = jnp.arange(P_MAX, dtype=jnp.int32)[:, None]
+
+        def step(carry, v):
+            H, cells, best, bv, bj = carry
+            preds = vpred_b[v]
+            idx = jnp.where(preds >= 0, preds, V)
+            Hp = H[idx]  # [P, L+1]; dead slots read the virtual 0 row
+            live = preds[:, None] >= 0
+            cand = jnp.concatenate(
+                [jnp.zeros((P_MAX, 1), jnp.float32), Hp[:, :-1]], axis=1
+            )
+            cand = jnp.where(live, cand, 0.0)
+            m_best = jnp.maximum(jnp.max(cand, axis=0), 0.0)
+            # first live slot achieving the max, only when max > 0
+            slot = jnp.min(
+                jnp.where((cand == m_best[None, :]) & live, p_iota, P_MAX),
+                axis=0,
+            ).astype(jnp.int32)
+            slot = jnp.where(m_best > 0.0, slot, jnp.int32(_VIRT_SLOT))
+            slot = jnp.where(slot >= P_MAX, jnp.int32(_VIRT_SLOT), slot)
+
+            sub = jnp.where(
+                q_b == vcodes_b[v], np.float32(MATCH), np.float32(MISMATCH)
+            )
+            sub = jnp.where(
+                (q_b >= 4) | (vcodes_b[v] >= 4), np.float32(MISMATCH), sub
+            )
+            row = jnp.concatenate(
+                [
+                    jnp.zeros((1,), jnp.float32),
+                    jnp.maximum(m_best[1:] + sub, 0.0),
+                ]
+            )
+            bits = slot | ((row > 0.0).astype(jnp.int32) << 4)
+
+            m = jnp.max(row)
+            jstar = jnp.argmax(row).astype(jnp.int32)  # first max
+            in_range = v < nv_b
+            better = (m > best) & in_range
+            best = jnp.where(better, m, best)
+            bv = jnp.where(better, v, bv)
+            bj = jnp.where(better, jstar, bj)
+
+            H = H.at[v].set(jnp.where(in_range, row, 0.0))
+            cells = cells.at[v].set(bits)
+            return (H, cells, best, bv, bj), None
+
+        init = (H, cells, jnp.float32(0), jnp.int32(0), jnp.int32(0))
+        (H, cells, best, bv, bj), _ = jax.lax.scan(
+            step, init, jnp.arange(v_steps, dtype=jnp.int32), unroll=4
+        )
+
+        # traceback: matches only, until the zero floor (or j == 0)
+        T = L + 1
+
+        def tb_step(state, _):
+            v, j = state
+            alive = (v >= 0) & (j > 0)
+            vc = jnp.maximum(v, 0)
+            bits = cells[vc, j]
+            alive = alive & ((bits >> 4) > 0)
+            op = jnp.where(alive, jnp.int8(OP_M), jnp.int8(OP_END))
+            vid = jnp.where(alive, v, jnp.int32(-1))
+            slot = bits & 15
+            nxt = jnp.where(
+                slot == _VIRT_SLOT, jnp.int32(-2),
+                vpred_b[vc][jnp.minimum(slot, P_MAX - 1)],
+            )
+            v2 = jnp.where(alive, nxt, v)
+            j2 = jnp.where(alive, j - 1, j)
+            return (v2, j2), (op, vid)
+
+        _, (ops, vids) = jax.lax.scan(
+            tb_step, (bv, bj), None, length=T, unroll=4
+        )
+        t_f = jnp.sum(ops != OP_END).astype(jnp.int32)
+        return best, ops, vids, t_f, bj
+
+    return jax.vmap(one)(vcodes, vpred, nv, q, nq)
+
+
+def align_local_batch(
+    problems: Sequence[Tuple[Sequence[str], Sequence[Tuple[int, int]], str]],
+):
+    """Batched local no-gap alignment (rspoa engine) on device.
+
+    Same bucketing/problem prep as align_global_batch; results equal
+    align_local_no_gap_host per problem (tests/test_poa_device.py).
+    """
+    from ..utils.dna import encode_seq as _enc
+
+    qs_all = [_enc(q) for _, _, q in problems]
+    bgs_all = [build_base_graph(n, e) for n, e, _ in problems]
+    buckets: dict = {}
+    for i, (bg, q) in enumerate(zip(bgs_all, qs_all)):
+        key = (
+            _next_pow2(max(len(bg.codes), 256)),
+            _next_pow2(max(len(q), 128)),
+        )
+        buckets.setdefault(key, []).append(i)
+
+    out = [None] * len(problems)
+    for (v_pad, l_pad), idxs in sorted(buckets.items()):
+        for i, res in zip(idxs, _align_local_bucket(
+            [bgs_all[i] for i in idxs], [qs_all[i] for i in idxs], v_pad, l_pad
+        )):
+            out[i] = res
+    return out
+
+
+def _align_local_bucket(bgs, qs, v_pad: int, l_pad: int):
+    from .poa import _finish_result
+
+    probs = [prepare_problem(bg, q, v_pad, l_pad) for bg, q in zip(bgs, qs)]
+    b_pad = _next_pow2(max(len(probs), 4))
+    while len(probs) < b_pad:
+        probs.append(probs[0])
+
+    best, ops, vids, tlens, qends = jax.device_get(
+        poa_local_kernel(
+            jnp.asarray(np.stack([p.vcodes for p in probs])),
+            jnp.asarray(np.stack([p.vpred for p in probs])),
+            jnp.asarray(np.asarray([p.nv for p in probs], dtype=np.int32)),
+            jnp.asarray(np.stack([p.q for p in probs])),
+            jnp.asarray(np.asarray([p.nq for p in probs], dtype=np.int32)),
+            v_pad,
+        )
+    )
+
+    results = []
+    for i, (bg, q) in enumerate(zip(bgs, qs)):
+        t = int(tlens[i])
+        qe = int(qends[i])
+        qs_ = qe - t
+        tape_ops = ops[i][:t][::-1]
+        tape_vids = vids[i][:t][::-1]
+        triples = []
+        qpos = qs_
+        for op, v in zip(tape_ops, tape_vids):
+            kind = "M" if v >= 0 and q[qpos] == bg.codes[v] else "X"
+            triples.append((kind, int(v), qpos))
+            qpos += 1
+        results.append(_finish_result(bg, q, triples, int(best[i]), qs_, qe))
+    return results
+
+
 def align_global_batch(
     problems: Sequence[Tuple[Sequence[str], Sequence[Tuple[int, int]], str]],
 ):
