@@ -84,3 +84,21 @@ def test_map_query_is_graph_path():
     best = chains[0]
     assert best.anchors[0].qb == 0
     assert best.anchors[-1].qe == len(seq)
+
+
+def test_long_reads_over_8kb():
+    """Query positions are gathered device-side, so read length is
+    unbounded (the old packed transfer capped reads at 8 kb)."""
+    from vgaligner_tpu.io.fastx import QuerySequence
+
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    # synthesize a long read by tiling the linearization's first path-run
+    base = index.seq_fwd[:40]
+    long_read = (base * 300)[:10000]
+    assert len(long_read) == 10000
+    mapper = Mapper(index, chain_min_n_anchors=2)
+    chains = mapper.map_reads(
+        [QuerySequence.from_name_and_string("long", long_read)]
+    )
+    assert len(chains) == 1  # must not raise; chains may be placeholder

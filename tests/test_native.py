@@ -209,3 +209,65 @@ for a in aligner.best_alignments_for_queries(chains):
     assert r2.returncode == 0, r2.stderr.decode()[-2000:]
     assert r1.stdout == r2.stdout
     assert len(r1.stdout.splitlines()) > 10
+
+
+def test_count_anchors_matches_python(monkeypatch):
+    from vgaligner_tpu.graph import graph_from_gfa
+    from vgaligner_tpu.index import Index
+    from vgaligner_tpu.models.mapper import Mapper
+
+    g = graph_from_gfa(TEST_GFA)
+    index = Index.build(g, 11, 100, 100)
+    lin = index.seq_fwd
+    seqs = [lin[i : i + 40] for i in range(0, 40, 3)] + ["NNNNNNNNNNNN", "ACGT"]
+    m = Mapper(index)
+    native_totals = m._anchor_totals(seqs)
+    monkeypatch.setenv("VGALIGNER_NO_NATIVE", "1")
+    py_totals = m._anchor_totals(seqs)
+    np.testing.assert_array_equal(native_totals, py_totals)
+
+
+def test_backtrack_matches_python():
+    from vgaligner_tpu.native import backtrack_native
+
+    rng = np.random.default_rng(5)
+    B, A = 16, 64
+    pred = np.full((B, A), -1, np.int32)
+    starts = np.zeros((B, A), np.uint8)
+    for b in range(B):
+        # random forests of chains
+        for i in range(1, A):
+            if rng.random() < 0.7:
+                pred[b, i] = rng.integers(max(0, i - 10), i)
+        for i in range(A):
+            if rng.random() < 0.3 and pred[b, i] != -1:
+                starts[b, i] = 1
+    n_valid = rng.integers(A // 2, A + 1, B).astype(np.int32)
+
+    # python reference (Mapper._backtrack_positions semantics)
+    def py_backtrack(pred_b, starts_b, n, min_anchors):
+        pred_b = pred_b.copy()
+        chains = []
+        for i in np.nonzero(starts_b[:n])[0][::-1]:
+            if pred_b[i] != -1:
+                pos = []
+                cur = int(i)
+                while pred_b[cur] != -1:
+                    p = int(pred_b[cur])
+                    pred_b[cur] = -1
+                    pos.append(cur)
+                    cur = p
+                pos.append(cur)
+                if len(pos) >= min_anchors:
+                    pos.reverse()
+                    chains.append(pos)
+        return chains
+
+    read_off, chain_off, positions = backtrack_native(pred, starts, n_valid, 3)
+    for b in range(B):
+        expected = py_backtrack(pred[b], starts[b], int(n_valid[b]), 3)
+        got = [
+            positions[chain_off[c] : chain_off[c + 1]].tolist()
+            for c in range(read_off[b], read_off[b + 1])
+        ]
+        assert got == expected, b

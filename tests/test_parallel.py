@@ -52,7 +52,7 @@ def test_graft_entry_single():
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
-    packed, counts, tb, te = jax.jit(fn)(*args)
+    packed, counts, qb, tb, te = jax.jit(fn)(*args)
     assert packed.ndim == 2
     assert counts.shape[1] == 2
-    assert tb.shape == te.shape == packed.shape
+    assert qb.shape == tb.shape == te.shape == packed.shape

@@ -188,16 +188,15 @@ class Mapper:
         latency and low bandwidth, so the host-bound payload is a single
         int32 channel per anchor plus per-read counts:
 
-          packed[B, A] int32: (pred+1) | is_start<<17 | query_begin<<18
+          packed[B, A] int32: (pred+1) | is_start<<17
           counts[B, 2] int32: (n_valid, n_anchors_total)
 
         is_start encodes the reference's chain-start test
         (pred.is_some() && f == curr_max, chain.rs:469) evaluated on
-        device.  Target coordinates (tb, te) are returned device-resident
-        and gathered later only for the few anchors that end up in chains.
-        The bit layout bounds pred to 2^17 (max_anchors_cap) and query
-        positions to 2^13 — long-read (>8 kb) batches need the striped
-        long-read path (future work, SURVEY §5 sequence-parallel analog).
+        device.  Anchor coordinates (qb, tb, te) are returned
+        device-resident and gathered later only for the few anchors that
+        end up in chains, so read length is unbounded (pred is capped at
+        2^17 = max_anchors_cap).
         """
         import jax.numpy as jnp
 
@@ -212,11 +211,7 @@ class Mapper:
             & (scores.pred != -1)
             & (scores.f == scores.curr_max[:, None])
         )
-        packed = (
-            (scores.pred + 1)
-            | (is_start.astype(jnp.int32) << 17)
-            | (scores.qb.astype(jnp.int32) << 18)
-        )
+        packed = (scores.pred + 1) | (is_start.astype(jnp.int32) << 17)
         counts = jnp.stack(
             [
                 jnp.sum(scores.valid, axis=1).astype(jnp.int32),
@@ -224,14 +219,16 @@ class Mapper:
             ],
             axis=1,
         )
-        return packed, counts, scores.tb, scores.te
+        return packed, counts, scores.qb, scores.tb, scores.te
 
     @staticmethod
     @jax.jit
-    def _gather_coords(tb, te, bi, pi):
+    def _gather_coords(qb, tb, te, bi, pi):
         import jax.numpy as jnp
 
-        return jnp.stack([tb[bi, pi], te[bi, pi]]).astype(jnp.int64)
+        return jnp.stack(
+            [qb[bi, pi].astype(jnp.int64), tb[bi, pi], te[bi, pi]]
+        ).astype(jnp.int64)
 
     # ---- public API ----------------------------------------------------
 
@@ -242,6 +239,15 @@ class Mapper:
         bucket reads by anchor capacity so one repetitive read does not
         inflate the scan length and transfer size of the entire batch.
         """
+        from ..native import available as _native_ok
+
+        if _native_ok():
+            from ..native import count_anchors_native
+
+            return count_anchors_native(
+                seqs, self.index.kmer_codes, self.index.fo_counts,
+                self.index.kmer_length,
+            )
         k = self.index.kmer_length
         l_pad = max(max(len(s) for s in seqs), k)
         codes, lens = encode_reads_host(seqs, l_pad)
@@ -328,15 +334,9 @@ class Mapper:
         else:
             codes_d, lens_d = jnp.asarray(codes), jnp.asarray(lens)
 
-        if l_pad > 8191:
-            raise NotImplementedError(
-                "reads longer than 8 kb need the striped long-read path "
-                "(query positions are packed into 13 bits for transfer)"
-            )
-
         gap_table = jnp.asarray(self._gap_table)
         with self.timer.phase("device_map"):
-            packed_d, counts_d, tb_d, te_d = self._device_map(
+            packed_d, counts_d, qb_d, tb_d, te_d = self._device_map(
                 codes_d, lens_d, self.dindex,
                 gap_table, k, a_max, self.bandwidth, self.precision,
             )
@@ -345,17 +345,33 @@ class Mapper:
 
         pred = (packed & ((1 << 17) - 1)) - 1
         starts = (packed >> 17) & 1
-        qb = packed >> 18
 
         # pointer walks, visiting only chain-start anchors
         with self.timer.phase("backtrack"):
-            per_read_chains: List[List[List[int]]] = []
-            for b in range(len(mappable)):
-                per_read_chains.append(
-                    self._backtrack_positions(pred[b], starts[b], int(counts[b, 0]))
-                )
+            from ..native import available as _native_ok
 
-        return mappable, per_read_chains, qb, tb_d, te_d
+            per_read_chains: List[List[List[int]]] = []
+            if _native_ok():
+                from ..native import backtrack_native
+
+                read_off, chain_off, positions = backtrack_native(
+                    pred[: len(mappable)], starts[: len(mappable)].astype(np.uint8),
+                    counts[: len(mappable), 0], self.chain_min_n_anchors,
+                )
+                for b in range(len(mappable)):
+                    chains_b = []
+                    for c in range(read_off[b], read_off[b + 1]):
+                        chains_b.append(
+                            positions[chain_off[c] : chain_off[c + 1]].tolist()
+                        )
+                    per_read_chains.append(chains_b)
+            else:
+                for b in range(len(mappable)):
+                    per_read_chains.append(
+                        self._backtrack_positions(pred[b], starts[b], int(counts[b, 0]))
+                    )
+
+        return mappable, per_read_chains, qb_d, tb_d, te_d
 
     def _finalize_chains(self, queries, pending, out) -> None:
         """Gather chain-member coordinates for ALL buckets in one
@@ -366,7 +382,7 @@ class Mapper:
         k = self.index.kmer_length
         gathers = []
         with self.timer.phase("chain_gather"):
-            for mappable, per_read_chains, qb, tb_d, te_d in pending:
+            for mappable, per_read_chains, qb_d, tb_d, te_d in pending:
                 bidx: List[int] = []
                 pidx: List[int] = []
                 for b, read_chains in enumerate(per_read_chains):
@@ -380,7 +396,9 @@ class Mapper:
                     bi[: len(bidx)] = bidx
                     pi[: len(pidx)] = pidx
                     gathers.append(
-                        self._gather_coords(tb_d, te_d, jnp.asarray(bi), jnp.asarray(pi))
+                        self._gather_coords(
+                            qb_d, tb_d, te_d, jnp.asarray(bi), jnp.asarray(pi)
+                        )
                     )
                 else:
                     gathers.append(None)
@@ -388,20 +406,19 @@ class Mapper:
         coords = iter(fetched)
 
         with self.timer.phase("emit"):
-            for gi, (mappable, per_read_chains, qb, _, _) in enumerate(pending):
+            for gi, (mappable, per_read_chains, _, _, _) in enumerate(pending):
                 if gathers[gi] is not None:
                     sel = next(coords)
-                    sel_tb, sel_te = sel[0], sel[1]
+                    sel_qb, sel_tb, sel_te = sel[0], sel[1], sel[2]
                 flat = 0
                 for b, qi in enumerate(mappable):
                     chains: List[Chain] = []
                     for chain in per_read_chains[b]:
                         n = len(chain)
-                        pos = np.asarray(chain, dtype=np.int64)
                         chains.append(
                             Chain(
                                 query=queries[qi],
-                                aqb=qb[b, pos].astype(np.int64),
+                                aqb=sel_qb[flat : flat + n],
                                 atb=sel_tb[flat : flat + n],
                                 ate=sel_te[flat : flat + n],
                                 k=k,

@@ -106,6 +106,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _i32p,
         ]
         lib.vg_finish_tapes.restype = ctypes.c_int64
+        lib.vg_count_anchors.argtypes = [
+            ctypes.c_int64, _charp, _i64p, ctypes.c_int32, _i64p, _i64p,
+            ctypes.c_int64, _i64p,
+        ]
+        lib.vg_count_anchors.restype = ctypes.c_int64
+        lib.vg_backtrack.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, _i32p, _u8p, _i32p,
+            ctypes.c_int64,
+            ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
+            ctypes.POINTER(_i32p),
+        ]
+        lib.vg_backtrack.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -262,6 +274,59 @@ def build_poa_batch_native(problems, v_pad: int, p_max: int):
 
 def vcodes_u8(a: np.ndarray):
     return a.ctypes.data_as(_u8p)
+
+
+def count_anchors_native(seqs, kmer_codes: np.ndarray,
+                         fo_counts: np.ndarray, k: int) -> np.ndarray:
+    """Exact forward-only anchor totals per read (Mapper._anchor_totals)."""
+    lib = get_lib()
+    assert lib is not None
+    n = len(seqs)
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        seq_off[i + 1] = seq_off[i] + len(s)
+    blob = "".join(seqs).encode("ascii")
+    codes_c = np.ascontiguousarray(kmer_codes, dtype=np.int64)
+    counts_c = np.ascontiguousarray(fo_counts, dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    lib.vg_count_anchors(
+        n, blob, _p64(seq_off), k, _p64(codes_c), _p64(counts_c),
+        len(codes_c), _p64(out),
+    )
+    return out
+
+
+def backtrack_native(pred: np.ndarray, starts: np.ndarray,
+                     n_valid: np.ndarray, min_anchors: int):
+    """Chain backtracking for a batch (Mapper._backtrack_positions).
+
+    pred [B, A] int32 is consumed (predecessors are nulled in place on a
+    copy).  Returns (read_off [B+1], chain_off [n_chains+1],
+    positions int32 flat) — per read, chains chain_off[read_off[b]] ..
+    chain_off[read_off[b+1]], each an ascending position slice.
+    """
+    lib = get_lib()
+    assert lib is not None
+    B, A = pred.shape
+    pred_c = np.ascontiguousarray(pred, dtype=np.int32).copy()
+    starts_c = np.ascontiguousarray(starts, dtype=np.uint8)
+    nv_c = np.ascontiguousarray(n_valid, dtype=np.int32)
+    oro, oco = _i64p(), _i64p()
+    opos = _i32p()
+    n_chains = lib.vg_backtrack(
+        B, A, _p32(pred_c), starts_c.ctypes.data_as(_u8p), _p32(nv_c),
+        min_anchors, ctypes.byref(oro), ctypes.byref(oco), ctypes.byref(opos),
+    )
+    try:
+        read_off = np.ctypeslib.as_array(oro, shape=(B + 1,)).copy()
+        chain_off = np.ctypeslib.as_array(oco, shape=(n_chains + 1,)).copy()
+        n_pos = int(chain_off[-1]) if n_chains else 0
+        positions = np.ctypeslib.as_array(opos, shape=(max(n_pos, 1),))[:n_pos].copy()
+    finally:
+        lib.vg_free(oro)
+        lib.vg_free(oco)
+        lib.vg_free(opos)
+    return read_off, chain_off, positions
 
 
 def extract_subgraphs_native(index, anchor_off: np.ndarray, aqb: np.ndarray,

@@ -838,4 +838,93 @@ int64_t vg_finish_tapes(
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Read-side helpers for the mapping pipeline (models/mapper.py)
+// ---------------------------------------------------------------------------
+
+// Exact anchor totals per read: window k-mer codes + binary search over
+// the sorted code table, summing forward-only position counts.
+// Mirrors Mapper._anchor_totals.
+int64_t vg_count_anchors(
+    int64_t n_reads, const char* seqs, const int64_t* seq_off,
+    int32_t k, const int64_t* kmer_codes, const int64_t* fo_counts,
+    int64_t n_kmers, int64_t* out_totals) {
+  for (int64_t rix = 0; rix < n_reads; ++rix) {
+    const char* s = seqs + seq_off[rix];
+    int64_t len = seq_off[rix + 1] - seq_off[rix];
+    int64_t total = 0;
+    if (len >= k) {
+      uint64_t code = 0;
+      const uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+      int32_t run = 0;  // valid-base run length
+      for (int64_t i = 0; i < len; ++i) {
+        int8_t c = base_code(s[i]);
+        if (c >= 4) {
+          run = 0;
+          code = 0;
+          continue;
+        }
+        code = ((code << 2) | (uint64_t)c) & mask;
+        if (++run >= k) {
+          const int64_t* lo = kmer_codes;
+          const int64_t* hi = kmer_codes + n_kmers;
+          const int64_t* it = std::lower_bound(lo, hi, (int64_t)code);
+          if (it != hi && *it == (int64_t)code) total += fo_counts[it - lo];
+        }
+      }
+    }
+    out_totals[rix] = total;
+  }
+  return 0;
+}
+
+// Chain backtracking over sorted anchor positions (chain.rs:464-557;
+// mirrors Mapper._backtrack_positions).  For each read: visit chain
+// starts in descending position order, walk predecessors nulling them,
+// keep chains of >= min_anchors, positions ascending per chain.
+// Outputs (malloc'd): per-read chain-count, per-chain position counts,
+// and the flat ascending position lists.
+int64_t vg_backtrack(
+    int64_t B, int64_t A, int32_t* pred /* [B*A], mutated */,
+    const uint8_t* starts /* [B*A] */, const int32_t* n_valid /* [B] */,
+    int64_t min_anchors,
+    int64_t** out_read_off /* [B+1], chains per read prefix */,
+    int64_t** out_chain_off /* [n_chains+1], positions prefix */,
+    int32_t** out_positions) {
+  std::vector<int64_t> read_off(1, 0);
+  std::vector<int64_t> chain_off(1, 0);
+  std::vector<int32_t> positions;
+  std::vector<int32_t> walk;
+  for (int64_t b = 0; b < B; ++b) {
+    int32_t* pr = pred + b * A;
+    const uint8_t* st = starts + b * A;
+    int64_t n = n_valid[b];
+    for (int64_t i = n - 1; i >= 0; --i) {
+      if (!st[i] || pr[i] == -1) continue;
+      walk.clear();
+      int32_t cur = (int32_t)i;
+      while (pr[cur] != -1) {
+        int32_t p = pr[cur];
+        pr[cur] = -1;
+        walk.push_back(cur);
+        cur = p;
+      }
+      walk.push_back(cur);
+      if ((int64_t)walk.size() >= min_anchors) {
+        positions.insert(positions.end(), walk.rbegin(), walk.rend());
+        chain_off.push_back((int64_t)positions.size());
+      }
+    }
+    read_off.push_back((int64_t)chain_off.size() - 1);
+  }
+  *out_read_off = (int64_t*)std::malloc(sizeof(int64_t) * read_off.size());
+  std::memcpy(*out_read_off, read_off.data(), sizeof(int64_t) * read_off.size());
+  *out_chain_off = (int64_t*)std::malloc(sizeof(int64_t) * chain_off.size());
+  std::memcpy(*out_chain_off, chain_off.data(), sizeof(int64_t) * chain_off.size());
+  *out_positions = (int32_t*)std::malloc(
+      sizeof(int32_t) * std::max<size_t>(positions.size(), 1));
+  std::memcpy(*out_positions, positions.data(), sizeof(int32_t) * positions.size());
+  return (int64_t)(chain_off.size() - 1);
+}
+
 }  // extern "C"
