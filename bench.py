@@ -31,6 +31,7 @@ READ_LEN = 100
 N_READS = 4096
 N_BATCHES = 2
 HOST_BASELINE_READS = 24
+N_ALIGN = 4096
 
 
 def sample_reads(graph, n, read_len, seed=77):
@@ -92,7 +93,7 @@ def main():
     from vgaligner_tpu.models.poa_aligner import PoaAligner, PoaEngine
 
     aligner = PoaAligner(index, PoaEngine.ABPOA)
-    n_align = min(len(queries), 1024)
+    n_align = min(len(queries), N_ALIGN)
     chains_sub = chains[:n_align]
     aligner.best_alignments_for_queries(chains_sub)  # warm-up/compile
 

@@ -85,3 +85,40 @@ def test_edges_iter_reverse(simple_graph):
     h1r = handle_pack(1, True)
     assert simple_graph.right_neighbors(h1r) == []
     assert simple_graph.left_neighbors(h1r) == [handle_pack(2, True), handle_pack(3, True)]
+
+
+def test_bfs_linearization_linear_graph():
+    """On a linear id-ordered chain, BFS order equals sorted-handle order
+    (utils.rs:38-76)."""
+    from vgaligner_tpu.graph.linearize import (
+        find_forward_sequence,
+        find_forward_sequence_bfs,
+    )
+
+    g = HashGraph()
+    handles = [g.create_handle(s, i + 1) for i, s in enumerate(["ACT", "G", "TTAC"])]
+    for a, b in zip(handles, handles[1:]):
+        g.create_edge(a, b)
+    fwd, starts, order = find_forward_sequence_bfs(g)
+    lin = find_forward_sequence(g)
+    assert fwd == lin.seq_fwd == "ACTGTTAC"
+    assert list(starts) == list(lin.node_starts)
+    assert list(order) == [1, 2, 3]
+
+
+def test_bfs_linearization_diamond_order():
+    """Diamond: BFS visits both branches before the join (FIFO queue)."""
+    from vgaligner_tpu.graph.linearize import find_forward_sequence_bfs
+
+    g = HashGraph()
+    h1 = g.create_handle("A", 1)
+    h2 = g.create_handle("CT", 2)
+    h3 = g.create_handle("GA", 3)
+    h4 = g.create_handle("GCA", 4)
+    g.create_edge(h1, h2)
+    g.create_edge(h1, h3)
+    g.create_edge(h2, h4)
+    g.create_edge(h3, h4)
+    fwd, starts, order = find_forward_sequence_bfs(g)
+    assert list(order) == [1, 2, 3, 4]
+    assert fwd == "ACTGAGCA"

@@ -154,3 +154,30 @@ def test_index_test_gfa():
         if index.find_positions_for_query_kmer(seq[i : i + k]):
             found += 1
     assert found > 0
+
+
+def test_generate_kmers_linearly_matches_dfs_on_single_path():
+    """On a single-path chain every k-mer is path-covered, so the
+    path-guided generator (kmer.rs:510-728) yields the same sequence
+    multiset as the DFS generator (the reference's disabled equivalence
+    test, index.rs:731-758, restricted to the case where it holds)."""
+    from vgaligner_tpu.graph.handlegraph import HashGraph
+    from vgaligner_tpu.index.kmer_gen import generate_kmers, generate_kmers_linearly
+
+    g = HashGraph()
+    hs = [g.create_handle(s, i + 1) for i, s in enumerate(["ACTG", "TT", "GACA"])]
+    for a, b in zip(hs, hs[1:]):
+        g.create_edge(a, b)
+    pid = g.create_path("p")
+    for h in hs:
+        g.append_step(pid, h)
+
+    dfs = generate_kmers(g, 4, 100, 100)
+    lin = generate_kmers_linearly(g, 4)
+    assert sorted(km.seq for km in lin) == sorted(km.seq for km in dfs)
+    # positions of forward-strand kmers agree too
+    dfs_fwd = {(km.seq, km.first_handle, km.begin_offset)
+               for km in dfs if km.handle_orient}
+    lin_fwd = {(km.seq, km.first_handle, km.begin_offset)
+               for km in lin if km.handle_orient}
+    assert lin_fwd == dfs_fwd

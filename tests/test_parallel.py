@@ -56,3 +56,37 @@ def test_graft_entry_single():
     assert packed.ndim == 2
     assert counts.shape[1] == 2
     assert qb.shape == tb.shape == te.shape == packed.shape
+
+
+def test_host_shard_covers_all_in_order():
+    from vgaligner_tpu.parallel.distributed import host_shard
+
+    for n, pc in [(10, 3), (7, 8), (100, 4), (0, 2)]:
+        seen = []
+        for pi in range(pc):
+            s = host_shard(n, pi, pc)
+            seen.extend(range(n)[s])
+        assert seen == list(range(n)), (n, pc)
+
+
+def test_read_seqs_sharded_and_merge(tmp_path):
+    from vgaligner_tpu.parallel.distributed import (
+        host_shard,
+        merge_gaf_shards,
+        read_seqs_sharded,
+    )
+
+    fa = tmp_path / "reads.fa"
+    fa.write_text("".join(f">r{i}\nACGTACGTAA\n" for i in range(10)))
+    parts = [read_seqs_sharded(str(fa), pi, 3) for pi in range(3)]
+    names = [q.name for p in parts for q in p]
+    assert names == [f"r{i}" for i in range(10)]
+
+    # single-process merge writes in order
+    from vgaligner_tpu.io.gaf import GAFAlignment
+
+    recs = [GAFAlignment(query_name=f"r{i}", query_length=10) for i in range(4)]
+    out = tmp_path / "m.gaf"
+    merged = merge_gaf_shards(recs, str(out), process_index=0, process_count=1)
+    assert len(merged) == 4
+    assert out.read_text().count("\n") == 4

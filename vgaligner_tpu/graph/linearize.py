@@ -61,6 +61,44 @@ class Linearization:
         return int(self.node_starts[-1])
 
 
+def find_forward_sequence_bfs(graph: HashGraph):
+    """Queue-based BFS linearization (utils.rs:38-76, unused in the
+    reference's main path but part of its public surface).
+
+    Starts at min_id, follows right edges of forward handles, visits in
+    FIFO order.  Reference quirks reproduced: the start node is never
+    added to the visited list (a cycle back to it would re-enqueue it),
+    and nodes unreachable from min_id are silently absent.  Returns
+    (forward_str, node_starts, visit_order_ids).
+    """
+    from .handlegraph import handle_pack
+
+    parts: list[str] = []
+    node_starts: list[int] = []
+    order: list[int] = []
+    bv_pos = 0
+    q = [graph.min_id]
+    visited: set[int] = set()
+    while q:
+        nid = q.pop(0)
+        seq = graph.sequence(handle_pack(nid, False))
+        parts.append(seq)
+        node_starts.append(bv_pos)
+        order.append(nid)
+        bv_pos += len(seq)
+        for nb in graph.right_neighbors(handle_pack(nid, False)):
+            nb_id = handle_id(nb)
+            if nb_id not in visited:
+                visited.add(nb_id)
+                q.append(nb_id)
+    node_starts.append(bv_pos)
+    return (
+        "".join(parts),
+        np.asarray(node_starts, dtype=np.int64),
+        np.asarray(order, dtype=np.int64),
+    )
+
+
 def find_forward_sequence(graph: HashGraph) -> Linearization:
     """Linearize the graph following sorted handle order (utils.rs:81-146)."""
     handles = graph.handles()

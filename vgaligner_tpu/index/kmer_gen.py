@@ -219,6 +219,85 @@ def generate_kmers(
     return deduped
 
 
+def generate_kmers_linearly(
+    graph: HashGraph,
+    k: int,
+    edge_max: Optional[int] = None,
+    degree_max: Optional[int] = None,
+) -> List[GraphKmer]:
+    """Path-guided k-mer enumeration (kmer.rs:510-728).
+
+    The reference's alternative generator, disabled in its production
+    build path (index.rs:174-199): walk each embedded path linearly on
+    the forward strand, then each reversed path on the reverse strand,
+    completing k-mers across consecutive path steps; merge, sort by
+    sequence, dedup.  edge_max/degree_max are accepted but unused, as in
+    the reference (the underscore-prefixed params).  Reference quirks
+    reproduced: freshly started reverse-strand k-mers store `begin` in
+    their end_offset (kmer.rs:685), and extension overwrites end_offset
+    with the *added* length (extend_kmer, kmer.rs:80-84).
+    """
+    assert graph.paths, "generate_kmers_linearly requires embedded paths"
+
+    def one_strand(reverse: bool) -> List[GraphKmer]:
+        out: List[GraphKmer] = []
+        for pid in graph.paths_iter():
+            nodes = graph.get_path(pid).nodes
+            handles = [handle_flip(h) for h in reversed(nodes)] if reverse else list(nodes)
+            prev_incomplete: List[GraphKmer] = []
+            for handle in handles:
+                h_rev = handle_is_reverse(handle)
+                handle_seq = graph.sequence(handle)
+                h_len = len(handle_seq)
+                curr_incomplete: List[GraphKmer] = []
+
+                for km in prev_incomplete:  # FIFO completion
+                    end = min(k - len(km.seq), h_len)
+                    km.seq += handle_seq[:end]
+                    km.end_orient = REVERSE if h_rev else FORWARD
+                    km.end_offset = end  # extend_kmer: length added
+                    km.last_handle = handle
+                    if "N" in km.seq:
+                        continue
+                    if len(km.seq) == k:
+                        out.append(km)
+                    else:
+                        curr_incomplete.append(km)
+
+                for i in range(h_len):
+                    end = min(i + k, h_len)
+                    km = GraphKmer(
+                        seq=handle_seq[i:end],
+                        begin_orient=REVERSE if h_rev else FORWARD,
+                        begin_offset=i,
+                        end_orient=REVERSE if h_rev else FORWARD,
+                        # reference quirk: the reverse generator stores
+                        # `begin` as the end offset (kmer.rs:685)
+                        end_offset=i if reverse else end,
+                        first_handle=handle,
+                        last_handle=handle,
+                        handle_orient=not reverse,
+                        forks=0,
+                    )
+                    if "N" in km.seq:
+                        continue
+                    if len(km.seq) == k:
+                        out.append(km)
+                    else:
+                        curr_incomplete.append(km)
+                prev_incomplete = curr_incomplete
+        return out
+
+    kmers = one_strand(False) + one_strand(True)
+    kmers.sort(key=lambda km: km.seq)
+    deduped: List[GraphKmer] = []
+    for km in kmers:
+        if deduped and deduped[-1].key() == km.key():
+            continue
+        deduped.append(km)
+    return deduped
+
+
 def get_seq_pos(
     handle: int, node_starts: np.ndarray, ref_len: int, handle_len: int
 ) -> int:

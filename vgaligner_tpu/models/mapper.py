@@ -171,9 +171,6 @@ class Mapper:
 
             self.dindex = replicate(mesh, self.dindex)
         self._gap_table = make_gap_cost_table(index.kmer_length, max_gap)
-        # sticky anchor capacity: grows on overflow, avoiding a host-side
-        # pre-pass over the batch (the device reports true totals)
-        self._a_max = 256
         from ..utils.timing import PhaseTimer
 
         self.timer = PhaseTimer()
