@@ -269,22 +269,49 @@ class Index:
     # ---- device -------------------------------------------------------
 
     def device(self) -> DeviceIndex:
-        """The replicated device-resident view used by the mapping kernels."""
+        """The replicated device-resident view used by the mapping kernels.
+
+        Arrays are padded to powers of two (codes with int64-max
+        sentinels — never equal to a real <=62-bit code — positions with
+        zeros) so the jitted mapping step's executables are shared
+        across graphs of comparable size instead of recompiling per
+        index."""
         import jax.numpy as jnp
 
+        def p2(n: int) -> int:
+            p = 1
+            while p < n:
+                p <<= 1
+            return p
+
+        nk = max(len(self.kmer_codes), 1)
+        nk_pad = p2(nk)
+        codes = np.full(nk_pad, np.iinfo(np.int64).max, dtype=np.int64)
+        codes[: len(self.kmer_codes)] = self.kmer_codes
+        fo_off = np.zeros(nk_pad, dtype=np.int32)
+        fo_off[: len(self.fo_offsets)] = self.fo_offsets
+        fo_cnt = np.zeros(nk_pad, dtype=np.int32)
+        fo_cnt[: len(self.fo_counts)] = self.fo_counts
+
+        np_pos = max(len(self.fo_positions), 1)
+        np_pad = p2(np_pos)
+        fo_start = np.zeros(np_pad, dtype=np.int64)
+        fo_end = np.zeros(np_pad, dtype=np.int64)
+        if len(self.fo_positions):
+            fo_start[: len(self.fo_positions)] = self.fo_positions[:, 0]
+            fo_end[: len(self.fo_positions)] = self.fo_positions[:, 1]
+
+        nn_pad = p2(len(self.node_starts))
+        starts = np.full(nn_pad, self.seq_length, dtype=np.int64)
+        starts[: len(self.node_starts)] = self.node_starts
+
         return DeviceIndex(
-            kmer_codes=jnp.asarray(self.kmer_codes, dtype=jnp.int64),
-            fo_offsets=jnp.asarray(self.fo_offsets, dtype=jnp.int32),
-            fo_counts=jnp.asarray(self.fo_counts, dtype=jnp.int32),
-            fo_start=jnp.asarray(
-                self.fo_positions[:, 0] if len(self.fo_positions) else np.zeros(1),
-                dtype=jnp.int64,
-            ),
-            fo_end=jnp.asarray(
-                self.fo_positions[:, 1] if len(self.fo_positions) else np.zeros(1),
-                dtype=jnp.int64,
-            ),
-            node_starts=jnp.asarray(self.node_starts, dtype=jnp.int64),
+            kmer_codes=jnp.asarray(codes),
+            fo_offsets=jnp.asarray(fo_off),
+            fo_counts=jnp.asarray(fo_cnt),
+            fo_start=jnp.asarray(fo_start),
+            fo_end=jnp.asarray(fo_end),
+            node_starts=jnp.asarray(starts),
         )
 
     # ---- k-mer queries (host reference path) ---------------------------
