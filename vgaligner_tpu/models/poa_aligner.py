@@ -339,7 +339,7 @@ class PoaAligner:
         import numpy as np
 
         from ..native import build_poa_batch_arrays, extract_subgraphs_native
-        from ..ops.poa_device import P_MAX, _next_pow2, kernel_and_finish
+        from ..ops.poa_device import P_MAX, _next_pow2
         from ..utils.dna import encode_seq
 
         n = len(chains)
@@ -385,6 +385,11 @@ class PoaAligner:
 
         out = [None] * n
         edges_flat = np.ascontiguousarray(edges.reshape(-1), dtype=np.int64)
+        # dispatch every bucket before any host sync: kernels queue on
+        # device back-to-back, then one fetch pass drains them
+        from ..ops.poa_device import kernel_dispatch, kernel_finish
+
+        pending = []
         for (v_pad, l_pad), idxs in sorted(buckets.items()):
             sel = np.asarray(idxs, dtype=np.int64)
             built = build_poa_batch_arrays(
@@ -407,7 +412,11 @@ class PoaAligner:
                     ]
                     out[i] = align_global_host(nodes, prob_edges, chains[i].query.seq)
                 continue
-            for i, res in zip(idxs, kernel_and_finish(built, [qs[i] for i in idxs], v_pad, l_pad)):
+            pending.append(
+                (idxs, kernel_dispatch(built, [qs[i] for i in idxs], v_pad, l_pad))
+            )
+        for idxs, p in pending:
+            for i, res in zip(idxs, kernel_finish(p)):
                 out[i] = res
 
         return [

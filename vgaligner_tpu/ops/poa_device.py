@@ -610,21 +610,6 @@ def align_global_batch(
     return out
 
 
-def _run_kernel(vcodes, vpred, is_sink, nv, q_pad, nq, v_pad, l_pad):
-    init_row = np.empty(l_pad + 1, dtype=np.float32)
-    init_row[0] = 0.0
-    for j in range(1, l_pad + 1):
-        init_row[j] = -gap_cost(j)
-    return jax.device_get(
-        poa_global_kernel(
-            jnp.asarray(vcodes), jnp.asarray(vpred),
-            jnp.asarray(is_sink.astype(bool)), jnp.asarray(nv),
-            jnp.asarray(q_pad), jnp.asarray(nq), jnp.asarray(init_row),
-            v_pad,
-        )
-    )
-
-
 def _align_bucket_native(node_edge_probs, qs, v_pad: int, l_pad: int):
     """Native-runtime bucket path: C++ problem prep + tape decode around
     the device kernel.  Returns None if a problem exceeds the pads."""
@@ -636,12 +621,11 @@ def _align_bucket_native(node_edge_probs, qs, v_pad: int, l_pad: int):
     return kernel_and_finish(built, qs, v_pad, l_pad)
 
 
-def kernel_and_finish(built, qs, v_pad: int, l_pad: int):
-    """Run the device POA kernel over prebuilt problem arrays and decode
-    the tapes natively into PoaResults."""
-    from ..native import finish_tapes_native
-    from .poa import PoaResult
-
+def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
+    """Pad + launch the device POA kernel (async).  Returns the pending
+    state consumed by kernel_finish — split so multiple buckets queue on
+    device back-to-back before any host sync (the link charges ~27 ms
+    per dispatch+sync cycle)."""
     vcodes, vpred, is_sink, nv, node_of, off_in = built
     n_real = len(qs)
     # pad the batch dim so executables cache across batches
@@ -663,9 +647,25 @@ def kernel_and_finish(built, qs, v_pad: int, l_pad: int):
     nq[n_real:] = nq[0]
     q_pad[n_real:] = q_pad[0]
 
-    scores, ops, vids, tlens = _run_kernel(
-        vcodes, vpred, is_sink, nv, q_pad, nq, v_pad, l_pad
+    init_row = np.empty(l_pad + 1, dtype=np.float32)
+    init_row[0] = 0.0
+    for j in range(1, l_pad + 1):
+        init_row[j] = -gap_cost(j)
+    out_d = poa_global_kernel(
+        jnp.asarray(vcodes), jnp.asarray(vpred),
+        jnp.asarray(is_sink.astype(bool)), jnp.asarray(nv),
+        jnp.asarray(q_pad), jnp.asarray(nq), jnp.asarray(init_row), v_pad,
     )
+    return (out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
+
+
+def kernel_finish(pending):
+    """Fetch a dispatched bucket's results and decode the tapes natively."""
+    from ..native import finish_tapes_native
+    from .poa import PoaResult
+
+    out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs = pending
+    scores, ops, vids, tlens = jax.device_get(out_d)
 
     bg_off = np.arange(b_pad + 1, dtype=np.int64) * v_pad
     cigars, css, node_paths, path_vertices, scalars = finish_tapes_native(
@@ -692,6 +692,12 @@ def kernel_and_finish(built, qs, v_pad: int, l_pad: int):
             )
         )
     return results
+
+
+def kernel_and_finish(built, qs, v_pad: int, l_pad: int):
+    """Run the device POA kernel over prebuilt problem arrays and decode
+    the tapes natively into PoaResults."""
+    return kernel_finish(kernel_dispatch(built, qs, v_pad, l_pad))
 
 
 def _align_bucket(bgs, qs, v_pad: int, l_pad: int):
