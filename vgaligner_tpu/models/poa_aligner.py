@@ -387,7 +387,7 @@ class PoaAligner:
         edges_flat = np.ascontiguousarray(edges.reshape(-1), dtype=np.int64)
         # dispatch every bucket before any host sync: kernels queue on
         # device back-to-back, then one fetch pass drains them
-        from ..ops.poa_device import kernel_dispatch, kernel_finish
+        from ..ops.poa_device import kernel_dispatch_chunked, kernel_finish
 
         pending = []
         for (v_pad, l_pad), idxs in sorted(buckets.items()):
@@ -413,10 +413,13 @@ class PoaAligner:
                     out[i] = align_global_host(nodes, prob_edges, chains[i].query.seq)
                 continue
             pending.append(
-                (idxs, kernel_dispatch(built, [qs[i] for i in idxs], v_pad, l_pad))
+                (idxs, kernel_dispatch_chunked(built, [qs[i] for i in idxs], v_pad, l_pad))
             )
-        for idxs, p in pending:
-            for i, res in zip(idxs, kernel_finish(p)):
+        for idxs, ps in pending:
+            res_all = []
+            for p in ps:
+                res_all.extend(kernel_finish(p))
+            for i, res in zip(idxs, res_all):
                 out[i] = res
 
         return [

@@ -621,6 +621,33 @@ def _align_bucket_native(node_edge_probs, qs, v_pad: int, l_pad: int):
     return kernel_and_finish(built, qs, v_pad, l_pad)
 
 
+_B_LADDER = (8, 32, 128, 256)  # batch-dim pads: few executables, shared
+_B_CHUNK = 256  # problems per kernel launch above the ladder
+
+
+def _b_pad_for(n: int) -> int:
+    for b in _B_LADDER:
+        if n <= b:
+            return b
+    return _next_pow2(n)  # unchunked callers above the ladder
+
+
+def kernel_dispatch_chunked(built, qs, v_pad: int, l_pad: int):
+    """Dispatch a bucket as fixed-size chunks (<= _B_CHUNK problems per
+    launch, batch dims drawn from a small ladder) so POA executables are
+    shared across datasets instead of recompiling for every distinct
+    problem count.  Returns a list of pending states for kernel_finish."""
+    vcodes, vpred, is_sink, nv, node_of, off_in = built
+    n = len(qs)
+    pendings = []
+    for s in range(0, n, _B_CHUNK):
+        e = min(s + _B_CHUNK, n)
+        chunk = (vcodes[s:e], vpred[s:e], is_sink[s:e], nv[s:e],
+                 node_of[s:e], off_in[s:e])
+        pendings.append(kernel_dispatch(chunk, qs[s:e], v_pad, l_pad))
+    return pendings
+
+
 def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
     """Pad + launch the device POA kernel (async).  Returns the pending
     state consumed by kernel_finish — split so multiple buckets queue on
@@ -628,8 +655,8 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
     per dispatch+sync cycle)."""
     vcodes, vpred, is_sink, nv, node_of, off_in = built
     n_real = len(qs)
-    # pad the batch dim so executables cache across batches
-    b_pad = _next_pow2(max(n_real, 4))
+    # pad the batch dim to a ladder value so executables are shared
+    b_pad = _b_pad_for(n_real)
     if b_pad != n_real:
         rep = b_pad - n_real
         vcodes = np.concatenate([vcodes, np.repeat(vcodes[:1], rep, 0)])
@@ -697,7 +724,10 @@ def kernel_finish(pending):
 def kernel_and_finish(built, qs, v_pad: int, l_pad: int):
     """Run the device POA kernel over prebuilt problem arrays and decode
     the tapes natively into PoaResults."""
-    return kernel_finish(kernel_dispatch(built, qs, v_pad, l_pad))
+    out: List = []
+    for p in kernel_dispatch_chunked(built, qs, v_pad, l_pad):
+        out.extend(kernel_finish(p))
+    return out
 
 
 def _align_bucket(bgs, qs, v_pad: int, l_pad: int):
