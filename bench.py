@@ -81,13 +81,17 @@ def main():
     device_s = (time.monotonic() - t0) / N_BATCHES
     device_rps = len(queries) / device_s
 
-    # single-threaded host-scalar baseline proxy on a subsample
+    # single-threaded host-scalar baseline proxy on a subsample;
+    # median of per-read times (the mean is noisy under co-tenancy)
     sub = reads[:HOST_BASELINE_READS]
-    t0 = time.monotonic()
+    for s in sub[:4]:
+        map_read_host(index, s)  # warm caches
+    per_read = []
     for s in sub:
+        t0 = time.monotonic()
         map_read_host(index, s)
-    host_s_per_read = (time.monotonic() - t0) / len(sub)
-    host_rps = 1.0 / host_s_per_read
+        per_read.append(time.monotonic() - t0)
+    host_rps = 1.0 / float(np.median(per_read))
 
     # ---- headline: map + --also-align (abPOA engine, device POA) -------
     from vgaligner_tpu.models.poa_aligner import PoaAligner, PoaEngine

@@ -217,7 +217,8 @@ def _chain_scores_fast(qb, tb, te, valid, gap_table, seed_length, bandwidth):
     valid_s = jnp.take_along_axis(valid, order, axis=1)
 
     B, A = qb_s.shape
-    if _use_pallas_chain() and A <= 2048:
+    # cap: the kernel's f scratch is (A+64) x 128 f32 (~8.4 MB at 16k)
+    if _use_pallas_chain() and A <= 16384:
         from .chain_pallas import chain_dp_pallas
 
         b_pad = ((B + 127) // 128) * 128
