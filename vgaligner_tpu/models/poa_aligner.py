@@ -249,7 +249,7 @@ class PoaAligner:
                 selected.append((qi, chain))
 
         per_read: dict = {qi: [a] for qi, a in placeholders.items()}
-        if selected and _native_ok() and not self.export_subgraphs:
+        if selected and _native_ok():
             for (qi, chain), (res, handles) in zip(
                 selected, self._align_chains_native([c for _, c in selected])
             ):
@@ -372,6 +372,30 @@ class PoaAligner:
                 self.index, chains[bad], find_range_chain(self.index, chains[bad])
             )
             raise RuntimeError("native extraction failed but Python path succeeded")
+
+        if self.export_subgraphs and self.graph is not None:
+            # the reference exports every chain's subgraph unconditionally
+            # (map.rs:164 passes true; align.rs:104-120)
+            from ..io.validate import create_subgraph_gfa, export_gfa
+
+            for i, chain in enumerate(chains):
+                nodes = [
+                    labels[label_off[j] : label_off[j + 1]].decode("ascii")
+                    for j in range(handle_off[i], handle_off[i + 1])
+                ]
+                prob_edges = [
+                    (int(a), int(b)) for a, b in edges[edge_off[i] : edge_off[i + 1]]
+                ]
+                rng = OrientedGraphRange(
+                    orient=RangeOrient.FORWARD,
+                    handles=handles[handle_off[i] : handle_off[i + 1]].tolist(),
+                )
+                export_gfa(
+                    create_subgraph_gfa(
+                        nodes, prob_edges, get_subgraph_paths(self.graph, rng)
+                    ),
+                    f"{chain.query.name}-subgraph-{chain.n_anchors}.gfa",
+                )
 
         qs = [encode_seq(c.query.seq) for c in chains]
         v_per = label_off[handle_off[1:]] - label_off[handle_off[:-1]]
