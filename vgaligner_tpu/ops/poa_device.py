@@ -19,8 +19,11 @@ scoring and tie-breaks):
     two shifted prefix-maxes replace the serial L-step loop (the
     "anti-diagonal" trick of SURVEY §5 folded into closed form);
   * per-cell traceback decisions are packed into one int32 and the
-    traceback itself runs on device as a vmapped while_loop, so only the
-    compact op tape crosses the host link.
+    traceback itself runs on device as a fixed-length scan emitting the
+    op tape (traceback_batch), so only the compact tape crosses the
+    host link;
+  * the DP also exists as a Pallas kernel with VMEM-resident state
+    (ops/poa_pallas.py, opt-in — see poa_global_kernel).
 
 Scores are int32-valued f32 (match 2 / mismatch -4 / gaps 4,2 + 24,1 —
 abPOA defaults); every value is exactly representable.
