@@ -204,6 +204,11 @@ class PoaEngine(Enum):
     RSPOA = "rspoa"
 
 
+# subgraphs above this base-vertex count run on the host oracle instead
+# of compiling a one-off device executable for an outlier shape
+_V_DEVICE_CAP = 8192
+
+
 class PoaAligner:
     """Base-level aligner over chain-implied subgraphs (align.rs:34-228)."""
 
@@ -400,7 +405,14 @@ class PoaAligner:
         qs = [encode_seq(c.query.seq) for c in chains]
         v_per = label_off[handle_off[1:]] - label_off[handle_off[:-1]]
         buckets: dict = {}
+        oversize: List[int] = []
         for i in range(n):
+            if int(v_per[i]) > _V_DEVICE_CAP:
+                # rare huge subgraphs (e.g. smoothed graphs with long
+                # merged nodes): the host oracle beats compiling a
+                # one-off multi-minute executable for an outlier shape
+                oversize.append(i)
+                continue
             key = (
                 _next_pow2(max(int(v_per[i]), 256)),
                 _next_pow2(max(len(qs[i]), 128)),
@@ -439,6 +451,19 @@ class PoaAligner:
             pending.append(
                 (idxs, kernel_dispatch_chunked(built, [qs[i] for i in idxs], v_pad, l_pad))
             )
+        if oversize:
+            from ..ops.poa import align_global_host
+
+            for i in oversize:
+                nodes = [
+                    labels[label_off[j] : label_off[j + 1]].decode("ascii")
+                    for j in range(handle_off[i], handle_off[i + 1])
+                ]
+                prob_edges = [
+                    (int(a), int(b)) for a, b in edges[edge_off[i] : edge_off[i + 1]]
+                ]
+                out[i] = align_global_host(nodes, prob_edges, chains[i].query.seq)
+
         for idxs, ps in pending:
             res_all = []
             for p in ps:

@@ -574,13 +574,18 @@ def align_global_batch(
 
     qs_all = [_enc(q) for _, _, q in problems]
 
+    from .poa import align_global_host
+
     if _native_ok():
         vs = [sum(len(s) for s in nodes) for nodes, _, _ in problems]
         buckets: dict = {}
+        out = [None] * len(problems)
         for i, (v, q) in enumerate(zip(vs, qs_all)):
+            if v > 8192:  # outlier shapes: host oracle beats a one-off compile
+                out[i] = align_global_host(*problems[i])
+                continue
             key = (_next_pow2(max(v, 256)), _next_pow2(max(len(q), 128)))
             buckets.setdefault(key, []).append(i)
-        out = [None] * len(problems)
         for (v_pad, l_pad), idxs in sorted(buckets.items()):
             res = _align_bucket_native(
                 [(problems[i][0], problems[i][1]) for i in idxs],
