@@ -94,7 +94,12 @@ def find_range_chain(index: Index, chain: Chain) -> OrientedGraphRange:
 
 def _bfs_extend(index: Index, seeds: List[Tuple[int, int]], incoming: bool) -> List[int]:
     """Walk left (incoming) or right (outgoing), collecting every visited
-    handle until the remaining length is covered (align.rs:551-656)."""
+    handle until the remaining length is covered (align.rs:551-656).
+
+    The frontier is deduped per level keeping the max remaining budget:
+    a handle reached with budget r covers a superset of any smaller
+    budget, and callers only consume the collected handle SET — the
+    reference's naive walk is exponential in bubbly regions."""
     collected: List[int] = []
     frontier = seeds
     guard = 0
@@ -102,9 +107,16 @@ def _bfs_extend(index: Index, seeds: List[Tuple[int, int]], incoming: bool) -> L
         guard += 1
         if guard > 10_000:  # the reference has no cycle guard; we fail loud
             raise RuntimeError("range extension did not converge (cyclic region?)")
+        best: dict = {}
+        for remaining, handle in frontier:
+            if best.get(handle, -1) < remaining:
+                best[handle] = remaining
         nxt: List[Tuple[int, int]] = []
         for remaining, handle in frontier:
             collected.append(handle)
+            if best.get(handle) != remaining:
+                continue
+            best[handle] = None  # expand each handle once per level
             seq_len = len(index.seq_from_handle(handle))
             if seq_len < remaining:
                 rem = remaining - seq_len

@@ -30,6 +30,7 @@
 #include <cstring>
 #include <deque>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -615,17 +616,31 @@ int64_t vg_extract_subgraphs(
 
     bool failed = false;
     auto bfs = [&](uint64_t diff, int64_t seed_handle, bool incoming_dir) {
+      // Frontier entries are deduped per level keeping the MAX remaining
+      // budget: a handle reached with budget r collects a superset of
+      // what any smaller budget collects, and only the final handle SET
+      // matters (it is sorted+deduped below) — without this the walk is
+      // exponential in bubbly regions (path multiplicity).
       frontier.clear();
       if (incoming_dir) ix.incoming(seed_handle, nbrs);
       else ix.outgoing(seed_handle, nbrs);
       for (int64_t h : nbrs) frontier.emplace_back((int64_t)diff, h);
+      std::unordered_map<int64_t, int64_t> best;
       int guard = 0;
       while (!frontier.empty()) {
         if (++guard > 10000) { failed = true; return; }
+        best.clear();
+        for (auto& fr : frontier) {
+          auto it = best.find(fr.second);
+          if (it == best.end() || it->second < fr.first) best[fr.second] = fr.first;
+          else if (it != best.end()) continue;
+        }
         nxt.clear();
         for (auto& fr : frontier) {
           int64_t remaining = fr.first, h = fr.second;
           hlist.push_back(h);
+          if (best[h] != remaining) continue;  // a larger budget covers this
+          best[h] = INT64_MIN;                 // expand each handle once
           int64_t sl = ix.label_len(h >> 1);
           if (sl < remaining) {
             int64_t rem = remaining - sl;
