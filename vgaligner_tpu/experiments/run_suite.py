@@ -47,13 +47,25 @@ class DatasetReport:
     map_align_rps: float
 
 
-def simulate_reads(graph, n: int, read_len: int, seed: int = 77):
+def simulate_reads(graph, n: int, read_len: int, seed: int = 77,
+                   orient: str = "forward"):
     """Path-window read sampler (vg sim analog, Snakefile:25-32).
 
-    Returns (reads, truth) where truth maps read name -> signed node ids
-    covered by the sampled window (forward-path sampling, all positive).
+    Returns (reads, truth) where truth maps read name -> SIGNED node ids
+    (gafcompare convention: negative for reverse steps) covered by the
+    sampled window.
+
+    orient:
+      * "as-path" — emit the window exactly as the path spells it (the
+        vg-sim protocol; paths stepping reverse handles yield
+        reverse-strand reads, which the production forward-only anchor
+        path — a reference-parity behavior, map.rs:62 — cannot map);
+      * "forward" (default) — windows lying entirely on reverse steps
+        are emitted reverse-complemented with the truth flipped, so
+        every read is forward-strand w.r.t. the linearization: this
+        measures the pipeline on its designed input.
     """
-    from ..graph.handlegraph import handle_id
+    from ..graph.handlegraph import handle_id, handle_is_reverse
 
     rng = np.random.default_rng(seed)
     all_paths = []
@@ -68,6 +80,8 @@ def simulate_reads(graph, n: int, read_len: int, seed: int = 77):
     read_len = min(read_len, longest)  # clamp for short-path graphs
     paths = [p for p in all_paths if len(p[1]) >= read_len]
 
+    from ..utils.dna import reverse_complement
+
     reads: List[Tuple[str, str]] = []
     truth: Dict[str, List[int]] = {}
     for i in range(n):
@@ -75,10 +89,21 @@ def simulate_reads(graph, n: int, read_len: int, seed: int = 77):
         start = int(rng.integers(0, max(len(seq) - read_len, 1)))
         end = start + read_len
         name = f"r{i}"
-        reads.append((name, seq[start:end]))
+        window = seq[start:end]
         lo = int(np.searchsorted(starts, start, side="right")) - 1
         hi = int(np.searchsorted(starts, end, side="left"))
-        truth[name] = [handle_id(h) for h in nodes[lo:hi]]
+        steps = nodes[lo:hi]
+        ids = [
+            -handle_id(h) if handle_is_reverse(h) else handle_id(h)
+            for h in steps
+        ]
+        if orient == "forward" and steps and all(
+            handle_is_reverse(h) for h in steps
+        ):
+            window = reverse_complement(window)
+            ids = [-x for x in reversed(ids)]
+        reads.append((name, window))
+        truth[name] = ids
     return reads, truth
 
 
@@ -90,6 +115,7 @@ def run_dataset(
     k: int,
     precision: str,
     poa_engine: str = "abpoa",
+    sim_orient: str = "forward",
 ) -> DatasetReport:
     from ..graph import graph_from_gfa
     from ..index import Index
@@ -103,7 +129,7 @@ def run_dataset(
     index = Index.build(graph, k, 100, 100)
     index_build_s = time.monotonic() - t0
 
-    reads, truth = simulate_reads(graph, n_reads, read_len)
+    reads, truth = simulate_reads(graph, n_reads, read_len, orient=sim_orient)
     queries = [QuerySequence.from_name_and_string(n, s) for n, s in reads]
 
     mapper = Mapper(index, chain_min_n_anchors=3, precision=precision)
@@ -160,6 +186,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--read-len", type=int, default=100)
     ap.add_argument("-k", "--kmer-length", type=int, default=11)
     ap.add_argument("--precision", default="fast", choices=("fast", "exact"))
+    ap.add_argument("--sim-orient", default="forward",
+                    choices=("forward", "as-path"),
+                    help="read orientation model (as-path = strict vg-sim protocol)")
     ap.add_argument("--poa", default="abpoa", choices=("abpoa", "rspoa"))
     ap.add_argument("--out", default=None, help="write JSON report here")
     args = ap.parse_args(argv)
@@ -180,7 +209,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     for name, gfa in datasets:
         try:
             r = run_dataset(gfa, name, args.n_reads, args.read_len,
-                            args.kmer_length, args.precision, args.poa)
+                            args.kmer_length, args.precision, args.poa,
+                            args.sim_orient)
         except Exception as exc:  # keep going like snakemake -k
             print(f"{name:<22} FAILED: {exc}")
             continue
