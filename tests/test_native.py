@@ -271,3 +271,42 @@ def test_backtrack_matches_python():
             for c in range(read_off[b], read_off[b + 1])
         ]
         assert got == expected, b
+
+
+def test_poa_global_host_native_matches_oracle():
+    """The native host POA (used for oversized subgraphs) must be
+    bit-identical to the Python oracle, including tie rules."""
+    from vgaligner_tpu.native import poa_global_host_native
+    from vgaligner_tpu.ops.poa import align_global_host
+
+    rng = np.random.default_rng(21)
+    problems = [
+        (["A", "CT", "GA", "GCA"], [(0, 1), (0, 2), (1, 3), (2, 3)], "ACTGCA"),
+        (["ACTGACTG"], [], "ACTGCTG"),
+        # wide fan-in beyond the device P_MAX
+        (
+            ["A"] + ["C", "G", "T", "AC", "GT", "CA", "TG", "AT", "CG"] + ["TTT"],
+            [(0, i) for i in range(1, 10)] + [(i, 10) for i in range(1, 10)],
+            "ACGTTT",
+        ),
+    ]
+    for _ in range(6):
+        n = int(rng.integers(3, 12))
+        nodes = ["".join("ACGT"[c] for c in rng.integers(0, 4, int(rng.integers(1, 9)))) for _ in range(n)]
+        edges = []
+        for b in range(1, n):
+            for a in rng.choice(b, size=min(b, int(rng.integers(1, 4))), replace=False):
+                edges.append((int(a), b))
+        q = "".join("ACGT"[c] for c in rng.integers(0, 4, int(rng.integers(5, 40))))
+        problems.append((nodes, edges, q))
+    for prob in problems:
+        rn = poa_global_host_native(*prob)
+        rh = align_global_host(*prob)
+        assert rn.best_score == rh.best_score, prob
+        assert rn.cigar == rh.cigar, prob
+        assert rn.cs == rh.cs, prob
+        assert rn.node_path == rh.node_path, prob
+        assert rn.path_vertices == rh.path_vertices, prob
+        assert rn.aln_start_offset == rh.aln_start_offset
+        assert rn.aln_end_offset == rh.aln_end_offset
+        assert rn.residue_matches == rh.residue_matches

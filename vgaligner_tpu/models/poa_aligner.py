@@ -464,7 +464,7 @@ class PoaAligner:
                 (idxs, kernel_dispatch_chunked(built, [qs[i] for i in idxs], v_pad, l_pad))
             )
         if oversize:
-            from ..ops.poa import align_global_host
+            from ..native import poa_global_host_native
 
             for i in oversize:
                 nodes = [
@@ -474,7 +474,7 @@ class PoaAligner:
                 prob_edges = [
                     (int(a), int(b)) for a, b in edges[edge_off[i] : edge_off[i + 1]]
                 ]
-                out[i] = align_global_host(nodes, prob_edges, chains[i].query.seq)
+                out[i] = poa_global_host_native(nodes, prob_edges, chains[i].query.seq)
 
         for idxs, ps in pending:
             res_all = []

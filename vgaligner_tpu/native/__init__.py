@@ -118,6 +118,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(_i32p),
         ]
         lib.vg_backtrack.restype = ctypes.c_int64
+        lib.vg_poa_global_host.argtypes = [
+            _charp, _i64p, ctypes.c_int64, _i64p, ctypes.c_int64,
+            _i8p, ctypes.c_int64,
+            ctypes.POINTER(_i8p), ctypes.POINTER(_i32p), _i64p,
+            ctypes.POINTER(_i8p), ctypes.POINTER(_i32p), ctypes.POINTER(_i32p),
+            _i64p,
+        ]
+        lib.vg_poa_global_host.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -327,6 +335,78 @@ def backtrack_native(pred: np.ndarray, starts: np.ndarray,
         lib.vg_free(oco)
         lib.vg_free(opos)
     return read_off, chain_off, positions
+
+
+def poa_global_host_native(nodes, edges, query: str):
+    """Native global POA over one (possibly huge) subgraph.
+
+    Bit-identical to ops/poa.py align_global_host; used for problems too
+    large for the batched device kernel.  Returns a PoaResult.
+    """
+    lib = get_lib()
+    assert lib is not None
+    from ..ops.poa import PoaResult
+    from ..utils.dna import encode_seq
+
+    n = len(nodes)
+    label_off = np.zeros(n + 1, dtype=np.int64)
+    for i, s in enumerate(nodes):
+        label_off[i + 1] = label_off[i] + len(s)
+    labels_b = "".join(nodes).encode("ascii")
+    edges_flat = np.zeros(max(len(edges), 1) * 2, dtype=np.int64)
+    for i, (a, b) in enumerate(edges):
+        edges_flat[2 * i] = a
+        edges_flat[2 * i + 1] = b
+    qc = np.ascontiguousarray(encode_seq(query), dtype=np.int8)
+    L = len(qc)
+
+    o_ops, o_vids = _i8p(), _i32p()
+    o_t = ctypes.c_int64(0)
+    o_vc, o_no, o_oi = _i8p(), _i32p(), _i32p()
+    o_v = ctypes.c_int64(0)
+    best = lib.vg_poa_global_host(
+        labels_b, _p64(label_off), n, _p64(edges_flat), len(edges),
+        _p8(qc), L,
+        ctypes.byref(o_ops), ctypes.byref(o_vids), ctypes.byref(o_t),
+        ctypes.byref(o_vc), ctypes.byref(o_no), ctypes.byref(o_oi),
+        ctypes.byref(o_v),
+    )
+    try:
+        t = int(o_t.value)
+        V = int(o_v.value)
+        ops = np.ctypeslib.as_array(o_ops, shape=(max(t, 1),))[:t].copy()
+        vids = np.ctypeslib.as_array(o_vids, shape=(max(t, 1),))[:t].copy()
+        vcodes = np.ctypeslib.as_array(o_vc, shape=(max(V, 1),))[:V].copy()
+        node_of = np.ctypeslib.as_array(o_no, shape=(max(V, 1),))[:V].copy()
+        off_in = np.ctypeslib.as_array(o_oi, shape=(max(V, 1),))[:V].copy()
+    finally:
+        for p in (o_ops, o_vids, o_vc, o_no, o_oi):
+            lib.vg_free(p)
+
+    # decode the tape with the shared finisher (batch of one)
+    T = max(t, 1)
+    bg_off = np.asarray([0, V], dtype=np.int64)
+    cigars, css, node_paths, path_vertices, scalars = finish_tapes_native(
+        ops.reshape(1, T) if t else np.full((1, 1), 3, np.int8),
+        vids.reshape(1, T) if t else np.zeros((1, 1), np.int32),
+        np.asarray([t], dtype=np.int32), bg_off,
+        vcodes, node_of, off_in, qc.reshape(1, L) if L else np.zeros((1, 1), np.int8),
+    )
+    return PoaResult(
+        cigar=cigars[0],
+        cs=css[0],
+        path_vertices=path_vertices[0],
+        node_path=node_paths[0],
+        aln_start_offset=int(scalars[0, 2]),
+        aln_end_offset=int(scalars[0, 3]),
+        n_aligned=int(scalars[0, 0]),
+        best_score=int(best),
+        query_start=0,
+        query_end=L,
+        path_start_offset=int(scalars[0, 4]),
+        path_end_offset=int(scalars[0, 5]),
+        residue_matches=int(scalars[0, 1]),
+    )
 
 
 def extract_subgraphs_native(index, anchor_off: np.ndarray, aqb: np.ndarray,

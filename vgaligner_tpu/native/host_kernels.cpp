@@ -854,6 +854,257 @@ int64_t vg_finish_tapes(
 }
 
 // ---------------------------------------------------------------------------
+// Host global-POA for oversized problems (ops/poa.py align_global_host
+// semantics, bit-for-bit): reference-faithful chain ranges occasionally
+// span huge unrelated nodes (e.g. a 52 kb N-node inside the id range),
+// yielding 100k-vertex DPs where a one-off device executable or the
+// numpy oracle are both far too slow.
+// ---------------------------------------------------------------------------
+
+namespace {
+constexpr int64_t kNeg = -1000000000ll;  // ops/poa.py NEG
+constexpr int kMatch = 2, kMismatch = -4;
+constexpr int kO1 = 4, kE1 = 2, kO2 = 24, kE2 = 1;
+}  // namespace
+
+// One problem: labels/label_off (n+1) + edges -> topo expansion happens
+// here (FIFO Kahn, cycle fallback, same as vg_build_poa_batch) with CSR
+// predecessors (unbounded fan-in).  Outputs the walk-order op tape
+// (OP_M/I/D as in the device kernel) plus the base-graph arrays needed
+// by vg_finish_tapes.  All malloc'd; returns the best score.
+int64_t vg_poa_global_host(
+    const char* labels, const int64_t* label_off, int64_t n_nodes,
+    const int64_t* edges, int64_t n_edges, const int8_t* q, int64_t L,
+    int8_t** out_ops, int32_t** out_vids, int64_t* out_t,
+    int8_t** out_vcodes, int32_t** out_node_of, int32_t** out_off_in,
+    int64_t* out_V) {
+  // ---- topological order (mirror ops/poa.py build_base_graph) ----------
+  std::vector<int64_t> out_head(n_nodes, -1), out_next(std::max<int64_t>(n_edges, 1)),
+      out_dst(std::max<int64_t>(n_edges, 1));
+  std::vector<int64_t> indeg(n_nodes, 0);
+  for (int64_t e = n_edges - 1; e >= 0; --e) {
+    int64_t a = edges[2 * e], b = edges[2 * e + 1];
+    out_dst[e] = b;
+    out_next[e] = out_head[a];
+    out_head[a] = e;
+    indeg[b] += 1;
+  }
+  std::deque<int64_t> ready;
+  std::vector<int64_t> topo;
+  std::vector<uint8_t> seen(n_nodes, 0);
+  for (int64_t v = 0; v < n_nodes; ++v)
+    if (indeg[v] == 0) ready.push_back(v);
+  while (!ready.empty()) {
+    int64_t cur = ready.front();
+    ready.pop_front();
+    topo.push_back(cur);
+    seen[cur] = 1;
+    for (int64_t s = out_head[cur]; s != -1; s = out_next[s])
+      if (--indeg[out_dst[s]] == 0) ready.push_back(out_dst[s]);
+  }
+  for (int64_t v = 0; v < n_nodes; ++v)
+    if (!seen[v]) topo.push_back(v);
+  std::vector<int64_t> order_pos(n_nodes);
+  for (size_t t = 0; t < topo.size(); ++t) order_pos[topo[t]] = (int64_t)t;
+
+  // base-level expansion
+  int64_t V = label_off[n_nodes];
+  std::vector<int8_t> vcodes(V);
+  std::vector<int32_t> node_of(V), off_in(V);
+  std::vector<int64_t> node_first(n_nodes), node_last(n_nodes);
+  {
+    int64_t vid = 0;
+    for (int64_t t = 0; t < n_nodes; ++t) {
+      int64_t node = topo[t];
+      node_first[node] = vid;
+      for (int64_t c = label_off[node]; c < label_off[node + 1]; ++c) {
+        vcodes[vid] = base_code(labels[c]);
+        node_of[vid] = (int32_t)node;
+        off_in[vid] = (int32_t)(c - label_off[node]);
+        ++vid;
+      }
+      node_last[node] = vid - 1;
+    }
+  }
+  // CSR predecessors: edge preds on node heads (edge order), then chains
+  std::vector<int32_t> pred_cnt(V, 0);
+  std::vector<uint8_t> has_succ(n_nodes, 0);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int64_t a = edges[2 * e], b = edges[2 * e + 1];
+    if (order_pos[a] < order_pos[b]) {
+      pred_cnt[node_first[b]] += 1;
+      has_succ[a] = 1;
+    }
+  }
+  for (int64_t node = 0; node < n_nodes; ++node)
+    for (int64_t v = node_first[node] + 1; v <= node_last[node]; ++v)
+      pred_cnt[v] = 1;
+  std::vector<int64_t> pred_off(V + 1, 0);
+  for (int64_t v = 0; v < V; ++v) pred_off[v + 1] = pred_off[v] + pred_cnt[v];
+  std::vector<int32_t> pred_dat(std::max<int64_t>(pred_off[V], 1));
+  {
+    std::vector<int64_t> fill(V, 0);
+    for (int64_t e = 0; e < n_edges; ++e) {
+      int64_t a = edges[2 * e], b = edges[2 * e + 1];
+      if (order_pos[a] < order_pos[b]) {
+        int64_t v = node_first[b];
+        pred_dat[pred_off[v] + fill[v]++] = (int32_t)node_last[a];
+      }
+    }
+    for (int64_t node = 0; node < n_nodes; ++node)
+      for (int64_t v = node_first[node] + 1; v <= node_last[node]; ++v)
+        pred_dat[pred_off[v]] = (int32_t)(v - 1);
+  }
+  std::vector<uint8_t> is_sink(V, 0);
+  for (int64_t node = 0; node < n_nodes; ++node)
+    if (!has_succ[node]) is_sink[node_last[node]] = 1;
+
+  // ---- DP (mirror align_global_host; int64 scores) ----------------------
+  const int64_t W = L + 1;
+  std::vector<int64_t> init(W);
+  init[0] = 0;
+  for (int64_t j = 1; j < W; ++j)
+    init[j] = -std::min<int64_t>(kO1 + j * kE1, kO2 + j * kE2);
+  std::vector<int64_t> H((size_t)V * W), E1((size_t)V * W), E2((size_t)V * W);
+  // traceback: cell1 = case(3b) | opens(4b at 15..18); slots in cell2/3
+  std::vector<int32_t> cell1((size_t)V * W), mslot((size_t)V * W),
+      eslot((size_t)V * W);  // eslot = e1slot | e2slot<<16 (16b each)
+  constexpr int32_t kVirt = 0xFFFF;
+
+  std::vector<int64_t> e1b(W), e2b(W), mb(W);
+  std::vector<int32_t> e1s(W), e2s(W), ms(W);
+  std::vector<uint8_t> e1o(W), e2o(W);
+  for (int64_t v = 0; v < V; ++v) {
+    int8_t vc = vcodes[v];
+    int64_t p0 = pred_off[v], p1 = pred_off[v + 1];
+    for (int64_t j = 0; j < W; ++j) {
+      e1b[j] = kNeg; e2b[j] = kNeg; mb[j] = kNeg;
+      e1s[j] = kVirt; e2s[j] = kVirt; ms[j] = kVirt;
+      e1o[j] = 0; e2o[j] = 0;
+    }
+    int64_t n_pl = (p1 > p0) ? (p1 - p0) : 1;
+    for (int64_t pi = 0; pi < n_pl; ++pi) {
+      bool virt = (p1 == p0);
+      const int64_t* Hp = virt ? init.data() : &H[(size_t)pred_dat[p0 + pi] * W];
+      const int64_t* E1p = virt ? nullptr : &E1[(size_t)pred_dat[p0 + pi] * W];
+      const int64_t* E2p = virt ? nullptr : &E2[(size_t)pred_dat[p0 + pi] * W];
+      int32_t slot = virt ? kVirt : (int32_t)pi;
+      for (int64_t j = 0; j < W; ++j) {
+        int64_t o1 = Hp[j] - (kO1 + kE1);
+        int64_t x1 = virt ? kNeg - kE1 : E1p[j] - kE1;
+        int64_t c1 = o1 > x1 ? o1 : x1;
+        if (c1 > e1b[j]) { e1b[j] = c1; e1s[j] = slot; e1o[j] = o1 >= x1; }
+        int64_t o2 = Hp[j] - (kO2 + kE2);
+        int64_t x2 = virt ? kNeg - kE2 : E2p[j] - kE2;
+        int64_t c2 = o2 > x2 ? o2 : x2;
+        if (c2 > e2b[j]) { e2b[j] = c2; e2s[j] = slot; e2o[j] = o2 >= x2; }
+        if (j > 0) {
+          int8_t qc = q[j - 1];
+          int64_t sub = (qc == vc && qc < 4 && vc < 4) ? kMatch : kMismatch;
+          int64_t mc = Hp[j - 1] + sub;
+          if (mc > mb[j]) { mb[j] = mc; ms[j] = slot; }
+        }
+      }
+    }
+    // combine + in-row F scan (serial, mirrors the oracle loop)
+    int64_t f1 = kNeg, f2 = kNeg;
+    int64_t* Hrow = &H[(size_t)v * W];
+    for (int64_t j = 0; j < W; ++j) {
+      int64_t e_max = e1b[j] > e2b[j] ? e1b[j] : e2b[j];
+      int64_t h = mb[j] >= e_max ? mb[j] : e_max;
+      int32_t c = mb[j] >= e_max ? 0 : (e1b[j] >= e2b[j] ? 1 : 2);
+      uint8_t f1open = 0, f2open = 0;
+      if (j > 0) {
+        int64_t o1 = Hrow[j - 1] - (kO1 + kE1), x1 = f1 - kE1;
+        f1open = o1 >= x1;
+        f1 = o1 > x1 ? o1 : x1;
+        int64_t o2 = Hrow[j - 1] - (kO2 + kE2), x2 = f2 - kE2;
+        f2open = o2 >= x2;
+        f2 = o2 > x2 ? o2 : x2;
+        if (f1 > h) { h = f1; c = 3; }
+        if (f2 > h) { h = f2; c = 4; }
+      }
+      Hrow[j] = h;
+      E1[(size_t)v * W + j] = e1b[j];
+      E2[(size_t)v * W + j] = e2b[j];
+      cell1[(size_t)v * W + j] =
+          c | ((int32_t)e1o[j] << 15) | ((int32_t)e2o[j] << 16) |
+          ((int32_t)f1open << 17) | ((int32_t)f2open << 18);
+      mslot[(size_t)v * W + j] = ms[j];
+      eslot[(size_t)v * W + j] = (e1s[j] & 0xFFFF) | ((int32_t)(e2s[j] & 0xFFFF) << 16);
+    }
+  }
+
+  // best sink: first in topo order achieving the max (oracle:288-293)
+  int64_t best_sink = -1, best = 0;
+  bool any_sink = false;
+  for (int64_t v = 0; v < V; ++v) {
+    if (!is_sink[v]) continue;
+    if (!any_sink || H[(size_t)v * W + L] > best) {
+      any_sink = true;
+      best = H[(size_t)v * W + L];
+      best_sink = v;
+    }
+  }
+  if (!any_sink) { best_sink = V - 1; best = H[(size_t)(V - 1) * W + L]; }
+
+  // ---- traceback (walk order, device tape conventions) ------------------
+  std::vector<int8_t> tape_ops;
+  std::vector<int32_t> tape_vids;
+  tape_ops.reserve((size_t)(V < 4096 ? V : 4096) + L + 2);
+  int64_t v = best_sink, j = L;
+  int state = 0;  // 0 H, 1 E1, 2 E2, 3 F1, 4 F2
+  auto slot_to_pred = [&](int64_t vv, int32_t slot) -> int64_t {
+    if (slot == kVirt) return -2;
+    return pred_dat[pred_off[vv] + slot];
+  };
+  while (!(v == -2 && j == 0)) {
+    if (v == -2) {  // leading insertion against the virtual source
+      tape_ops.push_back(1); tape_vids.push_back(-1); --j;
+      continue;
+    }
+    size_t cix = (size_t)v * W + j;
+    if (state == 0) {
+      int32_t c = cell1[cix] & 7;
+      if (c == 0) {
+        tape_ops.push_back(0); tape_vids.push_back((int32_t)v);
+        v = slot_to_pred(v, mslot[cix]); --j;
+      } else {
+        state = (int)c;
+      }
+    } else if (state == 1 || state == 2) {
+      int32_t slot = state == 1 ? (eslot[cix] & 0xFFFF) : ((eslot[cix] >> 16) & 0xFFFF);
+      uint8_t opn = state == 1 ? ((cell1[cix] >> 15) & 1) : ((cell1[cix] >> 16) & 1);
+      tape_ops.push_back(2); tape_vids.push_back((int32_t)v);
+      v = slot_to_pred(v, slot);
+      if (opn) state = 0;
+    } else {
+      uint8_t opn = state == 3 ? ((cell1[cix] >> 17) & 1) : ((cell1[cix] >> 18) & 1);
+      tape_ops.push_back(1); tape_vids.push_back((int32_t)v);
+      --j;
+      if (opn) state = 0;
+    }
+  }
+  // tape is in START->END order here? No: the walk goes end->start, and
+  // the device convention is walk order — exactly what we appended.
+
+  int64_t t = (int64_t)tape_ops.size();
+  *out_ops = (int8_t*)std::malloc(std::max<int64_t>(t, 1));
+  std::memcpy(*out_ops, tape_ops.data(), (size_t)t);
+  *out_vids = (int32_t*)std::malloc(sizeof(int32_t) * std::max<int64_t>(t, 1));
+  std::memcpy(*out_vids, tape_vids.data(), sizeof(int32_t) * (size_t)t);
+  *out_t = t;
+  *out_vcodes = (int8_t*)std::malloc(std::max<int64_t>(V, 1));
+  std::memcpy(*out_vcodes, vcodes.data(), (size_t)V);
+  *out_node_of = (int32_t*)std::malloc(sizeof(int32_t) * std::max<int64_t>(V, 1));
+  std::memcpy(*out_node_of, node_of.data(), sizeof(int32_t) * (size_t)V);
+  *out_off_in = (int32_t*)std::malloc(sizeof(int32_t) * std::max<int64_t>(V, 1));
+  std::memcpy(*out_off_in, off_in.data(), sizeof(int32_t) * (size_t)V);
+  *out_V = V;
+  return best;
+}
+
+// ---------------------------------------------------------------------------
 // Read-side helpers for the mapping pipeline (models/mapper.py)
 // ---------------------------------------------------------------------------
 

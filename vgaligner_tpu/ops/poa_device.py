@@ -580,9 +580,11 @@ def align_global_batch(
         vs = [sum(len(s) for s in nodes) for nodes, _, _ in problems]
         buckets: dict = {}
         out = [None] * len(problems)
+        from ..native import poa_global_host_native
+
         for i, (v, q) in enumerate(zip(vs, qs_all)):
-            if v > 8192:  # outlier shapes: host oracle beats a one-off compile
-                out[i] = align_global_host(*problems[i])
+            if v > 8192:  # outlier shapes: native host DP beats a one-off compile
+                out[i] = poa_global_host_native(*problems[i])
                 continue
             key = (_next_pow2(max(v, 256)), _next_pow2(max(len(q), 128)))
             buckets.setdefault(key, []).append(i)
