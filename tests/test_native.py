@@ -178,6 +178,10 @@ def test_also_align_native_matches_python_pipeline():
     code = r"""
 import sys
 sys.path.insert(0, '/root/repo')
+# sitecustomize pre-imports jax and pins the axon TPU platform, ignoring
+# JAX_PLATFORMS from the environment -- force CPU the way conftest does
+import jax
+jax.config.update('jax_platforms', 'cpu')
 from vgaligner_tpu.graph import graph_from_gfa
 from vgaligner_tpu.index import Index
 from vgaligner_tpu.io.fastx import QuerySequence
