@@ -231,6 +231,46 @@ def test_count_anchors_matches_python(monkeypatch):
     np.testing.assert_array_equal(native_totals, py_totals)
 
 
+def test_anchor_coords_matches_python_and_host_anchors():
+    """Native slot->coords vs the numpy fallback vs the per-read host
+    anchor enumeration (chain.rs:134-173 order)."""
+    from vgaligner_tpu.index import Index
+    from vgaligner_tpu.io.fastx import QuerySequence
+    from vgaligner_tpu.models.mapper import (
+        _anchor_coords_host,
+        anchors_for_query_host,
+    )
+    from vgaligner_tpu.native import anchor_coords_native
+
+    g = graph_from_gfa(TEST_GFA)
+    index = Index.build(g, 11, 100, 100)
+    lin = index.seq_fwd
+    seqs = [lin[i : i + 48] for i in range(0, 36, 3)] + [lin[2:30] + "N" + lin[40:70]]
+    # ask for every anchor slot of every read, in scrambled order
+    rng = np.random.default_rng(7)
+    mem_off = [0]
+    mem_slots = []
+    expected = []
+    for s in seqs:
+        anchors = anchors_for_query_host(index, QuerySequence.from_name_and_string("q", s))
+        order = rng.permutation(len(anchors))
+        mem_slots.extend(int(o) for o in order)
+        expected.extend((anchors[o].qb, anchors[o].tb, anchors[o].te) for o in order)
+        mem_off.append(len(mem_slots))
+    mem_off = np.asarray(mem_off, dtype=np.int64)
+    mem_slots = np.asarray(mem_slots, dtype=np.int32)
+    exp = np.asarray(expected, dtype=np.int64).reshape(-1, 3)
+
+    qb_n, tb_n, te_n = anchor_coords_native(seqs, index, mem_off, mem_slots)
+    qb_p, tb_p, te_p = _anchor_coords_host(seqs, index, mem_off, mem_slots)
+    np.testing.assert_array_equal(qb_n, exp[:, 0])
+    np.testing.assert_array_equal(tb_n, exp[:, 1])
+    np.testing.assert_array_equal(te_n, exp[:, 2])
+    np.testing.assert_array_equal(qb_p, qb_n)
+    np.testing.assert_array_equal(tb_p, tb_n)
+    np.testing.assert_array_equal(te_p, te_n)
+
+
 def test_backtrack_matches_python():
     from vgaligner_tpu.native import backtrack_native
 

@@ -52,10 +52,10 @@ def test_graft_entry_single():
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
-    packed, counts, qb, tb, te = jax.jit(fn)(*args)
+    packed, counts = jax.jit(fn)(*args)
     assert packed.ndim == 2
     assert counts.shape[1] == 2
-    assert qb.shape == tb.shape == te.shape == packed.shape
+    assert counts.shape[0] == packed.shape[0]
 
 
 def test_host_shard_covers_all_in_order():

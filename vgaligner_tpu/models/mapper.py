@@ -145,6 +145,49 @@ def anchors_for_query_host(
     return anchors
 
 
+def _anchor_coords_host(seqs, index, mem_off: np.ndarray, mem_slots: np.ndarray):
+    """Python fallback for native.anchor_coords_native: re-derive the
+    device lookup's slot -> (qb, tb, te) mapping (ops/lookup.py) on host."""
+    from ..ops.encode import encode_reads_host
+
+    k = index.kmer_length
+    out_qb = np.zeros(len(mem_slots), dtype=np.int64)
+    out_tb = np.zeros(len(mem_slots), dtype=np.int64)
+    out_te = np.zeros(len(mem_slots), dtype=np.int64)
+    if not len(mem_slots):
+        return out_qb, out_tb, out_te
+    l_pad = max(max(len(s) for s in seqs), k)
+    codes, lens = encode_reads_host(seqs, l_pad)
+    B, W = len(seqs), l_pad - k + 1
+    w = np.zeros((B, W), dtype=np.int64)
+    ok = np.ones((B, W), dtype=bool)
+    c64 = codes.astype(np.int64)
+    for j in range(k):
+        b = c64[:, j : j + W]
+        ok &= b < 4
+        w = (w << 2) | np.where(b < 4, b, 0)
+    ok &= (np.arange(W)[None, :] + k) <= lens[:, None]
+    n = len(index.kmer_codes)
+    g = np.searchsorted(index.kmer_codes, w.ravel()).reshape(B, W)
+    gc = np.minimum(g, max(n - 1, 0))
+    found = ok & (g < n) & (index.kmer_codes[gc] == w)
+    counts = np.where(found, index.fo_counts[gc], 0).astype(np.int64)
+    offsets = np.where(found, index.fo_offsets[gc], 0).astype(np.int64)
+    cum = np.cumsum(counts, axis=1)
+    for r in range(B):
+        m0, m1 = int(mem_off[r]), int(mem_off[r + 1])
+        if m0 == m1:
+            continue
+        sl = mem_slots[m0:m1].astype(np.int64)
+        wi = np.searchsorted(cum[r], sl, side="right")
+        cum_before = cum[r][wi] - counts[r][wi]
+        rows = offsets[r][wi] + (sl - cum_before)
+        out_qb[m0:m1] = wi
+        out_tb[m0:m1] = index.fo_positions[rows, 0]
+        out_te[m0:m1] = index.fo_positions[rows, 1]
+    return out_qb, out_tb, out_te
+
+
 class Mapper:
     """Batched read mapper over a built index."""
 
@@ -190,10 +233,10 @@ class Mapper:
 
         is_start encodes the reference's chain-start test
         (pred.is_some() && f == curr_max, chain.rs:469) evaluated on
-        device.  Anchor coordinates (qb, tb, te) are returned
-        device-resident and gathered later only for the few anchors that
-        end up in chains, so read length is unbounded (pred is capped at
-        2^17 = max_anchors_cap).
+        device.  Anchor coordinates for the few anchors that end up in
+        chains are re-derived host-side from the index arrays
+        (native anchor_coords / _anchor_coords_host), so nothing else
+        crosses the link (pred is capped at 2^17 = max_anchors_cap).
         """
         import jax.numpy as jnp
 
@@ -216,16 +259,7 @@ class Mapper:
             ],
             axis=1,
         )
-        return packed, counts, scores.qb, scores.tb, scores.te
-
-    @staticmethod
-    @jax.jit
-    def _gather_coords(qb, tb, te, bi, pi):
-        import jax.numpy as jnp
-
-        return jnp.stack(
-            [qb[bi, pi].astype(jnp.int64), tb[bi, pi], te[bi, pi]]
-        ).astype(jnp.int64)
+        return packed, counts
 
     # ---- public API ----------------------------------------------------
 
@@ -294,13 +328,21 @@ class Mapper:
             a_max = 256 if totals[local] <= 256 else big_a_max
             buckets.setdefault(a_max, []).append(qi)
 
-        pending = []
+        # dispatch every bucket's device program, then drain all results
+        # in ONE device_get (the host link charges ~27ms+ per round trip)
+        dispatched = []
         for a_max, qidx in sorted(buckets.items()):
-            pending.append(self._map_bucket(queries, qidx, a_max, out))
+            dispatched.append(self._dispatch_bucket(queries, qidx, a_max))
+        with self.timer.phase("gather"):
+            fetched = jax.device_get([(d[1], d[2]) for d in dispatched])
+        pending = [
+            self._collect_bucket(d[0], pc[0], pc[1])
+            for d, pc in zip(dispatched, fetched)
+        ]
         self._finalize_chains(queries, pending, out)
         return out
 
-    def _map_bucket(self, queries, qidx: List[int], a_max: int, out):
+    def _dispatch_bucket(self, queries, qidx: List[int], a_max: int):
         k = self.index.kmer_length
         mappable = qidx
         seqs = [queries[i].seq for i in mappable]
@@ -333,13 +375,13 @@ class Mapper:
 
         gap_table = jnp.asarray(self._gap_table)
         with self.timer.phase("device_map"):
-            packed_d, counts_d, qb_d, tb_d, te_d = self._device_map(
+            packed_d, counts_d = self._device_map(
                 codes_d, lens_d, self.dindex,
                 gap_table, k, a_max, self.bandwidth, self.precision,
             )
-        with self.timer.phase("gather"):
-            packed, counts = jax.device_get((packed_d, counts_d))
+        return mappable, packed_d, counts_d
 
+    def _collect_bucket(self, mappable, packed, counts):
         pred = (packed & ((1 << 17) - 1)) - 1
         starts = (packed >> 17) & 1
 
@@ -368,46 +410,51 @@ class Mapper:
                         self._backtrack_positions(pred[b], starts[b], int(counts[b, 0]))
                     )
 
-        return mappable, per_read_chains, qb_d, tb_d, te_d
+        return mappable, per_read_chains
 
     def _finalize_chains(self, queries, pending, out) -> None:
-        """Gather chain-member coordinates for ALL buckets in one
-        device_get (transfers issue together; the host link charges per
-        round trip), then build Chain objects."""
-        import jax.numpy as jnp
+        """Re-derive chain-member coordinates host-side from the index
+        arrays (no device round trip) and build Chain objects."""
+        from ..native import available as _native_ok
 
         k = self.index.kmer_length
-        gathers = []
-        with self.timer.phase("chain_gather"):
-            for mappable, per_read_chains, qb_d, tb_d, te_d in pending:
-                bidx: List[int] = []
-                pidx: List[int] = []
+        with self.timer.phase("coords"):
+            # flatten all buckets' members into one coords call
+            read_ids: List[int] = []
+            mem_counts: List[int] = []
+            slot_parts: List[np.ndarray] = []
+            for mappable, per_read_chains in pending:
                 for b, read_chains in enumerate(per_read_chains):
-                    for chain in read_chains:
-                        bidx.extend([b] * len(chain))
-                        pidx.extend(chain)
-                if bidx:
-                    n_pad = _next_pow2(len(bidx))
-                    bi = np.zeros(n_pad, dtype=np.int32)
-                    pi = np.zeros(n_pad, dtype=np.int32)
-                    bi[: len(bidx)] = bidx
-                    pi[: len(pidx)] = pidx
-                    gathers.append(
-                        self._gather_coords(
-                            qb_d, tb_d, te_d, jnp.asarray(bi), jnp.asarray(pi)
+                    n_mem = sum(len(c) for c in read_chains)
+                    if n_mem:
+                        read_ids.append(mappable[b])
+                        mem_counts.append(n_mem)
+                        slot_parts.append(
+                            np.concatenate([
+                                np.asarray(c, dtype=np.int32)
+                                for c in read_chains
+                            ])
                         )
+            qb = tb = te = np.zeros(0, dtype=np.int64)
+            if read_ids:
+                mem_off = np.zeros(len(read_ids) + 1, dtype=np.int64)
+                np.cumsum(mem_counts, out=mem_off[1:])
+                mem_slots = np.concatenate(slot_parts)
+                seqs = [queries[i].seq for i in read_ids]
+                if _native_ok():
+                    from ..native import anchor_coords_native
+
+                    qb, tb, te = anchor_coords_native(
+                        seqs, self.index, mem_off, mem_slots
                     )
                 else:
-                    gathers.append(None)
-            fetched = jax.device_get([g for g in gathers if g is not None])
-        coords = iter(fetched)
+                    qb, tb, te = _anchor_coords_host(
+                        seqs, self.index, mem_off, mem_slots
+                    )
 
         with self.timer.phase("emit"):
-            for gi, (mappable, per_read_chains, _, _, _) in enumerate(pending):
-                if gathers[gi] is not None:
-                    sel = next(coords)
-                    sel_qb, sel_tb, sel_te = sel[0], sel[1], sel[2]
-                flat = 0
+            flat = 0
+            for mappable, per_read_chains in pending:
                 for b, qi in enumerate(mappable):
                     chains: List[Chain] = []
                     for chain in per_read_chains[b]:
@@ -415,9 +462,9 @@ class Mapper:
                         chains.append(
                             Chain(
                                 query=queries[qi],
-                                aqb=sel_qb[flat : flat + n],
-                                atb=sel_tb[flat : flat + n],
-                                ate=sel_te[flat : flat + n],
+                                aqb=qb[flat : flat + n],
+                                atb=tb[flat : flat + n],
+                                ate=te[flat : flat + n],
                                 k=k,
                             )
                         )

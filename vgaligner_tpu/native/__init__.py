@@ -111,6 +111,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, _i64p,
         ]
         lib.vg_count_anchors.restype = ctypes.c_int64
+        lib.vg_anchor_coords.argtypes = [
+            ctypes.c_int64, _charp, _i64p, ctypes.c_int32, _i64p, _i64p,
+            _i64p, _i64p, _i64p, ctypes.c_int64, _i64p, _i32p,
+            _i64p, _i64p, _i64p,
+        ]
+        lib.vg_anchor_coords.restype = ctypes.c_int64
         lib.vg_backtrack.argtypes = [
             ctypes.c_int64, ctypes.c_int64, _i32p, _u8p, _i32p,
             ctypes.c_int64,
@@ -302,6 +308,43 @@ def count_anchors_native(seqs, kmer_codes: np.ndarray,
         len(codes_c), _p64(out),
     )
     return out
+
+
+def anchor_coords_native(seqs, index, mem_off: np.ndarray,
+                         mem_slots: np.ndarray):
+    """(qb, tb, te) for chain-member anchor slots, host-side.
+
+    Re-derives the device lookup's slot -> coordinate mapping
+    (ops/lookup.py) so chain emission needs no device round trip.
+    mem_off [n_reads+1] int64, mem_slots flat int32 (any order per
+    read).  Returns three int64 arrays aligned with mem_slots.
+    """
+    lib = get_lib()
+    assert lib is not None
+    n = len(seqs)
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        seq_off[i + 1] = seq_off[i] + len(s)
+    blob = "".join(seqs).encode("ascii")
+    codes_c = np.ascontiguousarray(index.kmer_codes, dtype=np.int64)
+    counts_c = np.ascontiguousarray(index.fo_counts, dtype=np.int64)
+    offsets_c = np.ascontiguousarray(index.fo_offsets, dtype=np.int64)
+    start_c = np.ascontiguousarray(index.fo_positions[:, 0], dtype=np.int64)
+    end_c = np.ascontiguousarray(index.fo_positions[:, 1], dtype=np.int64)
+    mo = np.ascontiguousarray(mem_off, dtype=np.int64)
+    ms = np.ascontiguousarray(mem_slots, dtype=np.int32)
+    m = len(ms)
+    qb = np.zeros(m, dtype=np.int64)
+    tb = np.zeros(m, dtype=np.int64)
+    te = np.zeros(m, dtype=np.int64)
+    rc = lib.vg_anchor_coords(
+        n, blob, _p64(seq_off), index.kmer_length, _p64(codes_c),
+        _p64(counts_c), _p64(offsets_c), _p64(start_c), _p64(end_c),
+        len(codes_c), _p64(mo), _p32(ms), _p64(qb), _p64(tb), _p64(te),
+    )
+    if rc != 0:
+        raise ValueError(f"anchor slot out of range for read {rc - 1}")
+    return qb, tb, te
 
 
 def backtrack_native(pred: np.ndarray, starts: np.ndarray,

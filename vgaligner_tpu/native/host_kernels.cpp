@@ -1144,6 +1144,70 @@ int64_t vg_count_anchors(
   return 0;
 }
 
+// Host-side anchor coordinates for chain members.  Mirrors the device
+// lookup layout (ops/lookup.py): per read, anchor slots are assigned in
+// ascending query-kmer-window order, each found window contributing its
+// forward-only index positions in table order.  Given the slot ids that
+// survived backtracking, re-derives (qb, tb, te) per member without any
+// device round trip.  Members may arrive in any order per read.
+int64_t vg_anchor_coords(
+    int64_t n_reads, const char* seqs, const int64_t* seq_off, int32_t k,
+    const int64_t* kmer_codes, const int64_t* fo_counts,
+    const int64_t* fo_offsets, const int64_t* fo_start, const int64_t* fo_end,
+    int64_t n_kmers,
+    const int64_t* mem_off /* [n_reads+1] members per read prefix */,
+    const int32_t* mem_slots /* flat member slot ids */,
+    int64_t* out_qb, int64_t* out_tb, int64_t* out_te) {
+  std::vector<int64_t> order;
+  for (int64_t rix = 0; rix < n_reads; ++rix) {
+    const int64_t m0 = mem_off[rix], m1 = mem_off[rix + 1];
+    if (m0 == m1) continue;
+    order.resize((size_t)(m1 - m0));
+    for (int64_t j = m0; j < m1; ++j) order[(size_t)(j - m0)] = j;
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return mem_slots[a] < mem_slots[b];
+    });
+    const char* s = seqs + seq_off[rix];
+    const int64_t len = seq_off[rix + 1] - seq_off[rix];
+    uint64_t code = 0;
+    const uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    int32_t run = 0;
+    int64_t cum = 0;
+    size_t oi = 0;
+    for (int64_t i = 0; i < len && oi < order.size(); ++i) {
+      int8_t c = base_code(s[i]);
+      if (c >= 4) {
+        run = 0;
+        code = 0;
+        continue;
+      }
+      code = ((code << 2) | (uint64_t)c) & mask;
+      if (++run >= k) {
+        const int64_t* lo = kmer_codes;
+        const int64_t* hi = kmer_codes + n_kmers;
+        const int64_t* it = std::lower_bound(lo, hi, (int64_t)code);
+        if (it != hi && *it == (int64_t)code) {
+          const int64_t idx = it - lo;
+          const int64_t cnt = fo_counts[idx];
+          while (oi < order.size() &&
+                 (int64_t)mem_slots[order[oi]] < cum + cnt) {
+            const int64_t j = order[oi];
+            const int64_t within = (int64_t)mem_slots[j] - cum;
+            const int64_t row = fo_offsets[idx] + within;
+            out_qb[j] = i - k + 1;
+            out_tb[j] = fo_start[row];
+            out_te[j] = fo_end[row];
+            ++oi;
+          }
+          cum += cnt;
+        }
+      }
+    }
+    if (oi != order.size()) return rix + 1;  // slot beyond read's anchors
+  }
+  return 0;
+}
+
 // Chain backtracking over sorted anchor positions (chain.rs:464-557;
 // mirrors Mapper._backtrack_positions).  For each read: visit chain
 // starts in descending position order, walk predecessors nulling them,
