@@ -102,3 +102,56 @@ def test_long_reads_over_8kb():
         [QuerySequence.from_name_and_string("long", long_read)]
     )
     assert len(chains) == 1  # must not raise; chains may be placeholder
+
+
+def test_device_chains_match_host_oracle_on_repeats():
+    """Device mapper vs the scalar host pipeline on a graph whose
+    linearization repeats a long substring: multi-position k-mers make
+    the chaining DP's stable sort by target_end differ from anchor
+    generation order, so this guards the sorted-position -> coordinate
+    translation (regression: host coords once used generation order)."""
+    import numpy as np
+
+    from vgaligner_tpu.graph.handlegraph import HashGraph
+    from vgaligner_tpu.io.fastx import QuerySequence
+    from vgaligner_tpu.models.host_pipeline import map_read_host
+
+    rep = "TTGACGTAGCTAGCTGATCGA"
+    g = HashGraph()
+    h1 = g.create_handle(rep, 1)
+    h2 = g.create_handle("CCC", 2)
+    h3 = g.create_handle(rep, 3)
+    h4 = g.create_handle("GGGAT", 4)
+    h5 = g.create_handle(rep, 5)
+    g.create_edge(h1, h2)
+    g.create_edge(h2, h3)
+    g.create_edge(h3, h4)
+    g.create_edge(h4, h5)
+    index = Index.build(g, 11, 100, 100)
+
+    path_seq = rep + "CCC" + rep + "GGGAT" + rep
+    reads = [path_seq[i : i + 40] for i in range(0, len(path_seq) - 40, 5)]
+    reads.append(path_seq)
+
+    mapper = Mapper(index, chain_min_n_anchors=3)
+    queries = [
+        QuerySequence.from_name_and_string(f"r{i}", s) for i, s in enumerate(reads)
+    ]
+    per_read = mapper.map_reads(queries)
+
+    for s, chains in zip(reads, per_read):
+        host_chains, _, _ = map_read_host(index, s)
+        # host anchors in generation order for id -> coords
+        gen = []
+        k = index.kmer_length
+        for i in range(len(s) - k + 1):
+            for so, sp, eo, ep in index.find_positions_for_query_kmer(s[i : i + k]):
+                if so == 0 and eo == 0:
+                    gen.append((i, sp, ep))
+        dev = [c for c in chains if not c.is_placeholder]
+        assert len(dev) == len(host_chains), (s, len(dev), len(host_chains))
+        for dc, hc in zip(dev, host_chains):
+            exp = np.asarray([gen[a] for a in hc], dtype=np.int64)
+            np.testing.assert_array_equal(dc.aqb, exp[:, 0])
+            np.testing.assert_array_equal(dc.atb, exp[:, 1])
+            np.testing.assert_array_equal(dc.ate, exp[:, 2])

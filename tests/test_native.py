@@ -231,9 +231,12 @@ def test_count_anchors_matches_python(monkeypatch):
     np.testing.assert_array_equal(native_totals, py_totals)
 
 
-def test_anchor_coords_matches_python_and_host_anchors():
-    """Native slot->coords vs the numpy fallback vs the per-read host
-    anchor enumeration (chain.rs:134-173 order)."""
+def test_anchor_coords_matches_python_and_device_sort():
+    """Native sorted-position->coords vs the numpy fallback vs the
+    ground truth: host anchor enumeration (chain.rs:134-173 order)
+    stable-sorted by target_end exactly as the chaining DP sorts
+    (ops/chain.py, chain.rs:386-389) — including a read truncated by
+    the device anchor cap."""
     from vgaligner_tpu.index import Index
     from vgaligner_tpu.io.fastx import QuerySequence
     from vgaligner_tpu.models.mapper import (
@@ -246,23 +249,34 @@ def test_anchor_coords_matches_python_and_host_anchors():
     index = Index.build(g, 11, 100, 100)
     lin = index.seq_fwd
     seqs = [lin[i : i + 48] for i in range(0, 36, 3)] + [lin[2:30] + "N" + lin[40:70]]
-    # ask for every anchor slot of every read, in scrambled order
     rng = np.random.default_rng(7)
     mem_off = [0]
     mem_slots = []
     expected = []
-    for s in seqs:
-        anchors = anchors_for_query_host(index, QuerySequence.from_name_and_string("q", s))
-        order = rng.permutation(len(anchors))
-        mem_slots.extend(int(o) for o in order)
-        expected.extend((anchors[o].qb, anchors[o].tb, anchors[o].te) for o in order)
+    a_max = []
+    for ri, s in enumerate(seqs):
+        anchors = anchors_for_query_host(
+            index, QuerySequence.from_name_and_string("q", s)
+        )
+        cap = len(anchors) if ri % 3 else max(len(anchors) - 2, 1)
+        a_max.append(cap)
+        anchors = anchors[:cap]
+        te_all = np.asarray([a.te for a in anchors], dtype=np.int64)
+        order = np.argsort(te_all, kind="stable")
+        positions = rng.permutation(len(anchors))  # sorted positions, scrambled
+        mem_slots.extend(int(p) for p in positions)
+        expected.extend(
+            (anchors[order[p]].qb, anchors[order[p]].tb, anchors[order[p]].te)
+            for p in positions
+        )
         mem_off.append(len(mem_slots))
     mem_off = np.asarray(mem_off, dtype=np.int64)
     mem_slots = np.asarray(mem_slots, dtype=np.int32)
+    a_max = np.asarray(a_max, dtype=np.int64)
     exp = np.asarray(expected, dtype=np.int64).reshape(-1, 3)
 
-    qb_n, tb_n, te_n = anchor_coords_native(seqs, index, mem_off, mem_slots)
-    qb_p, tb_p, te_p = _anchor_coords_host(seqs, index, mem_off, mem_slots)
+    qb_n, tb_n, te_n = anchor_coords_native(seqs, index, a_max, mem_off, mem_slots)
+    qb_p, tb_p, te_p = _anchor_coords_host(seqs, index, a_max, mem_off, mem_slots)
     np.testing.assert_array_equal(qb_n, exp[:, 0])
     np.testing.assert_array_equal(tb_n, exp[:, 1])
     np.testing.assert_array_equal(te_n, exp[:, 2])

@@ -145,9 +145,12 @@ def anchors_for_query_host(
     return anchors
 
 
-def _anchor_coords_host(seqs, index, mem_off: np.ndarray, mem_slots: np.ndarray):
+def _anchor_coords_host(seqs, index, a_max: np.ndarray, mem_off: np.ndarray,
+                        mem_slots: np.ndarray):
     """Python fallback for native.anchor_coords_native: re-derive the
-    device lookup's slot -> (qb, tb, te) mapping (ops/lookup.py) on host."""
+    device anchor set (ops/lookup.py generation order, truncated at
+    a_max) and the chaining DP's stable sort by target_end, then map
+    member *sorted positions* to (qb, tb, te)."""
     from ..ops.encode import encode_reads_host
 
     k = index.kmer_length
@@ -173,18 +176,28 @@ def _anchor_coords_host(seqs, index, mem_off: np.ndarray, mem_slots: np.ndarray)
     found = ok & (g < n) & (index.kmer_codes[gc] == w)
     counts = np.where(found, index.fo_counts[gc], 0).astype(np.int64)
     offsets = np.where(found, index.fo_offsets[gc], 0).astype(np.int64)
-    cum = np.cumsum(counts, axis=1)
     for r in range(B):
         m0, m1 = int(mem_off[r]), int(mem_off[r + 1])
         if m0 == m1:
             continue
+        # generation-order anchors: window index repeated by its count,
+        # table rows offset + within; truncated at the device cap
+        cnt_r = counts[r]
+        qb_all = np.repeat(np.arange(W, dtype=np.int64), cnt_r)
+        within = np.arange(len(qb_all), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt_r) - cnt_r, cnt_r
+        )
+        rows = np.repeat(offsets[r], cnt_r) + within
+        qb_all = qb_all[: int(a_max[r])]
+        rows = rows[: int(a_max[r])]
+        tb_all = index.fo_positions[rows, 0]
+        te_all = index.fo_positions[rows, 1]
+        order = np.argsort(te_all, kind="stable")
         sl = mem_slots[m0:m1].astype(np.int64)
-        wi = np.searchsorted(cum[r], sl, side="right")
-        cum_before = cum[r][wi] - counts[r][wi]
-        rows = offsets[r][wi] + (sl - cum_before)
-        out_qb[m0:m1] = wi
-        out_tb[m0:m1] = index.fo_positions[rows, 0]
-        out_te[m0:m1] = index.fo_positions[rows, 1]
+        sel = order[sl]
+        out_qb[m0:m1] = qb_all[sel]
+        out_tb[m0:m1] = tb_all[sel]
+        out_te[m0:m1] = te_all[sel]
     return out_qb, out_tb, out_te
 
 
@@ -334,9 +347,9 @@ class Mapper:
         for a_max, qidx in sorted(buckets.items()):
             dispatched.append(self._dispatch_bucket(queries, qidx, a_max))
         with self.timer.phase("gather"):
-            fetched = jax.device_get([(d[1], d[2]) for d in dispatched])
+            fetched = jax.device_get([(d[2], d[3]) for d in dispatched])
         pending = [
-            self._collect_bucket(d[0], pc[0], pc[1])
+            self._collect_bucket(d[0], d[1], pc[0], pc[1])
             for d, pc in zip(dispatched, fetched)
         ]
         self._finalize_chains(queries, pending, out)
@@ -379,9 +392,9 @@ class Mapper:
                 codes_d, lens_d, self.dindex,
                 gap_table, k, a_max, self.bandwidth, self.precision,
             )
-        return mappable, packed_d, counts_d
+        return mappable, a_max, packed_d, counts_d
 
-    def _collect_bucket(self, mappable, packed, counts):
+    def _collect_bucket(self, mappable, a_max, packed, counts):
         pred = (packed & ((1 << 17) - 1)) - 1
         starts = (packed >> 17) & 1
 
@@ -410,7 +423,7 @@ class Mapper:
                         self._backtrack_positions(pred[b], starts[b], int(counts[b, 0]))
                     )
 
-        return mappable, per_read_chains
+        return mappable, a_max, per_read_chains
 
     def _finalize_chains(self, queries, pending, out) -> None:
         """Re-derive chain-member coordinates host-side from the index
@@ -421,13 +434,15 @@ class Mapper:
         with self.timer.phase("coords"):
             # flatten all buckets' members into one coords call
             read_ids: List[int] = []
+            read_amax: List[int] = []
             mem_counts: List[int] = []
             slot_parts: List[np.ndarray] = []
-            for mappable, per_read_chains in pending:
+            for mappable, a_max, per_read_chains in pending:
                 for b, read_chains in enumerate(per_read_chains):
                     n_mem = sum(len(c) for c in read_chains)
                     if n_mem:
                         read_ids.append(mappable[b])
+                        read_amax.append(a_max)
                         mem_counts.append(n_mem)
                         slot_parts.append(
                             np.concatenate([
@@ -440,21 +455,22 @@ class Mapper:
                 mem_off = np.zeros(len(read_ids) + 1, dtype=np.int64)
                 np.cumsum(mem_counts, out=mem_off[1:])
                 mem_slots = np.concatenate(slot_parts)
+                a_max_arr = np.asarray(read_amax, dtype=np.int64)
                 seqs = [queries[i].seq for i in read_ids]
                 if _native_ok():
                     from ..native import anchor_coords_native
 
                     qb, tb, te = anchor_coords_native(
-                        seqs, self.index, mem_off, mem_slots
+                        seqs, self.index, a_max_arr, mem_off, mem_slots
                     )
                 else:
                     qb, tb, te = _anchor_coords_host(
-                        seqs, self.index, mem_off, mem_slots
+                        seqs, self.index, a_max_arr, mem_off, mem_slots
                     )
 
         with self.timer.phase("emit"):
             flat = 0
-            for mappable, per_read_chains in pending:
+            for mappable, _a_max, per_read_chains in pending:
                 for b, qi in enumerate(mappable):
                     chains: List[Chain] = []
                     for chain in per_read_chains[b]:

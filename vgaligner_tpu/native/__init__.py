@@ -113,7 +113,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.vg_count_anchors.restype = ctypes.c_int64
         lib.vg_anchor_coords.argtypes = [
             ctypes.c_int64, _charp, _i64p, ctypes.c_int32, _i64p, _i64p,
-            _i64p, _i64p, _i64p, ctypes.c_int64, _i64p, _i32p,
+            _i64p, _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, _i32p,
             _i64p, _i64p, _i64p,
         ]
         lib.vg_anchor_coords.restype = ctypes.c_int64
@@ -310,14 +310,17 @@ def count_anchors_native(seqs, kmer_codes: np.ndarray,
     return out
 
 
-def anchor_coords_native(seqs, index, mem_off: np.ndarray,
+def anchor_coords_native(seqs, index, a_max: np.ndarray, mem_off: np.ndarray,
                          mem_slots: np.ndarray):
-    """(qb, tb, te) for chain-member anchor slots, host-side.
+    """(qb, tb, te) for chain-member anchors, host-side.
 
-    Re-derives the device lookup's slot -> coordinate mapping
-    (ops/lookup.py) so chain emission needs no device round trip.
-    mem_off [n_reads+1] int64, mem_slots flat int32 (any order per
-    read).  Returns three int64 arrays aligned with mem_slots.
+    Member ids are *sorted positions* in the chaining DP's stable
+    sort-by-target_end order (ops/chain.py); this re-derives the
+    device's anchor set (ops/lookup.py, truncated at a_max per read)
+    and its sort so chain emission needs no device round trip.
+    a_max [n_reads] int64, mem_off [n_reads+1] int64, mem_slots flat
+    int32 (any order per read).  Returns three int64 arrays aligned
+    with mem_slots.
     """
     lib = get_lib()
     assert lib is not None
@@ -331,6 +334,7 @@ def anchor_coords_native(seqs, index, mem_off: np.ndarray,
     offsets_c = np.ascontiguousarray(index.fo_offsets, dtype=np.int64)
     start_c = np.ascontiguousarray(index.fo_positions[:, 0], dtype=np.int64)
     end_c = np.ascontiguousarray(index.fo_positions[:, 1], dtype=np.int64)
+    am = np.ascontiguousarray(a_max, dtype=np.int64)
     mo = np.ascontiguousarray(mem_off, dtype=np.int64)
     ms = np.ascontiguousarray(mem_slots, dtype=np.int32)
     m = len(ms)
@@ -340,10 +344,11 @@ def anchor_coords_native(seqs, index, mem_off: np.ndarray,
     rc = lib.vg_anchor_coords(
         n, blob, _p64(seq_off), index.kmer_length, _p64(codes_c),
         _p64(counts_c), _p64(offsets_c), _p64(start_c), _p64(end_c),
-        len(codes_c), _p64(mo), _p32(ms), _p64(qb), _p64(tb), _p64(te),
+        len(codes_c), _p64(am), _p64(mo), _p32(ms),
+        _p64(qb), _p64(tb), _p64(te),
     )
     if rc != 0:
-        raise ValueError(f"anchor slot out of range for read {rc - 1}")
+        raise ValueError(f"anchor position out of range for read {rc - 1}")
     return qb, tb, te
 
 

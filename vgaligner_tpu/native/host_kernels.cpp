@@ -1144,37 +1144,37 @@ int64_t vg_count_anchors(
   return 0;
 }
 
-// Host-side anchor coordinates for chain members.  Mirrors the device
-// lookup layout (ops/lookup.py): per read, anchor slots are assigned in
-// ascending query-kmer-window order, each found window contributing its
-// forward-only index positions in table order.  Given the slot ids that
-// survived backtracking, re-derives (qb, tb, te) per member without any
-// device round trip.  Members may arrive in any order per read.
+// Host-side anchor coordinates for chain members.  Re-derives, per
+// read, the anchors the device materialized (ops/lookup.py: ascending
+// query-kmer-window order, each found window contributing its
+// forward-only index positions in table order, truncated at a_max),
+// then reproduces the chaining DP's stable sort by target_end
+// (ops/chain.py, chain.rs:386-389).  Member ids are *sorted positions*
+// (what the DP's backtrack emits); outputs are their (qb, tb, te).
 int64_t vg_anchor_coords(
     int64_t n_reads, const char* seqs, const int64_t* seq_off, int32_t k,
     const int64_t* kmer_codes, const int64_t* fo_counts,
     const int64_t* fo_offsets, const int64_t* fo_start, const int64_t* fo_end,
-    int64_t n_kmers,
+    int64_t n_kmers, const int64_t* a_max /* [n_reads] device anchor cap */,
     const int64_t* mem_off /* [n_reads+1] members per read prefix */,
-    const int32_t* mem_slots /* flat member slot ids */,
+    const int32_t* mem_slots /* flat member sorted-position ids */,
     int64_t* out_qb, int64_t* out_tb, int64_t* out_te) {
+  struct Anc {
+    int64_t qb, tb, te;
+  };
+  std::vector<Anc> anc;
   std::vector<int64_t> order;
   for (int64_t rix = 0; rix < n_reads; ++rix) {
     const int64_t m0 = mem_off[rix], m1 = mem_off[rix + 1];
     if (m0 == m1) continue;
-    order.resize((size_t)(m1 - m0));
-    for (int64_t j = m0; j < m1; ++j) order[(size_t)(j - m0)] = j;
-    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-      return mem_slots[a] < mem_slots[b];
-    });
     const char* s = seqs + seq_off[rix];
     const int64_t len = seq_off[rix + 1] - seq_off[rix];
+    const int64_t cap = a_max[rix];
+    anc.clear();
     uint64_t code = 0;
     const uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
     int32_t run = 0;
-    int64_t cum = 0;
-    size_t oi = 0;
-    for (int64_t i = 0; i < len && oi < order.size(); ++i) {
+    for (int64_t i = 0; i < len && (int64_t)anc.size() < cap; ++i) {
       int8_t c = base_code(s[i]);
       if (c >= 4) {
         run = 0;
@@ -1189,21 +1189,27 @@ int64_t vg_anchor_coords(
         if (it != hi && *it == (int64_t)code) {
           const int64_t idx = it - lo;
           const int64_t cnt = fo_counts[idx];
-          while (oi < order.size() &&
-                 (int64_t)mem_slots[order[oi]] < cum + cnt) {
-            const int64_t j = order[oi];
-            const int64_t within = (int64_t)mem_slots[j] - cum;
-            const int64_t row = fo_offsets[idx] + within;
-            out_qb[j] = i - k + 1;
-            out_tb[j] = fo_start[row];
-            out_te[j] = fo_end[row];
-            ++oi;
+          for (int64_t p = 0; p < cnt && (int64_t)anc.size() < cap; ++p) {
+            const int64_t row = fo_offsets[idx] + p;
+            anc.push_back({i - k + 1, fo_start[row], fo_end[row]});
           }
-          cum += cnt;
         }
       }
     }
-    if (oi != order.size()) return rix + 1;  // slot beyond read's anchors
+    // stable sort by te (generation order within ties), as the DP does
+    order.resize(anc.size());
+    for (size_t j = 0; j < anc.size(); ++j) order[j] = (int64_t)j;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return anc[(size_t)a].te < anc[(size_t)b].te;
+    });
+    for (int64_t j = m0; j < m1; ++j) {
+      const int64_t p = (int64_t)mem_slots[j];
+      if (p < 0 || p >= (int64_t)anc.size()) return rix + 1;
+      const Anc& a = anc[(size_t)order[(size_t)p]];
+      out_qb[j] = a.qb;
+      out_tb[j] = a.tb;
+      out_te[j] = a.te;
+    }
   }
   return 0;
 }

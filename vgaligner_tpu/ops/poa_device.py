@@ -637,11 +637,22 @@ def _align_bucket_native(node_edge_probs, qs, v_pad: int, l_pad: int):
     return kernel_and_finish(built, qs, v_pad, l_pad)
 
 
-_B_LADDER = (8, 32, 128, 256, 1024)  # batch-dim pads: few executables, shared
-# Problems per kernel launch: B=1024 measured 2.3x the per-problem
-# throughput of B=256 on v5e (the serial vertex scan amortizes over the
-# batch), and each launch costs a ~27 ms host-link round trip.
-_B_CHUNK = 1024
+_B_LADDER = (8, 32, 128, 256, 512, 1024)  # batch-dim pads: few executables
+# Per-launch batch: bigger is faster (B=1024 measured 2.3x the
+# per-problem throughput of B=256 on v5e — the serial vertex scan
+# amortizes over the batch, and each launch costs a ~27 ms host-link
+# round trip), but the DP holds ~7 [B, V, L+1] f32/i32 planes in HBM
+# (tbits + H/E1/E2 + remat copies), so B must shrink as V*L grows.
+_HBM_BUDGET = 6 << 30
+
+
+def _b_chunk_for(v_pad: int, l_pad: int) -> int:
+    per_problem = v_pad * (l_pad + 1) * 4 * 7
+    b = _HBM_BUDGET // max(per_problem, 1)
+    for cand in reversed(_B_LADDER):
+        if cand <= b:
+            return cand
+    return _B_LADDER[0]
 
 
 def _b_pad_for(n: int) -> int:
@@ -652,15 +663,17 @@ def _b_pad_for(n: int) -> int:
 
 
 def kernel_dispatch_chunked(built, qs, v_pad: int, l_pad: int):
-    """Dispatch a bucket as fixed-size chunks (<= _B_CHUNK problems per
-    launch, batch dims drawn from a small ladder) so POA executables are
-    shared across datasets instead of recompiling for every distinct
-    problem count.  Returns a list of pending states for kernel_finish."""
+    """Dispatch a bucket as fixed-size chunks (batch dims drawn from a
+    small ladder, sized to the HBM budget for this problem shape) so POA
+    executables are shared across datasets instead of recompiling for
+    every distinct problem count.  Returns pending states for
+    kernel_finish."""
     vcodes, vpred, is_sink, nv, node_of, off_in = built
     n = len(qs)
+    b_chunk = _b_chunk_for(v_pad, l_pad)
     pendings = []
-    for s in range(0, n, _B_CHUNK):
-        e = min(s + _B_CHUNK, n)
+    for s in range(0, n, b_chunk):
+        e = min(s + b_chunk, n)
         chunk = (vcodes[s:e], vpred[s:e], is_sink[s:e], nv[s:e],
                  node_of[s:e], off_in[s:e])
         pendings.append(kernel_dispatch(chunk, qs[s:e], v_pad, l_pad))
