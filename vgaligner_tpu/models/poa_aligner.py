@@ -438,11 +438,14 @@ class PoaAligner:
         from ..ops.poa_device import kernel_dispatch_chunked, kernel_finish
 
         pending = []
+        from ..ops.poa_device import padded_rows
+
         for (v_pad, l_pad), idxs in sorted(buckets.items()):
             sel = np.asarray(idxs, dtype=np.int64)
             built = build_poa_batch_arrays(
                 labels, label_off, handle_off.astype(np.int64),
                 edge_off.astype(np.int64), edges_flat, sel, v_pad, P_MAX,
+                rows=padded_rows(len(idxs), v_pad, l_pad),
             )
             if built is None:
                 # fan-in above P_MAX: decode these problems to Python

@@ -631,7 +631,10 @@ def _align_bucket_native(node_edge_probs, qs, v_pad: int, l_pad: int):
     the device kernel.  Returns None if a problem exceeds the pads."""
     from ..native import build_poa_batch_native
 
-    built = build_poa_batch_native(node_edge_probs, v_pad, P_MAX)
+    built = build_poa_batch_native(
+        node_edge_probs, v_pad, P_MAX,
+        rows=padded_rows(len(node_edge_probs), v_pad, l_pad),
+    )
     if built is None:
         return None
     return kernel_and_finish(built, qs, v_pad, l_pad)
@@ -662,50 +665,63 @@ def _b_pad_for(n: int) -> int:
     return _next_pow2(n)  # unchunked callers above the ladder
 
 
+def padded_rows(n: int, v_pad: int, l_pad: int) -> int:
+    """Batch rows the problem builder should allocate so every chunk of
+    kernel_dispatch_chunked — including the ladder-padded last one — is
+    a zero-copy view (builders calloc the extra rows; all-zero problems
+    are valid throwaways for the kernel)."""
+    if n <= 0:
+        return n
+    b_chunk = _b_chunk_for(v_pad, l_pad)
+    s_last = (n - 1) // b_chunk * b_chunk
+    return s_last + _b_pad_for(n - s_last)
+
+
 def kernel_dispatch_chunked(built, qs, v_pad: int, l_pad: int):
     """Dispatch a bucket as fixed-size chunks (batch dims drawn from a
     small ladder, sized to the HBM budget for this problem shape) so POA
     executables are shared across datasets instead of recompiling for
-    every distinct problem count.  Returns pending states for
-    kernel_finish."""
+    every distinct problem count.  Chunks are sliced as views when the
+    builder over-allocated rows (padded_rows); host memory on the target
+    VMs is burst-throttled, so avoiding batch-dim copies matters.
+    Returns pending states for kernel_finish."""
     vcodes, vpred, is_sink, nv, node_of, off_in = built
     n = len(qs)
     b_chunk = _b_chunk_for(v_pad, l_pad)
     pendings = []
     for s in range(0, n, b_chunk):
         e = min(s + b_chunk, n)
-        chunk = (vcodes[s:e], vpred[s:e], is_sink[s:e], nv[s:e],
-                 node_of[s:e], off_in[s:e])
+        b_pad = _b_pad_for(e - s)
+        with timer.phase("d_pad"):
+            if vcodes.shape[0] >= s + b_pad:
+                chunk = (vcodes[s : s + b_pad], vpred[s : s + b_pad],
+                         is_sink[s : s + b_pad], nv[s : s + b_pad],
+                         node_of[s : s + b_pad], off_in[s : s + b_pad])
+            else:  # builder did not over-allocate: zero-pad (copies)
+                def zpad(a):
+                    out = np.zeros((b_pad,) + a.shape[1:], dtype=a.dtype)
+                    out[: e - s] = a[s:e]
+                    return out
+
+                chunk = tuple(zpad(a) for a in built)
         pendings.append(kernel_dispatch(chunk, qs[s:e], v_pad, l_pad))
     return pendings
 
 
 def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
-    """Pad + launch the device POA kernel (async).  Returns the pending
-    state consumed by kernel_finish — split so multiple buckets queue on
-    device back-to-back before any host sync (the link charges ~27 ms
-    per dispatch+sync cycle)."""
+    """Launch the device POA kernel (async) on a ladder-padded chunk.
+    Returns the pending state consumed by kernel_finish — split so
+    multiple buckets queue on device back-to-back before any host sync
+    (the link charges ~27 ms per dispatch+sync cycle)."""
     vcodes, vpred, is_sink, nv, node_of, off_in = built
     n_real = len(qs)
-    # pad the batch dim to a ladder value so executables are shared
+    b_pad = vcodes.shape[0]
     with timer.phase("d_pad"):
-        b_pad = _b_pad_for(n_real)
-        if b_pad != n_real:
-            rep = b_pad - n_real
-            vcodes = np.concatenate([vcodes, np.repeat(vcodes[:1], rep, 0)])
-            vpred = np.concatenate([vpred, np.repeat(vpred[:1], rep, 0)])
-            is_sink = np.concatenate([is_sink, np.repeat(is_sink[:1], rep, 0)])
-            nv = np.concatenate([nv, np.repeat(nv[:1], rep)])
-            node_of = np.concatenate([node_of, np.repeat(node_of[:1], rep, 0)])
-            off_in = np.concatenate([off_in, np.repeat(off_in[:1], rep, 0)])
-
         q_pad = np.full((b_pad, l_pad), 4, dtype=np.int8)
         nq = np.zeros(b_pad, dtype=np.int32)
         for i, qc in enumerate(qs):
             q_pad[i, : len(qc)] = qc
             nq[i] = len(qc)
-        nq[n_real:] = nq[0]
-        q_pad[n_real:] = q_pad[0]
 
         init_row = np.empty(l_pad + 1, dtype=np.float32)
         init_row[0] = 0.0
@@ -714,7 +730,7 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
     with timer.phase("d_launch"):
         out_d = poa_global_kernel(
             jnp.asarray(vcodes), jnp.asarray(vpred),
-            jnp.asarray(is_sink.astype(bool)), jnp.asarray(nv),
+            jnp.asarray(is_sink.view(np.bool_)), jnp.asarray(nv),
             jnp.asarray(q_pad), jnp.asarray(nq), jnp.asarray(init_row), v_pad,
         )
     return (out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
@@ -730,10 +746,13 @@ def kernel_finish(pending):
         scores, ops, vids, tlens = jax.device_get(out_d)
 
     with timer.phase("f_decode"):
-        bg_off = np.arange(b_pad + 1, dtype=np.int64) * v_pad
+        # decode only the real rows: batch-pad rows are zeroed throwaway
+        # problems whose tapes are garbage (and must not be walked)
+        bg_off = np.arange(n_real + 1, dtype=np.int64) * v_pad
         cigars, css, node_paths, path_vertices, scalars = finish_tapes_native(
-            ops, vids, tlens.astype(np.int32), bg_off,
-            vcodes.reshape(-1), node_of.reshape(-1), off_in.reshape(-1), q_pad,
+            ops[:n_real], vids[:n_real], tlens[:n_real].astype(np.int32),
+            bg_off, vcodes[:n_real].reshape(-1), node_of[:n_real].reshape(-1),
+            off_in[:n_real].reshape(-1), q_pad[:n_real],
         )
     with timer.phase("f_build"):
         results = []
