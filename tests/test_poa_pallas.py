@@ -70,7 +70,6 @@ def _run(problems, v_pad, l_pad, use_pallas):
             jnp.asarray(np.stack([p.q for p in probs])),
             jnp.asarray(np.asarray([p.nq for p in probs], np.int32)),
             jnp.asarray(init_row),
-            v_pad,
             use_pallas=use_pallas,
         )
     )

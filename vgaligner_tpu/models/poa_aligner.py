@@ -430,6 +430,10 @@ class PoaAligner:
                 _next_pow2(max(len(qs[i]), 128)),
             )
             buckets.setdefault(key, []).append(i)
+        for idxs in buckets.values():
+            # ascending V: the DP loop runs to each chunk's max nv, so
+            # grouping small problems keeps chunk bounds tight
+            idxs.sort(key=lambda i: int(v_per[i]))
 
         out = [None] * n
         edges_flat = np.ascontiguousarray(edges.reshape(-1), dtype=np.int64)

@@ -101,16 +101,22 @@ def prepare_problem(bg: BaseGraph, qcodes: np.ndarray, v_pad: int, l_pad: int) -
     return PoaProblem(vcodes, vpred, is_sink, V, q, len(qcodes))
 
 
-@partial(jax.jit, static_argnames=("v_steps",))
-def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
+@jax.jit
+def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
     """The DP section of one batch of global POA problems (XLA path).
 
     vcodes [B,V] int8, vpred [B,V,P], is_sink [B,V], nv [B], q [B,L] int8,
     nq [B], init_row [L+1] f32 (leading-insertion costs).
     Returns (score [B] f32, best_sink [B] i32, tbits [B,V,L+1] i32).
+
+    The vertex loop runs to the *batch max* nv (a traced bound — XLA's
+    while lowering costs the same per step as the static scan but skips
+    the padding tail entirely; callers sort problems by V so chunk
+    maxima stay tight).
     """
     B, V = vcodes.shape
     L = q.shape[1]
+    nv_max = jnp.max(nv)
     oe1 = np.float32(GAP_OPEN1 + GAP_EXT1)
     oe2 = np.float32(GAP_OPEN2 + GAP_EXT2)
     e1 = np.float32(GAP_EXT1)
@@ -124,7 +130,7 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
         tbits = jnp.zeros((V, L + 1), dtype=jnp.int32)
         jcol = jnp.arange(L + 1, dtype=jnp.float32)
 
-        def step(carry, v):
+        def step(v, carry):
             H, E1m, E2m, tbits = carry
             preds = vpred_b[v]  # [P]
             idx = jnp.where(preds >= 0, preds, V)  # -1 -> virtual source row
@@ -236,11 +242,10 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps):
             E1m = E1m.at[v].set(best1)
             E2m = E2m.at[v].set(best2)
             tbits = tbits.at[v].set(bits)
-            return (H, E1m, E2m, tbits), None
+            return (H, E1m, E2m, tbits)
 
-        (H, E1m, E2m, tbits), _ = jax.lax.scan(
-            step, (H, E1m, E2m, tbits), jnp.arange(v_steps, dtype=jnp.int32),
-            unroll=4,  # amortize per-step dispatch overhead
+        H, E1m, E2m, tbits = jax.lax.fori_loop(
+            0, nv_max, step, (H, E1m, E2m, tbits)
         )
 
         # best sink at column nq (first in topo order on ties)
@@ -338,7 +343,7 @@ def traceback_batch(tbits, vpred, best_sink, nq):
     return jax.vmap(one)(tbits, vpred, best_sink, nq)
 
 
-def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps,
+def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row,
                       use_pallas: Optional[bool] = None):
     """One batch of global POA problems: DP + traceback.
 
@@ -384,7 +389,7 @@ def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps,
             )
     else:
         score, best_sink, tbits = poa_dp_xla(
-            vcodes, vpred, is_sink, nv, q, nq, init_row, v_steps
+            vcodes, vpred, is_sink, nv, q, nq, init_row
         )
     ops, vids, tlen = traceback_batch(tbits, vpred, best_sink, jnp.asarray(nq))
     return score, ops, vids, tlen
@@ -402,25 +407,27 @@ def _next_pow2(x: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("v_steps",))
-def poa_local_kernel(vcodes, vpred, nv, q, nq, v_steps):
+@jax.jit
+def poa_local_kernel(vcodes, vpred, nv, q, nq):
     """Batched local gapless POA DP + traceback.
 
     Mirrors ops/poa.py align_local_no_gap_host exactly: zero-floored
     match/mismatch DP over the base DAG, strict-improvement source
     updates in predecessor-list order, best cell = earliest (v, j) in
     scan order.  Returns (best [B] f32, ops [B,T] i8, vids [B,T] i32,
-    tlen [B] i32, qend [B] i32) with T = L + 1.
+    tlen [B] i32, qend [B] i32) with T = L + 1.  The vertex loop runs
+    to the batch max nv (traced bound, as in poa_dp_xla).
     """
     B, V = vcodes.shape
     L = q.shape[1]
+    nv_max = jnp.max(nv)
 
     def one(vcodes_b, vpred_b, nv_b, q_b, nq_b):
         H = jnp.zeros((V + 1, L + 1), dtype=jnp.float32)  # row V: virtual 0s
         cells = jnp.zeros((V, L + 1), dtype=jnp.int32)  # slot | pos<<4
         p_iota = jnp.arange(P_MAX, dtype=jnp.int32)[:, None]
 
-        def step(carry, v):
+        def step(v, carry):
             H, cells, best, bv, bj = carry
             preds = vpred_b[v]
             idx = jnp.where(preds >= 0, preds, V)
@@ -463,12 +470,10 @@ def poa_local_kernel(vcodes, vpred, nv, q, nq, v_steps):
 
             H = H.at[v].set(jnp.where(in_range, row, 0.0))
             cells = cells.at[v].set(bits)
-            return (H, cells, best, bv, bj), None
+            return (H, cells, best, bv, bj)
 
         init = (H, cells, jnp.float32(0), jnp.int32(0), jnp.int32(0))
-        (H, cells, best, bv, bj), _ = jax.lax.scan(
-            step, init, jnp.arange(v_steps, dtype=jnp.int32), unroll=4
-        )
+        H, cells, best, bv, bj = jax.lax.fori_loop(0, nv_max, step, init)
 
         # traceback: matches only, until the zero floor (or j == 0)
         T = L + 1
@@ -543,7 +548,6 @@ def _align_local_bucket(bgs, qs, v_pad: int, l_pad: int):
             jnp.asarray(np.asarray([p.nv for p in probs], dtype=np.int32)),
             jnp.asarray(np.stack([p.q for p in probs])),
             jnp.asarray(np.asarray([p.nq for p in probs], dtype=np.int32)),
-            v_pad,
         )
     )
 
@@ -731,7 +735,7 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
         out_d = poa_global_kernel(
             jnp.asarray(vcodes), jnp.asarray(vpred),
             jnp.asarray(is_sink.view(np.bool_)), jnp.asarray(nv),
-            jnp.asarray(q_pad), jnp.asarray(nq), jnp.asarray(init_row), v_pad,
+            jnp.asarray(q_pad), jnp.asarray(nq), jnp.asarray(init_row),
         )
     return (out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
 
@@ -808,7 +812,6 @@ def _align_bucket(bgs, qs, v_pad: int, l_pad: int):
             jnp.asarray(np.stack([p.q for p in probs])),
             jnp.asarray(np.asarray([p.nq for p in probs], dtype=np.int32)),
             jnp.asarray(init_row),
-            v_pad,
         )
     )
 
