@@ -266,6 +266,21 @@ class Index:
     def load_from_prefix(cls, prefix: str) -> "Index":
         return cls.load(prefix + ".idx.npz")
 
+    # ---- cached host views ---------------------------------------------
+
+    def fo_columns(self):
+        """Contiguous int64 (start, end) columns of fo_positions, cached
+        (the coords hot path calls per batch; host memory is burst-
+        throttled so repeated strided copies are costly)."""
+        cols = getattr(self, "_fo_cols", None)
+        if cols is None:
+            cols = (
+                np.ascontiguousarray(self.fo_positions[:, 0], dtype=np.int64),
+                np.ascontiguousarray(self.fo_positions[:, 1], dtype=np.int64),
+            )
+            self._fo_cols = cols
+        return cols
+
     # ---- device -------------------------------------------------------
 
     def device(self) -> DeviceIndex:

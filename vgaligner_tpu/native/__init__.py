@@ -338,8 +338,7 @@ def anchor_coords_native(seqs, index, a_max: np.ndarray, mem_off: np.ndarray,
     codes_c = np.ascontiguousarray(index.kmer_codes, dtype=np.int64)
     counts_c = np.ascontiguousarray(index.fo_counts, dtype=np.int64)
     offsets_c = np.ascontiguousarray(index.fo_offsets, dtype=np.int64)
-    start_c = np.ascontiguousarray(index.fo_positions[:, 0], dtype=np.int64)
-    end_c = np.ascontiguousarray(index.fo_positions[:, 1], dtype=np.int64)
+    start_c, end_c = index.fo_columns()
     am = np.ascontiguousarray(a_max, dtype=np.int64)
     mo = np.ascontiguousarray(mem_off, dtype=np.int64)
     ms = np.ascontiguousarray(mem_slots, dtype=np.int32)
