@@ -189,3 +189,43 @@ def test_placeholder_chain_alignment(tindex):
     aligner = PoaAligner(index, PoaEngine.ABPOA)
     aln = aligner.best_alignment_for_query(chains[0])
     assert aln.to_string().startswith("nope\t16\t*")
+
+
+def test_bubble_closure_recovers_distant_alt_allele():
+    """A SNP bubble whose alt node id is far from its flanks (the
+    spoa/smooth HLA graph layout): the reference's contiguous-id range
+    forces the ref allele with a substitution; with bubble closure the
+    POA routes through the alt node exactly."""
+    from vgaligner_tpu.graph.handlegraph import HashGraph
+    from vgaligner_tpu.index import Index
+    from vgaligner_tpu.io.fastx import QuerySequence
+    from vgaligner_tpu.models.mapper import Mapper
+    from vgaligner_tpu.models.poa_aligner import PoaAligner, PoaEngine
+
+    g = HashGraph()
+    h1 = g.create_handle("CCAGGACAGCCAGGCCAGCA", 1)
+    h2 = g.create_handle("T", 2)  # ref allele
+    h3 = g.create_handle("GATGGGGATGGTGGGCTGGG", 3)
+    h4 = g.create_handle("TTACGGATTCAGGCAACTGA", 4)
+    h5 = g.create_handle("C", 5)  # alt allele, id outside the chain range
+    g.create_edge(h1, h2)
+    g.create_edge(h1, h5)
+    g.create_edge(h2, h3)
+    g.create_edge(h5, h3)
+    g.create_edge(h3, h4)
+    index = Index.build(g, 11, 100, 100)
+
+    read = "CCAGGACAGCCAGGCCAGCA" + "C" + "GATGGGGATGGTGGGCTGGG" + "TTACGGATTCAGGCAACTGA"
+    q = QuerySequence.from_name_and_string("alt", read)
+    mapper = Mapper(index, chain_min_n_anchors=3)
+    chains = mapper.map_reads([q])
+
+    with_closure = PoaAligner(index, PoaEngine.ABPOA, bubble_closure=True)
+    aln = with_closure.best_alignments_for_queries(chains)[0]
+    assert aln.path_matching == ">1>5>3>4", aln.path_matching
+    assert "cg:Z:61M" in (aln.notes or ""), aln.notes
+
+    parity = PoaAligner(index, PoaEngine.ABPOA, bubble_closure=False)
+    aln_p = parity.best_alignments_for_queries(chains)[0]
+    # reference-parity subgraph misses node 5 -> substitution via node 2
+    assert ">5" not in (aln_p.path_matching or ""), aln_p.path_matching

@@ -26,8 +26,29 @@ globally here (TPU executes f64 via emulation; the DP is tiny relative
 to lookup bandwidth).
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the target TPU transport compiles
+# remotely (minutes per new executable shape), so fresh processes
+# (CLI runs, bench, the suite) must reuse compiled executables.
+# Measured: 3.5 s -> 0.26 s for a small jit in a cold process.
+# Override the location with VGALIGNER_JAX_CACHE; disable with
+# VGALIGNER_JAX_CACHE=0.
+_cache = _os.environ.get(
+    "VGALIGNER_JAX_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "vgaligner_tpu", "jax"),
+)
+if _cache != "0":
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - config name drift across jax
+        pass
 
 __version__ = "0.1.0"

@@ -65,6 +65,11 @@ def _build_parser() -> argparse.ArgumentParser:
     mp.add_argument("-P", "--validation-path", metavar="FILE")
     mp.add_argument("-p", "--poa-aligner", required=True, metavar="ALIGNER_NAME",
                     choices=["rspoa", "abpoa"])
+    mp.add_argument("--bubble-closure", action="store_true",
+                    help="splice out-of-range bubble alt-alleles into the "
+                         "chain-implied POA subgraph (extension beyond the "
+                         "reference; helps isolated SNP bubbles, can hurt "
+                         "on bubble-dense graphs)")
     return p
 
 
@@ -147,7 +152,8 @@ def map_main(args) -> None:
 
         graph = graph_from_gfa(args.input_graph)
         engine = PoaEngine.ABPOA if args.poa_aligner == "abpoa" else PoaEngine.RSPOA
-        aligner = PoaAligner(index, engine, export_subgraphs=True, graph=graph)
+        aligner = PoaAligner(index, engine, export_subgraphs=True, graph=graph,
+                             bubble_closure=args.bubble_closure)
 
         t0 = time.monotonic()
         alignments = aligner.best_alignments_for_queries(

@@ -176,6 +176,69 @@ def extend_range_chain(index: Index, chain: Chain, old_range: OrientedGraphRange
     return OrientedGraphRange(orient=old_range.orient, handles=handles)
 
 
+def close_bubbles(index: Index, po_range: OrientedGraphRange) -> OrientedGraphRange:
+    """Surgical bubble closure (accuracy extension beyond the reference).
+
+    Two reference behaviors lose bubble alt-alleles on graphs whose
+    alt-node ids sit far from their flanks: the contiguous node-id
+    range omits un-anchored alt nodes entirely (align.rs:267-402), and
+    the id-increasing edge filter (align.rs:717-721) drops the return
+    edge of an in-range alt node whose id exceeds its successor's.
+    Forward ranges only: a forward node x whose in-range predecessors P
+    and successors S are both nonempty with max(P) < min(S) is a bubble
+    alt between those flanks; if its id does not already sit between
+    them (or it is out of range) it is (re)placed right after max(P).
+    Everything else keeps id order — the id filter doubles as a
+    linearity prior that prunes spurious long-range shortcuts, so a
+    full topological reorder measurably hurts.  Mirrors the native
+    runtime (host_kernels.cpp vg_extract_subgraphs)."""
+    if po_range.orient != RangeOrient.FORWARD:
+        return po_range
+    handles = list(po_range.handles)
+    inset = set(handles)
+    cands = set()
+    for h in handles:
+        for t in index.outgoing_edges_from_handle(h):
+            if not (t & 1) and t not in inset:
+                cands.add(t)
+    anchor: dict = {}
+    children: dict = {}
+    for x in sorted(cands) + handles:
+        preds = [p for p in index.incoming_edges_from_handle(x) if p in inset]
+        succs = [m for m in index.outgoing_edges_from_handle(x) if m in inset]
+        if not preds or not succs:
+            continue
+        max_p, min_s = max(preds), min(succs)
+        if max_p >= min_s:
+            continue
+        if x in inset and max_p < x < min_s:
+            continue  # already correctly placed
+        anchor[x] = max_p
+        children.setdefault(max_p, []).append(x)
+    if not anchor:
+        return po_range
+    merged: List[int] = []
+    emitted = set()
+
+    def emit(h0: int) -> None:
+        stack = [h0]
+        while stack:
+            h = stack.pop()
+            if h in emitted:
+                continue
+            emitted.add(h)
+            merged.append(h)
+            for c in sorted(children.get(h, ()), reverse=True):
+                stack.append(c)
+
+    for h in handles:
+        if h not in anchor:
+            emit(h)
+    for h in sorted(x for x in anchor if x not in emitted):
+        emit(h)
+    return OrientedGraphRange(orient=po_range.orient, handles=merged)
+
+
 def find_nodes_edges(index: Index, po_range: OrientedGraphRange) -> Tuple[List[str], List[Tuple[int, int]]]:
     """Node labels + 0-based edges within the range, loops removed by
     orientation (align.rs:670-724)."""
@@ -225,11 +288,19 @@ class PoaAligner:
     """Base-level aligner over chain-implied subgraphs (align.rs:34-228)."""
 
     def __init__(self, index: Index, engine: PoaEngine = PoaEngine.ABPOA,
-                 export_subgraphs: bool = False, graph=None):
+                 export_subgraphs: bool = False, graph=None,
+                 bubble_closure: bool = False):
         self.index = index
         self.engine = engine
         self.export_subgraphs = export_subgraphs
         self.graph = graph  # needed only for subgraph-path export
+        # opt-in: splice one-hop bubble alt-alleles into the
+        # chain-implied subgraph (close_bubbles).  Recovers alt alleles
+        # the reference's contiguous-id range drops, but on bubble-dense
+        # spoa/smooth graphs the extra edges let the global POA wander
+        # into degenerate regions (measured net accuracy LOSS on
+        # 8-C3107), so strict reference parity is the default.
+        self.bubble_closure = bubble_closure
 
     def best_alignment_for_query(self, chains: List[Chain], align_best_n: int = 1) -> GAFAlignment:
         """align.rs:34-55."""
@@ -280,6 +351,8 @@ class PoaAligner:
                 rng = extend_range_chain(
                     self.index, chain, find_range_chain(self.index, chain)
                 )
+                if self.bubble_closure:
+                    rng = close_bubbles(self.index, rng)
                 nodes, edges = find_nodes_edges(self.index, rng)
                 if self.export_subgraphs and self.graph is not None:
                     from ..io.validate import create_subgraph_gfa, export_gfa
@@ -328,6 +401,8 @@ class PoaAligner:
                 rng = extend_range_chain(
                     self.index, chain, find_range_chain(self.index, chain)
                 )
+                if self.bubble_closure:
+                    rng = close_bubbles(self.index, rng)
                 nodes, edges = find_nodes_edges(self.index, rng)
                 problems.append((nodes, edges, chain.query.seq))
                 owners.append((qi, chain, rng))
@@ -379,7 +454,8 @@ class PoaAligner:
 
         handle_off, handles, label_off, labels, edge_off, edges, status = (
             extract_subgraphs_native(
-                self.index, anchor_off, aqb, atb, ate, aso, aeo, qlen, k
+                self.index, anchor_off, aqb, atb, ate, aso, aeo, qlen, k,
+                bubble_closure=self.bubble_closure,
             )
         )
         if status.any():
@@ -499,6 +575,8 @@ class PoaAligner:
         """align.rs:58-145."""
         po_range = find_range_chain(self.index, chain)
         extended = extend_range_chain(self.index, chain, po_range)
+        if self.bubble_closure:
+            extended = close_bubbles(self.index, extended)
         nodes, edges = find_nodes_edges(self.index, extended)
 
         if self.export_subgraphs and self.graph is not None:

@@ -88,7 +88,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
             _charp, _charp, ctypes.c_int64,
             ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i8p, _i8p,
-            _i64p, ctypes.c_int64,
+            _i64p, ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
             ctypes.POINTER(_i64p), ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
@@ -466,9 +466,13 @@ def extract_subgraphs_native(index, anchor_off: np.ndarray, aqb: np.ndarray,
                              atb: np.ndarray, ate: np.ndarray,
                              aso: Optional[np.ndarray],
                              aeo: Optional[np.ndarray],
-                             qlen: np.ndarray, k: int):
+                             qlen: np.ndarray, k: int,
+                             bubble_closure: bool = False):
     """Batched chain -> subgraph extraction over the index arrays.
 
+    bubble_closure splices in out-of-range one-hop bubble alt-alleles
+    (see host_kernels.cpp; an accuracy extension beyond the reference's
+    contiguous-id range — pass False for strict reference parity).
     Returns (handle_off [B+1], handles, label_off [total_nodes+1],
     labels bytes, edge_off [B+1], edges [total_edges,2], status [B])
     where status[p] != 0 marks a problem needing the Python fallback.
@@ -501,7 +505,7 @@ def extract_subgraphs_native(index, anchor_off: np.ndarray, aqb: np.ndarray,
         B, _p64(ao), _p64(aqb_c), _p64(atb_c), _p64(ate_c),
         None if aso_c is None else _p8(aso_c),
         None if aeo_c is None else _p8(aeo_c),
-        _p64(ql), k,
+        _p64(ql), k, 1 if bubble_closure else 0,
         ctypes.byref(oh), ctypes.byref(ohs), ctypes.byref(olo),
         ctypes.byref(olb), ctypes.byref(oeo), ctypes.byref(oe),
         ctypes.byref(ost),

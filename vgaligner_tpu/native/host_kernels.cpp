@@ -31,6 +31,7 @@
 #include <deque>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -551,7 +552,7 @@ int64_t vg_extract_subgraphs(
     const char* seq_fwd, const char* seq_rev, int64_t seq_len,
     int64_t B, const int64_t* anchor_off, const int64_t* aqb,
     const int64_t* atb, const int64_t* ate, const int8_t* aso,
-    const int8_t* aeo, const int64_t* qlen, int64_t k,
+    const int8_t* aeo, const int64_t* qlen, int64_t k, int32_t closure,
     int64_t** out_handle_off, int64_t** out_handles,
     int64_t** out_label_off, char** out_labels,
     int64_t** out_edge_off, int64_t** out_edges,
@@ -671,8 +672,92 @@ int64_t vg_extract_subgraphs(
     std::sort(hlist.begin(), hlist.end());
     hlist.erase(std::unique(hlist.begin(), hlist.end()), hlist.end());
 
+    // ---- bubble closure (surgical extension beyond the reference) -----
+    // Two reference behaviors lose bubble alt-alleles on spoa/smooth HLA
+    // graphs, whose alt-node ids sit far from their flanks:
+    //   (a) the contiguous node-id range (align.rs:267-402) omits the
+    //       alt node entirely when no chained anchor touches it;
+    //   (b) the edge filter keeps only id-increasing edges
+    //       (align.rs:717-721), so even an in-range alt node with id
+    //       above its successor loses its return edge.
+    // With closure on (forward ranges): a forward node x whose in-range
+    // predecessors P and successors S are both nonempty with
+    // max(P) < min(S) is a bubble alt between those flanks; if its id
+    // does not already sit between them (or it is out of range), it is
+    // (re)placed right after max(P), so the i<j filter keeps exactly
+    // its bubble edges.  Everything else keeps the reference's id
+    // order — the id filter doubles as a linearity prior that prunes
+    // spurious long-range shortcuts, so a full topological reorder
+    // measurably hurts (it legalizes those shortcuts).
+    if (closure && orient_kind == 0) {
+      std::unordered_set<int64_t> inset(hlist.begin(), hlist.end());
+      std::vector<int64_t> cands;  // out-of-range one-hop candidates
+      for (int64_t h : hlist) {
+        ix.outgoing(h, nbrs);
+        for (int64_t t : nbrs)
+          if (!(t & 1) && !inset.count(t)) cands.push_back(t);
+      }
+      std::sort(cands.begin(), cands.end());
+      cands.erase(std::unique(cands.begin(), cands.end()), cands.end());
+      cands.insert(cands.end(), hlist.begin(), hlist.end());
+
+      std::unordered_map<int64_t, int64_t> anchor;     // bubble x -> max(P)
+      std::unordered_map<int64_t, std::vector<int64_t>> children;
+      for (int64_t x : cands) {
+        int64_t max_p = INT64_MIN, min_s = INT64_MAX;
+        ix.incoming(x, nbrs);
+        for (int64_t p : nbrs)
+          if (inset.count(p)) max_p = std::max(max_p, p);
+        ix.outgoing(x, nbrs);
+        for (int64_t m : nbrs)
+          if (inset.count(m)) min_s = std::min(min_s, m);
+        if (max_p == INT64_MIN || min_s == INT64_MAX || max_p >= min_s)
+          continue;
+        if (inset.count(x) && max_p < x && x < min_s) continue;  // placed ok
+        anchor[x] = max_p;
+        children[max_p].push_back(x);
+      }
+      if (!anchor.empty()) {
+        std::vector<int64_t> merged;
+        merged.reserve(hlist.size() + anchor.size());
+        std::unordered_set<int64_t> emitted;
+        // emit id-ordered members (skipping relocated ones), splicing
+        // each bubble after its anchor; anchors that are themselves
+        // bubbles chain through the recursion
+        std::vector<int64_t> stack;
+        auto emit = [&](int64_t h0) {
+          stack.clear();
+          stack.push_back(h0);
+          while (!stack.empty()) {
+            int64_t h = stack.back();
+            stack.pop_back();
+            if (!emitted.insert(h).second) continue;
+            merged.push_back(h);
+            auto it = children.find(h);
+            if (it != children.end()) {
+              std::sort(it->second.rbegin(), it->second.rend());
+              for (int64_t c : it->second) stack.push_back(c);
+            }
+          }
+        };
+        for (int64_t h : hlist)
+          if (!anchor.count(h)) emit(h);
+        // bubbles whose anchor chain never reached a non-bubble member
+        // (shouldn't happen on a DAG, but stay total): append id-sorted
+        std::vector<int64_t> rest;
+        for (auto& kv : anchor)
+          if (!emitted.count(kv.first)) rest.push_back(kv.first);
+        std::sort(rest.begin(), rest.end());
+        for (int64_t h : rest) emit(h);
+        hlist.swap(merged);
+      }
+    }
+
     // ---- find_nodes_edges (align.rs:670-724) --------------------------
     // labels in handle orientation (index.rs:503-533)
+    std::unordered_map<int64_t, int64_t> hpos;
+    hpos.reserve(hlist.size() * 2);
+    for (size_t i = 0; i < hlist.size(); ++i) hpos[hlist[i]] = (int64_t)i;
     for (int64_t h : hlist) {
       int64_t id = h >> 1;
       int64_t s = node_starts[id - 1], e = node_starts[id];
@@ -687,9 +772,9 @@ int64_t vg_extract_subgraphs(
     for (size_t i = 0; i < hlist.size(); ++i) {
       ix.outgoing(hlist[i], nbrs);
       for (int64_t tgt : nbrs) {
-        auto it = std::lower_bound(hlist.begin(), hlist.end(), tgt);
-        if (it == hlist.end() || *it != tgt) continue;
-        int64_t j = it - hlist.begin();
+        auto it = hpos.find(tgt);
+        if (it == hpos.end()) continue;
+        int64_t j = it->second;
         if (orient_kind == 0 && !((int64_t)i < j)) continue;
         if (orient_kind == 1 && !(j < (int64_t)i)) continue;
         edges_all.push_back((int64_t)i);
