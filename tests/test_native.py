@@ -368,3 +368,30 @@ def test_poa_global_host_native_matches_oracle():
         assert rn.aln_start_offset == rh.aln_start_offset
         assert rn.aln_end_offset == rh.aln_end_offset
         assert rn.residue_matches == rh.residue_matches
+
+
+def test_kmer_state_cap_native_matches_python(monkeypatch):
+    """With a binding DFS state cap, the native and Python enumerations
+    must truncate identically (same LIFO order, same cap accounting)."""
+    from vgaligner_tpu.graph.handlegraph import HashGraph
+    from vgaligner_tpu.index import Index
+
+    # dense hub: 1bp nodes all cross-connected so the DFS branches hard
+    g = HashGraph()
+    hs = []
+    for i, base in enumerate("ACGTACGTACGTACG", start=1):
+        hs.append(g.create_handle(base, i))
+    for i in range(len(hs)):
+        for j in range(i + 1, min(i + 5, len(hs))):
+            g.create_edge(hs[i], hs[j])
+
+    native_idx = Index.build(g, 5, 100, 100, state_cap=50)
+    monkeypatch.setenv("VGALIGNER_NO_NATIVE", "1")
+    py_idx = Index.build(g, 5, 100, 100, state_cap=50)
+    np.testing.assert_array_equal(native_idx.kmer_codes, py_idx.kmer_codes)
+    np.testing.assert_array_equal(native_idx.positions, py_idx.positions)
+    np.testing.assert_array_equal(native_idx.kmer_counts, py_idx.kmer_counts)
+    # uncapped runs must also agree and be supersets of capped ones
+    monkeypatch.delenv("VGALIGNER_NO_NATIVE")
+    full = Index.build(g, 5, 100, 100, state_cap=0)
+    assert full.n_kmers >= native_idx.n_kmers

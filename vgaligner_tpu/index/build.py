@@ -96,6 +96,7 @@ class Index:
         sampling_rate: Optional[int] = None,
         generate_mappings: bool = False,
         mappings_path: Optional[str] = None,
+        state_cap: int = 500_000,
     ) -> "Index":
         """Build the index (Index::build, index.rs:109-281)."""
         n_nodes = graph.n_nodes
@@ -128,6 +129,7 @@ class Index:
             codes, offsets, counts, positions = kmer_index_native(
                 graph, kmer_length, max_furcations, max_degree,
                 sampling_rate, lin.node_starts, seq_length,
+                state_cap=state_cap,
             )
             log.info(
                 "Finding + converting the kmers required: %d ms (native)",
@@ -141,6 +143,7 @@ class Index:
                 edge_max=max_furcations,
                 degree_max=max_degree,
                 sampling_rate=sampling_rate,
+                state_cap=state_cap,
             )
             log.info("Finding the kmers required: %d ms", (time.monotonic() - t0) * 1000)
 

@@ -104,8 +104,14 @@ def _kmers_for_handle_orient(
     degree_max: Optional[int],
     sampling_rate: Optional[int],
     drop_handle_on_n: bool,
+    state_cap: int = 0,
 ) -> List[GraphKmer]:
-    """All k-mers starting in `handle` (kmer.rs:347-505)."""
+    """All k-mers starting in `handle` (kmer.rs:347-505).
+
+    state_cap > 0 bounds the DFS states per call: the reference's fork
+    cap never binds at k <= max_furcations, so dense hubs of 1 bp nodes
+    enumerate paths exponentially (framework extension; the native
+    runtime applies the same cap — see host_kernels.cpp)."""
     out_neighbors = graph.right_neighbors(handle)
     if degree_max is not None and len(out_neighbors) > degree_max:
         return []
@@ -153,7 +159,12 @@ def _kmers_for_handle_orient(
                     incomplete.append(inc)
 
     # LIFO completion across edges (kmer.rs:449-497)
+    states = 0
     while incomplete:
+        states += 1
+        if state_cap > 0 and states > state_cap:
+            _CAP_HITS.append(handle)
+            break
         kmer = incomplete.pop()
         h = kmer.last_handle
         h_seq = graph.sequence(h)
@@ -189,6 +200,9 @@ def _kmers_for_handle_orient(
     return complete
 
 
+_CAP_HITS: list = []  # handles whose DFS hit the state cap (diagnostics)
+
+
 def generate_kmers(
     graph: HashGraph,
     k: int,
@@ -196,6 +210,7 @@ def generate_kmers(
     degree_max: Optional[int] = None,
     sampling_rate: Optional[int] = None,
     drop_handle_on_n: bool = True,
+    state_cap: int = 0,
 ) -> List[GraphKmer]:
     """Enumerate, stable-sort by sequence, and dedup graph k-mers."""
     kmers: List[GraphKmer] = []
@@ -205,7 +220,7 @@ def generate_kmers(
             kmers.extend(
                 _kmers_for_handle_orient(
                     graph, handle, orient, k, edge_max, degree_max,
-                    sampling_rate, drop_handle_on_n,
+                    sampling_rate, drop_handle_on_n, state_cap,
                 )
             )
 

@@ -74,6 +74,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, _charp, _i64p, _i64p, _i64p, _i64p, _i64p,
             _i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, _i64p,
             ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
             ctypes.POINTER(_i64p), _i64p, ctypes.POINTER(_i64p),
         ]
@@ -154,7 +155,8 @@ def _p8(a: np.ndarray):
 
 def kmer_index_native(graph, k: int, edge_max, degree_max, sampling_rate,
                       node_starts: np.ndarray, seq_len: int,
-                      drop_handle_on_n: bool = True):
+                      drop_handle_on_n: bool = True,
+                      state_cap: int = 0):
     """Native replacement for generate_kmers + generate_pos_on_ref.
 
     Returns (codes, offsets, counts, positions) with codes the sorted
@@ -189,6 +191,7 @@ def kmer_index_native(graph, k: int, edge_max, degree_max, sampling_rate,
 
     oc, oo, ocn, op = _i64p(), _i64p(), _i64p(), _i64p()
     n_pos = ctypes.c_int64(0)
+    capped = np.zeros(1, dtype=np.int64)
     n_unique = lib.vg_kmer_index(
         n, labels_b, _p64(label_off), _p64(l_off), _p64(l_arr),
         _p64(r_off), _p64(r_arr), _p64(ns), seq_len, k,
@@ -196,9 +199,15 @@ def kmer_index_native(graph, k: int, edge_max, degree_max, sampling_rate,
         -1 if degree_max is None else degree_max,
         0 if sampling_rate is None else sampling_rate,
         1 if drop_handle_on_n else 0,
+        state_cap, _p64(capped),
         ctypes.byref(oc), ctypes.byref(oo), ctypes.byref(ocn),
         ctypes.byref(n_pos), ctypes.byref(op),
     )
+    if capped[0]:
+        log.warning(
+            "k-mer DFS state cap (%d) hit on %d handle orientations: "
+            "dense hub regions enumerated partially", state_cap, capped[0],
+        )
     try:
         codes = np.ctypeslib.as_array(oc, shape=(max(n_unique, 1),))[:n_unique].copy()
         offsets = np.ctypeslib.as_array(oo, shape=(max(n_unique, 1),))[:n_unique].copy()

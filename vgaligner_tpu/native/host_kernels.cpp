@@ -130,15 +130,24 @@ struct GraphView {
 
 // All k-mers starting in `handle` (kmer.rs:347-505). Returns false when
 // the whole handle+orientation is aborted by an N (drop_handle_on_n).
+// state_cap bounds the DFS states (start offsets + stack pops) per
+// handle+orientation: the reference's fork cap (max_furcations, default
+// 100) never binds at k <= 100, so dense hubs of 1 bp nodes enumerate
+// k-mer paths exponentially (measured 4e8 instances on HLA-zoo 5-B3106,
+// one start alone 5e7 — the reference blows up identically).  The cap
+// truncates enumeration in such regions (sensitivity loss only there);
+// <= 0 disables.  Returns the number of capped starts via *capped.
 bool kmers_for_handle_orient(const GraphView& g, int64_t handle,
                              bool orient, int32_t k, int64_t edge_max,
                              int64_t degree_max, int64_t sampling_rate,
-                             bool drop_handle_on_n,
+                             bool drop_handle_on_n, int64_t state_cap,
+                             int64_t* capped,
                              std::vector<Km>& complete_out,
                              std::vector<Km>& scratch_stack,
                              std::vector<int64_t>& nbrs,
                              std::vector<int64_t>& nbrs2) {
   size_t base_out = complete_out.size();
+  int64_t states = 0;
   g.right_neighbors(handle, nbrs);
   if (degree_max >= 0 && (int64_t)nbrs.size() > degree_max) return true;
 
@@ -203,6 +212,10 @@ bool kmers_for_handle_orient(const GraphView& g, int64_t handle,
 
   // LIFO completion across edges (kmer.rs:449-497)
   while (!incomplete.empty()) {
+    if (state_cap > 0 && ++states > state_cap) {
+      ++*capped;
+      break;
+    }
     Km km = incomplete.back();
     incomplete.pop_back();
     int64_t h = km.last_handle;
@@ -254,7 +267,7 @@ int64_t vg_kmer_index(
     const int64_t* l_off, const int64_t* l_dat, const int64_t* r_off,
     const int64_t* r_dat, const int64_t* node_starts, int64_t seq_len,
     int32_t k, int64_t edge_max, int64_t degree_max, int64_t sampling_rate,
-    int32_t drop_handle_on_n,
+    int32_t drop_handle_on_n, int64_t state_cap, int64_t* out_capped,
     int64_t** out_codes, int64_t** out_offsets, int64_t** out_counts,
     int64_t* out_n_pos, int64_t** out_positions) {
   GraphView g{n_nodes, labels, label_off, l_off, l_dat, r_off, r_dat};
@@ -262,15 +275,17 @@ int64_t vg_kmer_index(
   std::vector<Km> kmers;
   std::vector<Km> stack;
   std::vector<int64_t> nbrs, nbrs2;
+  int64_t capped = 0;
   for (int64_t id = 1; id <= n_nodes; ++id) {
     // orientation order True, False (kmer_gen.py generate_kmers)
     kmers_for_handle_orient(g, id << 1, true, k, edge_max, degree_max,
-                            sampling_rate, drop_handle_on_n != 0, kmers,
-                            stack, nbrs, nbrs2);
+                            sampling_rate, drop_handle_on_n != 0, state_cap,
+                            &capped, kmers, stack, nbrs, nbrs2);
     kmers_for_handle_orient(g, (id << 1) | 1, false, k, edge_max, degree_max,
-                            sampling_rate, drop_handle_on_n != 0, kmers,
-                            stack, nbrs, nbrs2);
+                            sampling_rate, drop_handle_on_n != 0, state_cap,
+                            &capped, kmers, stack, nbrs, nbrs2);
   }
+  if (out_capped) *out_capped = capped;
 
   // stable sort by sequence only (kmer.rs:295-298), then dedup runs of
   // fully identical records (kmer.rs:299-301)
