@@ -112,6 +112,8 @@ def _kmers_for_handle_orient(
     cap never binds at k <= max_furcations, so dense hubs of 1 bp nodes
     enumerate paths exponentially (framework extension; the native
     runtime applies the same cap — see host_kernels.cpp)."""
+    global _STATES_USED
+    _STATES_USED = 0
     out_neighbors = graph.right_neighbors(handle)
     if degree_max is not None and len(out_neighbors) > degree_max:
         return []
@@ -162,6 +164,7 @@ def _kmers_for_handle_orient(
     states = 0
     while incomplete:
         states += 1
+        _STATES_USED = states
         if state_cap > 0 and states > state_cap:
             _CAP_HITS.append(handle)
             break
@@ -201,6 +204,7 @@ def _kmers_for_handle_orient(
 
 
 _CAP_HITS: list = []  # handles whose DFS hit the state cap (diagnostics)
+_STATES_USED = 0  # LIFO states consumed by the last enumeration call
 
 
 def generate_kmers(
@@ -212,17 +216,30 @@ def generate_kmers(
     drop_handle_on_n: bool = True,
     state_cap: int = 0,
 ) -> List[GraphKmer]:
-    """Enumerate, stable-sort by sequence, and dedup graph k-mers."""
+    """Enumerate, stable-sort by sequence, and dedup graph k-mers.
+
+    state_cap > 0 also sets a global budget of 40x the per-call cap
+    across the whole build (deterministic first-come deduction),
+    mirroring the native runtime."""
     kmers: List[GraphKmer] = []
+    budget = state_cap * 40 if state_cap > 0 else 0
     for fwd_handle in graph.handles():
         for orient in (True, False):
             handle = fwd_handle if orient else handle_flip(fwd_handle)
+            cap = state_cap
+            if state_cap > 0:
+                if budget <= 0:
+                    _CAP_HITS.append(handle)
+                    continue
+                cap = min(state_cap, budget)
             kmers.extend(
                 _kmers_for_handle_orient(
                     graph, handle, orient, k, edge_max, degree_max,
-                    sampling_rate, drop_handle_on_n, state_cap,
+                    sampling_rate, drop_handle_on_n, cap,
                 )
             )
+            if state_cap > 0:
+                budget -= _STATES_USED
 
     kmers.sort(key=lambda km: km.seq)  # stable, seq only (kmer.rs:295-298)
 

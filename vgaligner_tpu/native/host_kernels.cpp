@@ -137,6 +137,8 @@ struct GraphView {
 // one start alone 5e7 — the reference blows up identically).  The cap
 // truncates enumeration in such regions (sensitivity loss only there);
 // <= 0 disables.  Returns the number of capped starts via *capped.
+int64_t g_states_used = 0;  // states consumed by the last call
+
 bool kmers_for_handle_orient(const GraphView& g, int64_t handle,
                              bool orient, int32_t k, int64_t edge_max,
                              int64_t degree_max, int64_t sampling_rate,
@@ -148,6 +150,10 @@ bool kmers_for_handle_orient(const GraphView& g, int64_t handle,
                              std::vector<int64_t>& nbrs2) {
   size_t base_out = complete_out.size();
   int64_t states = 0;
+  struct StatesOut {
+    int64_t* s;
+    ~StatesOut() { g_states_used = *s; }
+  } states_out{&states};
   g.right_neighbors(handle, nbrs);
   if (degree_max >= 0 && (int64_t)nbrs.size() > degree_max) return true;
 
@@ -276,14 +282,27 @@ int64_t vg_kmer_index(
   std::vector<Km> stack;
   std::vector<int64_t> nbrs, nbrs2;
   int64_t capped = 0;
+  // global budget: 40x the per-call cap (deterministic first-come
+  // deduction; bounds the whole build on hub-dense graphs where even
+  // per-call caps x thousands of handles explode the sort/convert)
+  int64_t budget = state_cap > 0 ? state_cap * 40 : 0;
   for (int64_t id = 1; id <= n_nodes; ++id) {
     // orientation order True, False (kmer_gen.py generate_kmers)
-    kmers_for_handle_orient(g, id << 1, true, k, edge_max, degree_max,
-                            sampling_rate, drop_handle_on_n != 0, state_cap,
-                            &capped, kmers, stack, nbrs, nbrs2);
-    kmers_for_handle_orient(g, (id << 1) | 1, false, k, edge_max, degree_max,
-                            sampling_rate, drop_handle_on_n != 0, state_cap,
-                            &capped, kmers, stack, nbrs, nbrs2);
+    for (int o = 0; o < 2; ++o) {
+      int64_t cap = state_cap;
+      if (state_cap > 0) {
+        if (budget <= 0) { ++capped; continue; }
+        cap = std::min(state_cap, budget);
+      }
+      int64_t before = capped;
+      size_t n_before = kmers.size();
+      kmers_for_handle_orient(g, (id << 1) | o, o == 0, k, edge_max,
+                              degree_max, sampling_rate,
+                              drop_handle_on_n != 0, cap,
+                              &capped, kmers, stack, nbrs, nbrs2);
+      (void)before; (void)n_before;
+      if (state_cap > 0) budget -= g_states_used;
+    }
   }
   if (out_capped) *out_capped = capped;
 
