@@ -78,14 +78,13 @@ def _run(problems, v_pad, l_pad, use_pallas):
 @pytest.mark.parametrize("seed", [0, 1])
 def test_pallas_dp_matches_xla(seed):
     problems = _problem_batch(seed, B=4)
-    sx, ox, vx, tx = _run(problems, 64, 64, use_pallas=False)
-    sp, op_, vp, tp = _run(problems, 64, 64, use_pallas=True)
+    sx, tapex, tx = _run(problems, 64, 64, use_pallas=False)
+    sp, tapep, tp = _run(problems, 64, 64, use_pallas=True)
     np.testing.assert_array_equal(sx, sp)
     np.testing.assert_array_equal(tx, tp)
     for b in range(len(problems)):
         t = int(tx[b])
-        np.testing.assert_array_equal(ox[b][:t], op_[b][:t])
-        np.testing.assert_array_equal(vx[b][:t], vp[b][:t])
+        np.testing.assert_array_equal(tapex[b][:t], tapep[b][:t])
 
 
 def test_pallas_pipeline_matches_oracle():

@@ -239,9 +239,11 @@ class Mapper:
                     precision="exact"):
         """One fused mapping step.  The host link has high per-transfer
         latency and low bandwidth, so the host-bound payload is a single
-        int32 channel per anchor plus per-read counts:
+        integer channel per anchor plus per-read counts:
 
-          packed[B, A] int32: (pred+1) | is_start<<17
+          packed[B, A]: (pred+1) | is_start<<S — uint16 with S=15 when
+            a_max <= 16384 (the dominant 256-anchor bucket; halves the
+            transfer), int32 with S=17 otherwise
           counts[B, 2] int32: (n_valid, n_anchors_total)
 
         is_start encodes the reference's chain-start test
@@ -264,7 +266,12 @@ class Mapper:
             & (scores.pred != -1)
             & (scores.f == scores.curr_max[:, None])
         )
-        packed = (scores.pred + 1) | (is_start.astype(jnp.int32) << 17)
+        if a_max <= 16384:
+            packed = (
+                (scores.pred + 1) | (is_start.astype(jnp.int32) << 15)
+            ).astype(jnp.uint16)
+        else:
+            packed = (scores.pred + 1) | (is_start.astype(jnp.int32) << 17)
         counts = jnp.stack(
             [
                 jnp.sum(scores.valid, axis=1).astype(jnp.int32),
@@ -395,8 +402,10 @@ class Mapper:
         return mappable, a_max, packed_d, counts_d
 
     def _collect_bucket(self, mappable, a_max, packed, counts):
-        pred = (packed & ((1 << 17) - 1)) - 1
-        starts = (packed >> 17) & 1
+        shift = 15 if packed.dtype == np.uint16 else 17
+        arr = packed.astype(np.int32)
+        pred = (arr & ((1 << shift) - 1)) - 1
+        starts = (arr >> shift) & 1
 
         # pointer walks, visiting only chain-start anchors
         with self.timer.phase("backtrack"):

@@ -264,15 +264,21 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
 def traceback_batch(tbits, vpred, best_sink, nq):
     """Device traceback over the packed decision bits.
 
-    A fixed-length scan emitting (op, vid) per step: carrying only the
-    tiny walk state and emitting the tape as scan outputs keeps every
-    buffer aliasable (a while_loop scattering into carried [T] tapes
-    forces XLA to copy the tapes every iteration, which dominated the
-    whole kernel).  Finished walks emit OP_END.
+    A fixed-length scan emitting one tape entry per step: carrying only
+    the tiny walk state and emitting the tape as scan outputs keeps
+    every buffer aliasable (a while_loop scattering into carried [T]
+    tapes forces XLA to copy the tapes every iteration, which dominated
+    the whole kernel).  Finished walks emit OP_END.
+
+    Each tape entry packs op (2 bits) and vertex id (vid+2, 14 bits —
+    vid < V <= 8192, sentinel -1 maps to 1) into ONE uint16: the tape
+    is the dominant device->host payload of the --also-align path and
+    the host link is bandwidth-bound, so 2 bytes/step instead of the 5
+    of separate (i8 op, i32 vid) streams cuts fetch time ~2.5x.
 
     tbits [B,V,C] i32 (C >= nq+1), vpred [B,V,P] i32, best_sink [B] i32,
-    nq [B] i32.  Returns (ops [B,T] i8, vids [B,T] i32, tlen [B] i32)
-    with T = V + C + 1.
+    nq [B] i32.  Returns (tape [B,T] u16, tlen [B] i32) with
+    T = V + C + 1; unpack as op = tape & 3, vid = (tape >> 2) - 2.
     """
     B, V, C = tbits.shape
     T = V + C + 1
@@ -333,24 +339,33 @@ def traceback_batch(tbits, vpred, best_sink, nq):
             v2 = jnp.where(done, v, v2)
             j2 = jnp.where(done, j, j2)
             st2 = jnp.where(done, st, st2)
-            return (v2, j2, st2), (op, vid)
+            entry = (op.astype(jnp.uint16)
+                     | ((vid + 2).astype(jnp.uint16) << 2))
+            return (v2, j2, st2), entry
 
         init = (best_sink_b.astype(jnp.int32), nq_b.astype(jnp.int32), jnp.int32(0))
-        _, (ops, vids) = jax.lax.scan(tb_step, init, None, length=T, unroll=4)
-        t_f = jnp.sum(ops != OP_END).astype(jnp.int32)
-        return ops, vids, t_f
+        _, tape = jax.lax.scan(tb_step, init, None, length=T, unroll=4)
+        t_f = jnp.sum((tape & 3) != OP_END).astype(jnp.int32)
+        return tape, t_f
 
     return jax.vmap(one)(tbits, vpred, best_sink, nq)
+
+
+def unpack_tape(tape: np.ndarray):
+    """Host-side unpack of the uint16 tape into (ops i8, vids i32)."""
+    t32 = tape.astype(np.int32)
+    return (t32 & 3).astype(np.int8), (t32 >> 2) - 2
 
 
 def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row,
                       use_pallas: Optional[bool] = None):
     """One batch of global POA problems: DP + traceback.
 
-    Returns (score [B], ops [B,T] int8, vids [B,T] int32, tlen [B]).
-    The DP runs as a Pallas TPU kernel (VMEM-resident state) on TPU
-    backends, falling back to the XLA scan elsewhere; both produce
-    identical traceback bits (tests/test_poa_pallas.py).
+    Returns (score [B], tape [B,T] uint16, tlen [B]); see
+    traceback_batch for the tape packing.  The DP runs as a Pallas TPU
+    kernel (VMEM-resident state) on TPU backends, falling back to the
+    XLA scan elsewhere; both produce identical traceback bits
+    (tests/test_poa_pallas.py).
     """
     if use_pallas is None:
         # The Pallas DP (ops/poa_pallas.py) keeps state VMEM-resident but
@@ -391,8 +406,8 @@ def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row,
         score, best_sink, tbits = poa_dp_xla(
             vcodes, vpred, is_sink, nv, q, nq, init_row
         )
-    ops, vids, tlen = traceback_batch(tbits, vpred, best_sink, jnp.asarray(nq))
-    return score, ops, vids, tlen
+    tape, tlen = traceback_batch(tbits, vpred, best_sink, jnp.asarray(nq))
+    return score, tape, tlen
 
 
 def _next_pow2(x: int) -> int:
@@ -414,9 +429,10 @@ def poa_local_kernel(vcodes, vpred, nv, q, nq):
     Mirrors ops/poa.py align_local_no_gap_host exactly: zero-floored
     match/mismatch DP over the base DAG, strict-improvement source
     updates in predecessor-list order, best cell = earliest (v, j) in
-    scan order.  Returns (best [B] f32, ops [B,T] i8, vids [B,T] i32,
-    tlen [B] i32, qend [B] i32) with T = L + 1.  The vertex loop runs
-    to the batch max nv (traced bound, as in poa_dp_xla).
+    scan order.  Returns (best [B] f32, tape [B,T] u16, tlen [B] i32,
+    qend [B] i32) with T = L + 1 and the tape packed as in
+    traceback_batch.  The vertex loop runs to the batch max nv (traced
+    bound, as in poa_dp_xla).
     """
     B, V = vcodes.shape
     L = q.shape[1]
@@ -493,13 +509,15 @@ def poa_local_kernel(vcodes, vpred, nv, q, nq):
             )
             v2 = jnp.where(alive, nxt, v)
             j2 = jnp.where(alive, j - 1, j)
-            return (v2, j2), (op, vid)
+            entry = (op.astype(jnp.uint16)
+                     | ((vid + 2).astype(jnp.uint16) << 2))
+            return (v2, j2), entry
 
-        _, (ops, vids) = jax.lax.scan(
+        _, tape = jax.lax.scan(
             tb_step, (bv, bj), None, length=T, unroll=4
         )
-        t_f = jnp.sum(ops != OP_END).astype(jnp.int32)
-        return best, ops, vids, t_f, bj
+        t_f = jnp.sum((tape & 3) != OP_END).astype(jnp.int32)
+        return best, tape, t_f, bj
 
     return jax.vmap(one)(vcodes, vpred, nv, q, nq)
 
@@ -517,14 +535,21 @@ def align_local_batch(
     qs_all = [_enc(q) for _, _, q in problems]
     bgs_all = [build_base_graph(n, e) for n, e, _ in problems]
     buckets: dict = {}
+    out = [None] * len(problems)
     for i, (bg, q) in enumerate(zip(bgs_all, qs_all)):
+        if len(bg.codes) > 8192:
+            # outlier shapes: host DP beats a one-off compile (and the
+            # uint16 tape packing caps device vertex ids at 14 bits)
+            from .poa import align_local_no_gap_host
+
+            out[i] = align_local_no_gap_host(*problems[i])
+            continue
         key = (
             _next_pow2(max(len(bg.codes), 256)),
             _next_pow2(max(len(q), 128)),
         )
         buckets.setdefault(key, []).append(i)
 
-    out = [None] * len(problems)
     for (v_pad, l_pad), idxs in sorted(buckets.items()):
         for i, res in zip(idxs, _align_local_bucket(
             [bgs_all[i] for i in idxs], [qs_all[i] for i in idxs], v_pad, l_pad
@@ -541,7 +566,7 @@ def _align_local_bucket(bgs, qs, v_pad: int, l_pad: int):
     while len(probs) < b_pad:
         probs.append(probs[0])
 
-    best, ops, vids, tlens, qends = jax.device_get(
+    best, tape, tlens, qends = jax.device_get(
         poa_local_kernel(
             jnp.asarray(np.stack([p.vcodes for p in probs])),
             jnp.asarray(np.stack([p.vpred for p in probs])),
@@ -550,6 +575,7 @@ def _align_local_bucket(bgs, qs, v_pad: int, l_pad: int):
             jnp.asarray(np.asarray([p.nq for p in probs], dtype=np.int32)),
         )
     )
+    ops, vids = unpack_tape(tape)
 
     results = []
     for i, (bg, q) in enumerate(zip(bgs, qs)):
@@ -747,7 +773,8 @@ def kernel_finish(pending):
 
     out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs = pending
     with timer.phase("f_fetch"):
-        scores, ops, vids, tlens = jax.device_get(out_d)
+        scores, tape, tlens = jax.device_get(out_d)
+    ops, vids = unpack_tape(tape)
 
     with timer.phase("f_decode"):
         # decode only the real rows: batch-pad rows are zeroed throwaway
@@ -803,7 +830,7 @@ def _align_bucket(bgs, qs, v_pad: int, l_pad: int):
     for j in range(1, l_pad + 1):
         init_row[j] = -gap_cost(j)
 
-    scores, ops, vids, tlens = jax.device_get(
+    scores, tape, tlens = jax.device_get(
         poa_global_kernel(
             jnp.asarray(np.stack([p.vcodes for p in probs])),
             jnp.asarray(np.stack([p.vpred for p in probs])),
@@ -814,6 +841,7 @@ def _align_bucket(bgs, qs, v_pad: int, l_pad: int):
             jnp.asarray(init_row),
         )
     )
+    ops, vids = unpack_tape(tape)
 
     results = []
     for i, (bg, q) in enumerate(zip(bgs, qs)):
