@@ -515,7 +515,7 @@ class PoaAligner:
         edges_flat = np.ascontiguousarray(edges.reshape(-1), dtype=np.int64)
         # dispatch every bucket before any host sync: kernels queue on
         # device back-to-back, then one fetch pass drains them
-        from ..ops.poa_device import kernel_dispatch_chunked, kernel_finish
+        from ..ops.poa_device import kernel_dispatch_chunked, kernel_finish_all
 
         pending = []
         from ..ops.poa_device import padded_rows
@@ -559,12 +559,16 @@ class PoaAligner:
                 ]
                 out[i] = poa_global_host_native(nodes, prob_edges, chains[i].query.seq)
 
-        for idxs, ps in pending:
-            res_all = []
-            for p in ps:
-                res_all.extend(kernel_finish(p))
-            for i, res in zip(idxs, res_all):
-                out[i] = res
+        if pending:
+            # all buckets' chunks drain through ONE device_get
+            flat_ps = [p for _idxs, ps in pending for p in ps]
+            res_flat = kernel_finish_all(flat_ps)
+            pos = 0
+            for idxs, ps in pending:
+                n_bucket = sum(p[7] for p in ps)  # n_real per chunk
+                for i, res in zip(idxs, res_flat[pos : pos + n_bucket]):
+                    out[i] = res
+                pos += n_bucket
 
         return [
             (out[i], handles[handle_off[i] : handle_off[i + 1]].tolist())

@@ -550,31 +550,44 @@ def align_local_batch(
         )
         buckets.setdefault(key, []).append(i)
 
+    # dispatch every bucket (async), then drain through one device_get
+    pend = []
     for (v_pad, l_pad), idxs in sorted(buckets.items()):
-        for i, res in zip(idxs, _align_local_bucket(
+        pend.append((idxs, _dispatch_local_bucket(
             [bgs_all[i] for i in idxs], [qs_all[i] for i in idxs], v_pad, l_pad
-        )):
+        )))
+    fetched = jax.device_get([p[1][0] for p in pend])
+    for (idxs, (_out_d, bgs, qs)), got in zip(pend, fetched):
+        for i, res in zip(idxs, _decode_local_bucket(bgs, qs, got)):
             out[i] = res
     return out
 
 
-def _align_local_bucket(bgs, qs, v_pad: int, l_pad: int):
-    from .poa import _finish_result
-
+def _dispatch_local_bucket(bgs, qs, v_pad: int, l_pad: int):
     probs = [prepare_problem(bg, q, v_pad, l_pad) for bg, q in zip(bgs, qs)]
     b_pad = _next_pow2(max(len(probs), 4))
     while len(probs) < b_pad:
         probs.append(probs[0])
 
-    best, tape, tlens, qends = jax.device_get(
-        poa_local_kernel(
-            jnp.asarray(np.stack([p.vcodes for p in probs])),
-            jnp.asarray(np.stack([p.vpred for p in probs])),
-            jnp.asarray(np.asarray([p.nv for p in probs], dtype=np.int32)),
-            jnp.asarray(np.stack([p.q for p in probs])),
-            jnp.asarray(np.asarray([p.nq for p in probs], dtype=np.int32)),
-        )
+    out_d = poa_local_kernel(
+        jnp.asarray(np.stack([p.vcodes for p in probs])),
+        jnp.asarray(np.stack([p.vpred for p in probs])),
+        jnp.asarray(np.asarray([p.nv for p in probs], dtype=np.int32)),
+        jnp.asarray(np.stack([p.q for p in probs])),
+        jnp.asarray(np.asarray([p.nq for p in probs], dtype=np.int32)),
     )
+    return (out_d, bgs, qs)
+
+
+def _align_local_bucket(bgs, qs, v_pad: int, l_pad: int):
+    out_d, bgs, qs = _dispatch_local_bucket(bgs, qs, v_pad, l_pad)
+    return _decode_local_bucket(bgs, qs, jax.device_get(out_d))
+
+
+def _decode_local_bucket(bgs, qs, fetched):
+    from .poa import _finish_result
+
+    best, tape, tlens, qends = fetched
     ops, vids = unpack_tape(tape)
 
     results = []
@@ -766,14 +779,35 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
     return (out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
 
 
+def kernel_finish_all(pendings):
+    """Fetch MANY dispatched chunks in ONE device_get, then decode.
+
+    The host link charges a full round trip per device_get; draining a
+    batch's chunks through one combined transfer saves ~27 ms per chunk.
+    Returns the concatenated per-chunk result lists, in order.
+    """
+    with timer.phase("f_fetch"):
+        fetched = jax.device_get([p[0] for p in pendings])
+    out: List = []
+    for pending, got in zip(pendings, fetched):
+        out.extend(_decode_finished(pending, got))
+    return out
+
+
 def kernel_finish(pending):
     """Fetch a dispatched bucket's results and decode the tapes natively."""
+    out_d = pending[0]
+    with timer.phase("f_fetch"):
+        got = jax.device_get(out_d)
+    return _decode_finished(pending, got)
+
+
+def _decode_finished(pending, fetched):
     from ..native import finish_tapes_native
     from .poa import PoaResult
 
-    out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs = pending
-    with timer.phase("f_fetch"):
-        scores, tape, tlens = jax.device_get(out_d)
+    _out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs = pending
+    scores, tape, tlens = fetched
     ops, vids = unpack_tape(tape)
 
     with timer.phase("f_decode"):
@@ -811,10 +845,7 @@ def kernel_finish(pending):
 def kernel_and_finish(built, qs, v_pad: int, l_pad: int):
     """Run the device POA kernel over prebuilt problem arrays and decode
     the tapes natively into PoaResults."""
-    out: List = []
-    for p in kernel_dispatch_chunked(built, qs, v_pad, l_pad):
-        out.extend(kernel_finish(p))
-    return out
+    return kernel_finish_all(kernel_dispatch_chunked(built, qs, v_pad, l_pad))
 
 
 def _align_bucket(bgs, qs, v_pad: int, l_pad: int):
