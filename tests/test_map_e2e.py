@@ -155,3 +155,45 @@ def test_device_chains_match_host_oracle_on_repeats():
             np.testing.assert_array_equal(dc.aqb, exp[:, 0])
             np.testing.assert_array_equal(dc.atb, exp[:, 1])
             np.testing.assert_array_equal(dc.ate, exp[:, 2])
+
+
+def test_packed_channel_int32_path_matches_uint16():
+    """The mapping result channel is uint16 for a_max <= 16384 and int32
+    above (models/mapper.py _device_map); both layouts must decode to
+    identical chains.  Forces the int32 path by shrinking the uint16
+    threshold via a low max_anchors_cap... not possible statically, so
+    instead call _device_map at both a_max values on the same batch and
+    compare decoded pred/is_start."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vgaligner_tpu.io.fastx import QuerySequence
+    from vgaligner_tpu.ops.chain import make_gap_cost_table
+    from vgaligner_tpu.ops.encode import encode_reads_host
+
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    path_x = g.get_path(0)
+    seq = "".join(g.sequence(h) for h in path_x.nodes)
+    codes, lens = encode_reads_host([seq], max(len(seq), 11))
+    dindex = index.device()
+    gap = jnp.asarray(make_gap_cost_table(11, 1000))
+
+    out = {}
+    for a_max in (256, 32768):
+        packed, counts = Mapper._device_map(
+            jnp.asarray(codes), jnp.asarray(lens), dindex, gap,
+            11, a_max, 50, "exact",
+        )
+        packed = np.asarray(packed)
+        shift = 15 if packed.dtype == np.uint16 else 17
+        arr = packed.astype(np.int32)
+        n = int(np.asarray(counts)[0, 0])
+        out[a_max] = (
+            (arr[0, :n] & ((1 << shift) - 1)) - 1,
+            (arr[0, :n] >> shift) & 1,
+            n,
+        )
+    assert out[256][2] == out[32768][2]
+    np.testing.assert_array_equal(out[256][0], out[32768][0])
+    np.testing.assert_array_equal(out[256][1], out[32768][1])
