@@ -47,7 +47,6 @@ from .poa import (
     MISMATCH,
     BaseGraph,
     build_base_graph,
-    gap_cost,
 )
 
 NEGF = np.float32(-1.0e9)
@@ -751,6 +750,23 @@ def kernel_dispatch_chunked(built, qs, v_pad: int, l_pad: int):
     return pendings
 
 
+def make_init_row(l_pad: int) -> np.ndarray:
+    """Leading-insertion cost row [l_pad+1] f32 (cached per l_pad —
+    recomputing the Python gap_cost loop per dispatch showed up in
+    profiles)."""
+    row = _INIT_ROW_CACHE.get(l_pad)
+    if row is None:
+        j = np.arange(1, l_pad + 1, dtype=np.int64)
+        costs = np.minimum(GAP_OPEN1 + j * GAP_EXT1, GAP_OPEN2 + j * GAP_EXT2)
+        row = np.concatenate([[0.0], -costs]).astype(np.float32)
+        row.setflags(write=False)
+        _INIT_ROW_CACHE[l_pad] = row
+    return row
+
+
+_INIT_ROW_CACHE: dict = {}
+
+
 def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
     """Launch the device POA kernel (async) on a ladder-padded chunk.
     Returns the pending state consumed by kernel_finish — split so
@@ -762,14 +778,16 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
     with timer.phase("d_pad"):
         q_pad = np.full((b_pad, l_pad), 4, dtype=np.int8)
         nq = np.zeros(b_pad, dtype=np.int32)
-        for i, qc in enumerate(qs):
-            q_pad[i, : len(qc)] = qc
-            nq[i] = len(qc)
+        lens = [len(qc) for qc in qs]
+        nq[:n_real] = lens
+        if n_real and min(lens) == max(lens):
+            # common case (fixed-length read batches): one bulk copy
+            q_pad[:n_real, : lens[0]] = qs
+        else:
+            for i, qc in enumerate(qs):
+                q_pad[i, : len(qc)] = qc
 
-        init_row = np.empty(l_pad + 1, dtype=np.float32)
-        init_row[0] = 0.0
-        for j in range(1, l_pad + 1):
-            init_row[j] = -gap_cost(j)
+        init_row = make_init_row(l_pad)
     with timer.phase("d_launch"):
         out_d = poa_global_kernel(
             jnp.asarray(vcodes), jnp.asarray(vpred),
@@ -856,10 +874,7 @@ def _align_bucket(bgs, qs, v_pad: int, l_pad: int):
     b_pad = _next_pow2(max(len(probs), 4))
     while len(probs) < b_pad:
         probs.append(probs[0])
-    init_row = np.empty(l_pad + 1, dtype=np.float32)
-    init_row[0] = 0.0
-    for j in range(1, l_pad + 1):
-        init_row[j] = -gap_cost(j)
+    init_row = make_init_row(l_pad)
 
     scores, tape, tlens = jax.device_get(
         poa_global_kernel(
