@@ -71,6 +71,21 @@ _CASE_M, _CASE_E1, _CASE_E2, _CASE_F1, _CASE_F2 = 0, 1, 2, 3, 4
 _VIRT_SLOT = 15
 
 
+def _slice_preds(vpred: np.ndarray) -> np.ndarray:
+    """Slice the predecessor slot dim to the batch's max live fan-in
+    (pow2 ladder 2/4/8).  Base-graph vertices almost always have 1-2
+    predecessors; the DP's per-step cost scales with the slot count, so
+    shipping 8 slots for a fan-in-2 batch more than triples the kernel
+    time.  P is shape-derived (static) in the kernels."""
+    if vpred.size == 0:
+        return vpred
+    fan = int((vpred >= 0).sum(axis=-1).max())
+    p_use = 2 if fan <= 2 else (4 if fan <= 4 else P_MAX)
+    if p_use == vpred.shape[-1]:
+        return vpred
+    return np.ascontiguousarray(vpred[..., :p_use])
+
+
 class PoaProblem(NamedTuple):
     """One padded POA problem (host side)."""
 
@@ -115,6 +130,10 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
     """
     B, V = vcodes.shape
     L = q.shape[1]
+    P = vpred.shape[-1]  # static; callers slice to the chunk's max
+    # fan-in (almost always 1-2 on base graphs), shrinking the per-step
+    # predecessor row gather — the DP's dominant cost — from the 8-slot
+    # worst case
     nv_max = jnp.max(nv)
     oe1 = np.float32(GAP_OPEN1 + GAP_EXT1)
     oe2 = np.float32(GAP_OPEN2 + GAP_EXT2)
@@ -139,7 +158,7 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
             # mask out empty slots entirely EXCEPT slot 0 when the vertex
             # has no predecessors (then slot 0 acts as the virtual source)
             has_any = preds[0] >= 0
-            slot_live = (preds >= 0) | ((jnp.arange(P_MAX) == 0) & ~has_any)
+            slot_live = (preds >= 0) | ((jnp.arange(P) == 0) & ~has_any)
             live = slot_live[:, None]
             Hp = jnp.where(live, Hp, NEGF)
             E1p = jnp.where(live, E1p, NEGF)
@@ -149,12 +168,12 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
             # Slots and flags are recovered with compare + one-hot-select
             # reductions: per-column argmax/take_along_axis lower to
             # gathers that cost ~20x the DP itself on TPU.
-            p_iota = jnp.arange(P_MAX, dtype=jnp.int32)[:, None]
+            p_iota = jnp.arange(P, dtype=jnp.int32)[:, None]
 
             def slot_min(cand, best):
                 """First slot achieving the column max (argmax tie rule)."""
                 return jnp.min(
-                    jnp.where(cand == best[None, :], p_iota, P_MAX), axis=0
+                    jnp.where(cand == best[None, :], p_iota, P), axis=0
                 ).astype(jnp.int32)
 
             def at_slot(flags, slot):
@@ -178,7 +197,7 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
             # match/mismatch from (p, j-1)
             sub = jnp.where(q_b == vcodes_b[v], np.float32(MATCH), np.float32(MISMATCH))
             sub = jnp.where((q_b >= 4) | (vcodes_b[v] >= 4), np.float32(MISMATCH), sub)
-            m_cand = jnp.full((P_MAX, L + 1), NEGF, dtype=jnp.float32)
+            m_cand = jnp.full((P, L + 1), NEGF, dtype=jnp.float32)
             m_cand = m_cand.at[:, 1:].set(Hp[:, :-1] + sub[None, :])
             m_best = jnp.max(m_cand, axis=0)
             m_slot = slot_min(m_cand, m_best)
@@ -219,7 +238,7 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
             f1_open = f1_row == prev_h - oe1
             f2_open = f2_row == prev_h - oe2
 
-            pred_live = jnp.broadcast_to(preds[:, None] >= 0, (P_MAX, L + 1))
+            pred_live = jnp.broadcast_to(preds[:, None] >= 0, (P, L + 1))
             m_slot_store = jnp.where(
                 at_slot(pred_live, m_slot), m_slot, _VIRT_SLOT
             ).astype(jnp.int32)
@@ -280,6 +299,7 @@ def traceback_batch(tbits, vpred, best_sink, nq):
     T = V + C + 1; unpack as op = tape & 3, vid = (tape >> 2) - 2.
     """
     B, V, C = tbits.shape
+    P = vpred.shape[-1]
     T = V + C + 1
 
     def one(tbits, vpred_b, best_sink_b, nq_b):
@@ -295,7 +315,7 @@ def traceback_batch(tbits, vpred, best_sink, nq):
             m_slot = (bits >> 3) & 15
             m_nxt = jnp.where(
                 m_slot == _VIRT_SLOT, jnp.int32(-2),
-                vpred_b[vc][jnp.minimum(m_slot, P_MAX - 1)],
+                vpred_b[vc][jnp.minimum(m_slot, P - 1)],
             )
             at_h = st == 0
             is_match = at_h & (case == _CASE_M)
@@ -307,7 +327,7 @@ def traceback_batch(tbits, vpred, best_sink, nq):
             e_slot = jnp.where(switch_to == 1, (bits >> 8) & 15, (bits >> 13) & 15)
             e_nxt = jnp.where(
                 e_slot == _VIRT_SLOT, jnp.int32(-2),
-                vpred_b[vc][jnp.minimum(e_slot, P_MAX - 1)],
+                vpred_b[vc][jnp.minimum(e_slot, P - 1)],
             )
 
             # F states (st 3/4): in-row insertion
@@ -388,6 +408,11 @@ def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row,
             use_pallas = False
     if use_pallas:
         from .poa_pallas import poa_dp_pallas
+        if vpred.shape[-1] < P_MAX:  # the Pallas kernel is fixed at 8 slots
+            vpred = jnp.pad(
+                vpred, ((0, 0), (0, 0), (0, P_MAX - vpred.shape[-1])),
+                constant_values=-1,
+            )
         pad = l_w - L
         q_w = jnp.pad(jnp.asarray(q), ((0, 0), (0, pad)), constant_values=4)
         init_w = jnp.pad(jnp.asarray(init_row), (0, pad - 1), constant_values=NEGF)
@@ -435,12 +460,13 @@ def poa_local_kernel(vcodes, vpred, nv, q, nq):
     """
     B, V = vcodes.shape
     L = q.shape[1]
+    P = vpred.shape[-1]
     nv_max = jnp.max(nv)
 
     def one(vcodes_b, vpred_b, nv_b, q_b, nq_b):
         H = jnp.zeros((V + 1, L + 1), dtype=jnp.float32)  # row V: virtual 0s
         cells = jnp.zeros((V, L + 1), dtype=jnp.int32)  # slot | pos<<4
-        p_iota = jnp.arange(P_MAX, dtype=jnp.int32)[:, None]
+        p_iota = jnp.arange(P, dtype=jnp.int32)[:, None]
 
         def step(v, carry):
             H, cells, best, bv, bj = carry
@@ -449,17 +475,17 @@ def poa_local_kernel(vcodes, vpred, nv, q, nq):
             Hp = H[idx]  # [P, L+1]; dead slots read the virtual 0 row
             live = preds[:, None] >= 0
             cand = jnp.concatenate(
-                [jnp.zeros((P_MAX, 1), jnp.float32), Hp[:, :-1]], axis=1
+                [jnp.zeros((P, 1), jnp.float32), Hp[:, :-1]], axis=1
             )
             cand = jnp.where(live, cand, 0.0)
             m_best = jnp.maximum(jnp.max(cand, axis=0), 0.0)
             # first live slot achieving the max, only when max > 0
             slot = jnp.min(
-                jnp.where((cand == m_best[None, :]) & live, p_iota, P_MAX),
+                jnp.where((cand == m_best[None, :]) & live, p_iota, P),
                 axis=0,
             ).astype(jnp.int32)
             slot = jnp.where(m_best > 0.0, slot, jnp.int32(_VIRT_SLOT))
-            slot = jnp.where(slot >= P_MAX, jnp.int32(_VIRT_SLOT), slot)
+            slot = jnp.where(slot >= P, jnp.int32(_VIRT_SLOT), slot)
 
             sub = jnp.where(
                 q_b == vcodes_b[v], np.float32(MATCH), np.float32(MISMATCH)
@@ -504,7 +530,7 @@ def poa_local_kernel(vcodes, vpred, nv, q, nq):
             slot = bits & 15
             nxt = jnp.where(
                 slot == _VIRT_SLOT, jnp.int32(-2),
-                vpred_b[vc][jnp.minimum(slot, P_MAX - 1)],
+                vpred_b[vc][jnp.minimum(slot, P - 1)],
             )
             v2 = jnp.where(alive, nxt, v)
             j2 = jnp.where(alive, j - 1, j)
@@ -570,7 +596,7 @@ def _dispatch_local_bucket(bgs, qs, v_pad: int, l_pad: int):
 
     out_d = poa_local_kernel(
         jnp.asarray(np.stack([p.vcodes for p in probs])),
-        jnp.asarray(np.stack([p.vpred for p in probs])),
+        jnp.asarray(_slice_preds(np.stack([p.vpred for p in probs]))),
         jnp.asarray(np.asarray([p.nv for p in probs], dtype=np.int32)),
         jnp.asarray(np.stack([p.q for p in probs])),
         jnp.asarray(np.asarray([p.nq for p in probs], dtype=np.int32)),
@@ -790,7 +816,7 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
         init_row = make_init_row(l_pad)
     with timer.phase("d_launch"):
         out_d = poa_global_kernel(
-            jnp.asarray(vcodes), jnp.asarray(vpred),
+            jnp.asarray(vcodes), jnp.asarray(_slice_preds(vpred)),
             jnp.asarray(is_sink.view(np.bool_)), jnp.asarray(nv),
             jnp.asarray(q_pad), jnp.asarray(nq), jnp.asarray(init_row),
         )
@@ -879,7 +905,7 @@ def _align_bucket(bgs, qs, v_pad: int, l_pad: int):
     scores, tape, tlens = jax.device_get(
         poa_global_kernel(
             jnp.asarray(np.stack([p.vcodes for p in probs])),
-            jnp.asarray(np.stack([p.vpred for p in probs])),
+            jnp.asarray(_slice_preds(np.stack([p.vpred for p in probs]))),
             jnp.asarray(np.stack([p.is_sink for p in probs])),
             jnp.asarray(np.asarray([p.nv for p in probs], dtype=np.int32)),
             jnp.asarray(np.stack([p.q for p in probs])),
