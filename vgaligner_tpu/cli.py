@@ -125,7 +125,6 @@ def map_main(args) -> None:
 
             mesh = make_mesh(use)
 
-    t0 = time.monotonic()
     mapper = Mapper(
         index,
         bandwidth=50,  # map_main.rs:100-117 hard-codes these
@@ -133,18 +132,8 @@ def map_main(args) -> None:
         chain_min_n_anchors=args.chain_min_anchors,
         mesh=mesh,
     )
-    per_read_chains = mapper.map_reads(queries)
-    log.info("Chaining took: %d ms", (time.monotonic() - t0) * 1000)
-    log.info("Found %d chains!", sum(len(c) for c in per_read_chains))
 
-    chains_gaf = mapper.chains_to_gaf(per_read_chains)
-    file_name = out_prefix if out_prefix.endswith(".gaf") else out_prefix + "-chains.gaf"
-    write_gaf_to_file(chains_gaf, file_name)
-    log.info("Chains stored correctly in %s!", file_name)
-    if args.write_console:
-        for rec in chains_gaf:
-            print(rec.to_string(), end="")
-
+    aligner = None
     if args.also_align:
         if not args.input_graph:
             sys.exit("--also-align requires -G/--graph (map.rs:155-159)")
@@ -155,11 +144,40 @@ def map_main(args) -> None:
         aligner = PoaAligner(index, engine, export_subgraphs=True, graph=graph,
                              bubble_closure=args.bubble_closure)
 
-        t0 = time.monotonic()
-        alignments = aligner.best_alignments_for_queries(
-            per_read_chains, args.align_best_n
-        )
-        log.info("Alignment took: %d ms", (time.monotonic() - t0) * 1000)
+    # large read sets stream through a two-stage software pipeline
+    # (device POA for batch N overlaps host mapping of batch N+1);
+    # outputs are identical, memory stays bounded by the batch size
+    from .models.stream import DEFAULT_BATCH, stream_map_align
+
+    chains_gaf = []
+    alignments = []
+    n_chains = 0
+    t0 = time.monotonic()
+
+    def _on_chains(batch_chains):
+        nonlocal n_chains
+        n_chains += sum(len(c) for c in batch_chains)
+        chains_gaf.extend(mapper.chains_to_gaf(batch_chains))
+
+    stream_map_align(
+        mapper, queries, aligner,
+        batch_size=DEFAULT_BATCH,
+        align_best_n=args.align_best_n,
+        on_chains=_on_chains,
+        on_alignments=alignments.extend,
+    )
+    log.info("Chaining%s took: %d ms",
+             " + alignment" if aligner else "", (time.monotonic() - t0) * 1000)
+    log.info("Found %d chains!", n_chains)
+
+    file_name = out_prefix if out_prefix.endswith(".gaf") else out_prefix + "-chains.gaf"
+    write_gaf_to_file(chains_gaf, file_name)
+    log.info("Chains stored correctly in %s!", file_name)
+    if args.write_console:
+        for rec in chains_gaf:
+            print(rec.to_string(), end="")
+
+    if args.also_align:
         log.info("Found %d alignments!", len(alignments))
 
         file_name = (

@@ -322,8 +322,24 @@ class PoaAligner:
         when built), then aligned in ONE device POA batch — global
         convex-gap for the abPOA engine, local no-gap for rspoa.  Per
         read, the longest path_length wins (align.rs:52-54)."""
+        return self.finish_alignments(
+            self.begin_alignments(per_read_chains, align_best_n)
+        )
+
+    def begin_alignments(
+        self, per_read_chains: List[List[Chain]], align_best_n: int = 1
+    ):
+        """Dispatch a batch's POA work to the device WITHOUT draining it.
+
+        Returns an opaque state for finish_alignments.  With the native
+        abPOA path the device kernels are queued asynchronously, so a
+        caller can overlap this batch's compute with host work on the
+        next batch (the streaming pipeline in models/stream.py); other
+        engine/fallback combinations compute eagerly inside begin and
+        finish just returns the stored result.
+        """
         if self.engine != PoaEngine.ABPOA:
-            return self._best_alignments_rspoa(per_read_chains, align_best_n)
+            return ("eager", self._best_alignments_rspoa(per_read_chains, align_best_n))
 
         from ..native import available as _native_ok
 
@@ -336,15 +352,28 @@ class PoaAligner:
                     continue
                 selected.append((qi, chain))
 
-        per_read: dict = {qi: [a] for qi, a in placeholders.items()}
         if selected and _native_ok():
+            pending_state = self._dispatch_chains_native([c for _, c in selected])
+            return ("native", per_read_chains, selected, placeholders, pending_state)
+        return ("fallback", per_read_chains, selected, placeholders)
+
+    def finish_alignments(self, state) -> List[GAFAlignment]:
+        """Drain a begin_alignments batch and emit per-read best GAF."""
+        if state[0] == "eager":
+            return state[1]
+        if state[0] == "native":
+            _tag, per_read_chains, selected, placeholders, pending_state = state
+            per_read: dict = {qi: [a] for qi, a in placeholders.items()}
             for (qi, chain), (res, handles) in zip(
-                selected, self._align_chains_native([c for _, c in selected])
+                selected, self._finish_chains_native(pending_state)
             ):
                 per_read.setdefault(qi, []).append(
                     GAFAlignment.from_abpoa_result(res, chain, handles)
                 )
-        elif selected:
+            return self._select_best(per_read_chains, per_read)
+        _tag, per_read_chains, selected, placeholders = state
+        per_read = {qi: [a] for qi, a in placeholders.items()}
+        if selected:
             problems = []
             owners: List[Tuple[int, Chain, OrientedGraphRange]] = []
             for qi, chain in selected:
@@ -372,6 +401,11 @@ class PoaAligner:
                     GAFAlignment.from_abpoa_result(res, chain, rng.handles)
                 )
 
+        return self._select_best(per_read_chains, per_read)
+
+    @staticmethod
+    def _select_best(per_read_chains, per_read: dict) -> List[GAFAlignment]:
+        """Per read, keep the longest path_length (align.rs:52-54)."""
         out: List[GAFAlignment] = []
         for qi in range(len(per_read_chains)):
             alns = per_read.get(qi, [])
@@ -413,21 +447,20 @@ class PoaAligner:
                     GAFAlignment.from_rspoa_result(res, chain, rng.handles)
                 )
 
-        out: List[GAFAlignment] = []
-        for qi in range(len(per_read_chains)):
-            alns = per_read.get(qi, [])
-            alns.sort(
-                key=lambda a: -1 if a.path_length is None else a.path_length,
-                reverse=True,
-            )
-            out.append(alns[0])
-        return out
+        return self._select_best(per_read_chains, per_read)
 
     def _align_chains_native(self, chains: List[Chain]):
+        """Fully native --also-align batch: dispatch + drain in one call.
+        Returns a list of (PoaResult, range_handles) aligned with
+        `chains`."""
+        return self._finish_chains_native(self._dispatch_chains_native(chains))
+
+    def _dispatch_chains_native(self, chains: List[Chain]):
         """Fully native --also-align batch: C++ subgraph extraction +
-        problem prep + tape decode around the device POA kernel.  Node
-        labels never materialize as Python strings.  Returns a list of
-        (PoaResult, range_handles) aligned with `chains`."""
+        problem prep around the device POA kernel, dispatched WITHOUT a
+        host sync (host-oracle oversize/fan-in outliers complete
+        eagerly).  Node labels never materialize as Python strings.
+        Returns the pending state for _finish_chains_native."""
         import numpy as np
 
         from ..native import build_poa_batch_arrays, extract_subgraphs_native
@@ -559,8 +592,15 @@ class PoaAligner:
                 ]
                 out[i] = poa_global_host_native(nodes, prob_edges, chains[i].query.seq)
 
+        return (n, out, pending, handles, handle_off)
+
+    def _finish_chains_native(self, state):
+        """Drain a _dispatch_chains_native batch (ONE device_get for all
+        buckets' chunks) and pair results with their range handles."""
+        from ..ops.poa_device import kernel_finish_all
+
+        n, out, pending, handles, handle_off = state
         if pending:
-            # all buckets' chunks drain through ONE device_get
             flat_ps = [p for _idxs, ps in pending for p in ps]
             res_flat = kernel_finish_all(flat_ps)
             pos = 0
