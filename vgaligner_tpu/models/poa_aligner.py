@@ -548,10 +548,9 @@ class PoaAligner:
         edges_flat = np.ascontiguousarray(edges.reshape(-1), dtype=np.int64)
         # dispatch every bucket before any host sync: kernels queue on
         # device back-to-back, then one fetch pass drains them
-        from ..ops.poa_device import kernel_dispatch_chunked, kernel_finish_all
+        from ..ops.poa_device import kernel_dispatch_chunked, padded_rows
 
         pending = []
-        from ..ops.poa_device import padded_rows
 
         for (v_pad, l_pad), idxs in sorted(buckets.items()):
             sel = np.asarray(idxs, dtype=np.int64)
