@@ -70,6 +70,11 @@ def _build_parser() -> argparse.ArgumentParser:
                          "chain-implied POA subgraph (extension beyond the "
                          "reference; helps isolated SNP bubbles, can hurt "
                          "on bubble-dense graphs)")
+    mp.add_argument("--resume", action="store_true",
+                    help="resume an interrupted map run: completed batches "
+                         "recorded in <out>.progress.json are skipped and "
+                         "output GAFs are appended to (extension beyond the "
+                         "reference)")
     return p
 
 
@@ -146,8 +151,28 @@ def map_main(args) -> None:
 
     # large read sets stream through a two-stage software pipeline
     # (device POA for batch N overlaps host mapping of batch N+1);
-    # outputs are identical, memory stays bounded by the batch size
+    # outputs are identical, memory stays bounded by the batch size.
+    # Each batch is appended + flushed with transactional progress, so
+    # --resume restarts an interrupted run at the last complete batch.
+    from .io.resume import ResumableGafWriter
     from .models.stream import DEFAULT_BATCH, stream_map_align
+
+    if args.resume and args.also_validate:
+        sys.exit("--resume cannot be combined with --also-validate "
+                 "(validation needs the full in-memory alignment list)")
+
+    chains_file = (
+        out_prefix if out_prefix.endswith(".gaf") else out_prefix + "-chains.gaf"
+    )
+    align_file = (
+        out_prefix if out_prefix.endswith(".gaf") else out_prefix + "-alignments.gaf"
+    ) if args.also_align else None
+    writer = ResumableGafWriter(
+        out_prefix, chains_file, align_file, resume=args.resume
+    )
+    if writer.skip_reads:
+        log.info("Resuming: %d reads already done", writer.skip_reads)
+    pending_queries = queries[writer.skip_reads :]
 
     chains_gaf = []
     alignments = []
@@ -157,34 +182,33 @@ def map_main(args) -> None:
     def _on_chains(batch_chains):
         nonlocal n_chains
         n_chains += sum(len(c) for c in batch_chains)
-        chains_gaf.extend(mapper.chains_to_gaf(batch_chains))
+        recs = mapper.chains_to_gaf(batch_chains)
+        writer.write_chains(len(batch_chains), recs)
+        chains_gaf.extend(recs)
+
+    def _on_alignments(batch_alns):
+        writer.write_alignments(batch_alns)
+        alignments.extend(batch_alns)
 
     stream_map_align(
-        mapper, queries, aligner,
+        mapper, pending_queries, aligner,
         batch_size=DEFAULT_BATCH,
         align_best_n=args.align_best_n,
         on_chains=_on_chains,
-        on_alignments=alignments.extend,
+        on_alignments=_on_alignments if aligner else None,
     )
+    writer.close(done=True)
     log.info("Chaining%s took: %d ms",
              " + alignment" if aligner else "", (time.monotonic() - t0) * 1000)
     log.info("Found %d chains!", n_chains)
-
-    file_name = out_prefix if out_prefix.endswith(".gaf") else out_prefix + "-chains.gaf"
-    write_gaf_to_file(chains_gaf, file_name)
-    log.info("Chains stored correctly in %s!", file_name)
+    log.info("Chains stored correctly in %s!", chains_file)
     if args.write_console:
         for rec in chains_gaf:
             print(rec.to_string(), end="")
 
     if args.also_align:
         log.info("Found %d alignments!", len(alignments))
-
-        file_name = (
-            out_prefix if out_prefix.endswith(".gaf") else out_prefix + "-alignments.gaf"
-        )
-        write_gaf_to_file(alignments, file_name)
-        log.info("Alignments stored correctly in %s!", file_name)
+        log.info("Alignments stored correctly in %s!", align_file)
 
         if args.also_validate:
             from .io.validate import create_validation_records, write_validation_to_file
