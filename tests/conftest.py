@@ -13,6 +13,13 @@ import os
 # Exact-parity tests are defined on IEEE f64 (CPU); TPU-emulated f64 is not
 # bit-exact.
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The dense k-mer LUT (index/build.py device()) targets TPU, where one
+# big-table gather beats 17 binary-search steps; on the CPU test backend
+# the 4^k random-gather table is cache-hostile and roughly doubled suite
+# time, so tests default to the searchsorted path.  The LUT path's
+# equivalence is covered explicitly in test_map_e2e.py.
+os.environ.setdefault("VGALIGNER_DENSE_LUT_MAX", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

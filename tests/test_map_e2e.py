@@ -197,3 +197,37 @@ def test_packed_channel_int32_path_matches_uint16():
     assert out[256][2] == out[32768][2]
     np.testing.assert_array_equal(out[256][0], out[32768][0])
     np.testing.assert_array_equal(out[256][1], out[32768][1])
+
+
+def test_dense_lut_matches_searchsorted(monkeypatch):
+    """The direct-address LUT lookup must produce chains identical to
+    the binary-search path (ops/lookup.py)."""
+    import numpy as np
+
+    from vgaligner_tpu.io.fastx import QuerySequence
+
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    seq = "".join(g.sequence(h) for h in g.get_path(0).nodes)
+    queries = [
+        QuerySequence.from_name_and_string(f"r{i}", seq[i : i + 24])
+        for i in range(0, len(seq) - 24, 5)
+    ]
+
+    def run():
+        mapper = Mapper(index, chain_min_n_anchors=2)
+        return mapper.map_reads(queries)
+
+    monkeypatch.setenv("VGALIGNER_DENSE_LUT_MAX", "0")
+    ref = run()
+    monkeypatch.setenv("VGALIGNER_DENSE_LUT_MAX", str(1 << 24))
+    got = run()
+    assert got[0][0].query.name == ref[0][0].query.name
+    for rc, gc in zip(ref, got):
+        assert len(rc) == len(gc)
+        for a, b in zip(rc, gc):
+            assert a.is_placeholder == b.is_placeholder
+            if not a.is_placeholder:
+                np.testing.assert_array_equal(a.aqb, b.aqb)
+                np.testing.assert_array_equal(a.atb, b.atb)
+                np.testing.assert_array_equal(a.ate, b.ate)

@@ -24,6 +24,7 @@ TPU-native re-design decisions:
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass
 from typing import List, NamedTuple, Optional, Tuple
@@ -53,6 +54,12 @@ class DeviceIndex(NamedTuple):
     fo_start: "np.ndarray"  # int64 [n_fo_pos] forward-only start positions
     fo_end: "np.ndarray"  # int64 [n_fo_pos]
     node_starts: "np.ndarray"  # int64 [n_nodes + 1]
+    # direct-address lookup table, int32 [4^k] code -> group id or -1.
+    # Present when the code space fits the memory budget (k <= 12 by
+    # default): one gather replaces the ~17 gather steps of the
+    # binary-search lookup, which measured as the whole mapping
+    # pipeline's dominant device cost.  None for large k.
+    dense_lut: "Optional[np.ndarray]" = None
 
 
 @dataclass
@@ -323,6 +330,16 @@ class Index:
         starts = np.full(nn_pad, self.seq_length, dtype=np.int64)
         starts[: len(self.node_starts)] = self.node_starts
 
+        lut = None
+        space = 4 ** self.kmer_length
+        max_space = int(os.environ.get("VGALIGNER_DENSE_LUT_MAX", 1 << 24))
+        if 0 < space <= max_space and len(self.kmer_codes):
+            lut_np = np.full(space, -1, dtype=np.int32)
+            lut_np[self.kmer_codes] = np.arange(
+                len(self.kmer_codes), dtype=np.int32
+            )
+            lut = jnp.asarray(lut_np)
+
         return DeviceIndex(
             kmer_codes=jnp.asarray(codes),
             fo_offsets=jnp.asarray(fo_off),
@@ -330,6 +347,7 @@ class Index:
             fo_start=jnp.asarray(fo_start),
             fo_end=jnp.asarray(fo_end),
             node_starts=jnp.asarray(starts),
+            dense_lut=lut,
         )
 
     # ---- k-mer queries (host reference path) ---------------------------

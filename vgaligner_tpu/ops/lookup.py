@@ -45,9 +45,20 @@ def lookup_and_materialize_anchors(
     """wcodes/wvalid: [B, W] from window_kmer_codes."""
     n_kmers = index.kmer_codes.shape[0]
 
-    g = jnp.searchsorted(index.kmer_codes, wcodes)  # [B, W]
-    g_clip = jnp.minimum(g, n_kmers - 1)
-    found = wvalid & (g < n_kmers) & (index.kmer_codes[g_clip] == wcodes)
+    if index.dense_lut is not None:
+        # direct-address lookup: one gather per window.  searchsorted's
+        # ~17 binary-search gather steps measured 226 ms of the 255 ms
+        # mapping program on the bench workload; this path runs them as
+        # a single [B, W] gather from the 4^k table.
+        space = index.dense_lut.shape[0]
+        wc = jnp.clip(wcodes, 0, space - 1)
+        g_clip = index.dense_lut[wc]  # [B, W], -1 = absent
+        found = wvalid & (g_clip >= 0)
+        g_clip = jnp.maximum(g_clip, 0)
+    else:
+        g = jnp.searchsorted(index.kmer_codes, wcodes)  # [B, W]
+        g_clip = jnp.minimum(g, n_kmers - 1)
+        found = wvalid & (g < n_kmers) & (index.kmer_codes[g_clip] == wcodes)
     counts = jnp.where(found, index.fo_counts[g_clip], 0).astype(jnp.int32)  # [B, W]
     offsets = index.fo_offsets[g_clip]  # [B, W]
 
