@@ -49,7 +49,7 @@ def main():
     from vgaligner_tpu.models.poa_aligner import _V_DEVICE_CAP  # noqa
     from vgaligner_tpu import native
     from vgaligner_tpu.ops.poa_device import (
-        P_MAX, _next_pow2, kernel_dispatch_chunked, kernel_finish,
+        P_MAX, _next_pow2, kernel_dispatch_chunked, kernel_finish_all,
     )
     from vgaligner_tpu.native import build_poa_batch_arrays, extract_subgraphs_native
     from vgaligner_tpu.utils.dna import encode_seq
@@ -97,13 +97,11 @@ def main():
                         kernel_dispatch_chunked(built, [qs[i] for i in idxs], v_pad, l_pad)))
     t_dispatch = time.monotonic() - t0
     t0 = time.monotonic()
-    for key, ps in pending:
-        n_res = 0
-        tk = time.monotonic()
-        for p in ps:
-            n_res += len(kernel_finish(p))
-        print(f"  bucket {key}: {n_res} problems, finish {1000*(time.monotonic()-tk):.1f} ms")
+    # production drain: ONE device_get across all buckets' chunks
+    flat = [p for _key, ps in pending for p in ps]
+    n_res = len(kernel_finish_all(flat))
     t_finish = time.monotonic() - t0
+    print(f"  drained {n_res} problems in one pass")
     print(f"  build_arrays: {t_build*1000:.1f} ms | dispatch(total): {t_dispatch*1000:.1f} ms "
           f"| finish(fetch+decode): {t_finish*1000:.1f} ms")
     from vgaligner_tpu.ops import poa_device
