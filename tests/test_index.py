@@ -181,3 +181,41 @@ def test_generate_kmers_linearly_matches_dfs_on_single_path():
     lin_fwd = {(km.seq, km.first_handle, km.begin_offset)
                for km in lin if km.handle_orient}
     assert lin_fwd == dfs_fwd
+
+
+def test_path_guided_fallback_on_dfs_cap():
+    """When the k-mer DFS state cap truncates enumeration, every
+    embedded-path k-mer must still be indexed via the path-guided
+    fallback merge (Index.build), in both native and Python paths."""
+    import os
+
+    import numpy as np
+
+    from vgaligner_tpu.graph import graph_from_gfa
+    from vgaligner_tpu.index.build import Index
+
+    from conftest import REFERENCE_TEST_DIR
+
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    full = Index.build(g, 11, 100, 100)
+
+    for no_native in ("", "1"):
+        if no_native:
+            os.environ["VGALIGNER_NO_NATIVE"] = no_native
+        try:
+            capped = Index.build(g, 11, 100, 100, state_cap=4)
+        finally:
+            os.environ.pop("VGALIGNER_NO_NATIVE", None)
+        # strictly sorted codes and consistent offsets survive the merge
+        assert (np.diff(capped.kmer_codes) > 0).all()
+        assert (capped.kmer_offsets[1:]
+                == (capped.kmer_offsets + capped.kmer_counts)[:-1]).all()
+        # every k-mer of every embedded path is findable
+        for pid in g.paths_iter():
+            seq = "".join(g.sequence(h) for h in g.get_path(pid).nodes)
+            for i in range(len(seq) - 11 + 1):
+                assert capped.find_positions_for_query_kmer(seq[i : i + 11]), (
+                    no_native, i,
+                )
+        # sanity: the capped+merged index is a subset of the full one
+        assert len(capped.kmer_codes) <= len(full.kmer_codes)

@@ -35,7 +35,9 @@ def _python_kmer_index(graph, k, e, d, r):
 
 def _native_kmer_index(graph, k, e, d, r):
     lin = find_forward_sequence(graph)
-    return native.kmer_index_native(graph, k, e, d, r, lin.node_starts, lin.seq_len)
+    return native.kmer_index_native(
+        graph, k, e, d, r, lin.node_starts, lin.seq_len
+    )[:4]
 
 
 def _diamond():

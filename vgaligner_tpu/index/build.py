@@ -45,6 +45,64 @@ from .kmer_gen import FORWARD, REVERSE, generate_kmers, generate_pos_on_ref
 log = logging.getLogger(__name__)
 
 
+def _merge_kmer_tables(c1, o1, n1, p1, c2, o2, n2, p2):
+    """Merge a secondary (code -> position rows) table into the primary.
+
+    Used only by the path-guided DFS-cap fallback (Index.build): rows of
+    a code already present are set-unioned (primary's internal row
+    multiplicities preserved — the reference's fork-field dedup quirk
+    can legitimately leave duplicates); new codes are inserted in sorted
+    order.  Per-group rows stay sorted by the (so, start, eo, end)
+    tuple order of generate_pos_on_ref.
+    """
+    groups: dict = {}
+    for g in range(len(c2)):
+        r2 = p2[o2[g] : o2[g] + n2[g]]
+        groups[int(c2[g])] = [tuple(int(x) for x in row) for row in r2]
+
+    out_codes: List[int] = []
+    out_rows: List[tuple] = []
+    out_offsets: List[int] = []
+    out_counts: List[int] = []
+
+    def emit(code: int, rows: List[tuple]) -> None:
+        out_codes.append(code)
+        out_offsets.append(len(out_rows))
+        out_counts.append(len(rows))
+        out_rows.extend(rows)
+
+    j2 = sorted(groups)
+    t = 0
+    for g in range(len(c1)):
+        code = int(c1[g])
+        while t < len(j2) and j2[t] < code:
+            emit(j2[t], sorted(groups[j2[t]]))  # code only in table 2
+            t += 1
+        rows = [tuple(int(x) for x in row) for row in p1[o1[g] : o1[g] + n1[g]]]
+        if t < len(j2) and j2[t] == code:
+            have = set(rows)
+            extra = [r for r in sorted(set(groups[j2[t]])) if r not in have]
+            if extra:
+                rows = sorted(rows + extra)
+            t += 1
+        emit(code, rows)
+    while t < len(j2):
+        emit(j2[t], sorted(groups[j2[t]]))
+        t += 1
+
+    positions = (
+        np.asarray(out_rows, dtype=np.int64).reshape(-1, 4)
+        if out_rows
+        else np.zeros((0, 4), dtype=np.int64)
+    )
+    return (
+        np.asarray(out_codes, dtype=np.int64),
+        np.asarray(out_offsets, dtype=np.int64),
+        np.asarray(out_counts, dtype=np.int64),
+        positions,
+    )
+
+
 class DeviceIndex(NamedTuple):
     """Replicated HBM-resident arrays consumed by the device kernels."""
 
@@ -133,7 +191,7 @@ class Index:
             from ..native import kmer_index_native
 
             t0 = time.monotonic()
-            codes, offsets, counts, positions = kmer_index_native(
+            codes, offsets, counts, positions, n_capped = kmer_index_native(
                 graph, kmer_length, max_furcations, max_degree,
                 sampling_rate, lin.node_starts, seq_length,
                 state_cap=state_cap,
@@ -143,6 +201,9 @@ class Index:
                 (time.monotonic() - t0) * 1000,
             )
         else:
+            from . import kmer_gen as _kg
+
+            cap_hits_before = len(_kg._CAP_HITS)
             t0 = time.monotonic()
             kmers = generate_kmers(
                 graph,
@@ -152,6 +213,7 @@ class Index:
                 sampling_rate=sampling_rate,
                 state_cap=state_cap,
             )
+            n_capped = len(_kg._CAP_HITS) - cap_hits_before
             log.info("Finding the kmers required: %d ms", (time.monotonic() - t0) * 1000)
 
             t0 = time.monotonic()
@@ -163,6 +225,39 @@ class Index:
             from ..utils.dna import kmer_code
 
             codes = np.asarray([kmer_code(s) for s in unique_seqs], dtype=np.int64)
+
+        if n_capped and graph.paths and sampling_rate is None:
+            # The DFS budget truncated dense hub regions (e.g. MICB-class
+            # graphs whose full walk count is in the billions — the
+            # reference's unbounded enumeration cannot finish there
+            # either).  Guarantee every embedded-path k-mer is still
+            # indexed by merging in the reference's path-guided
+            # generator (generate_kmers_linearly, kmer.rs:510-728 —
+            # present but disabled in its production build,
+            # index.rs:174-199).  Healthy graphs never hit the cap, so
+            # their tables stay bit-identical to the reference.
+            t0 = time.monotonic()
+            from .kmer_gen import generate_kmers_linearly
+            from ..utils.dna import kmer_code as _kc
+
+            lin_kmers = generate_kmers_linearly(graph, kmer_length)
+            if lin_kmers:
+                u2, off2, cnt2, pos2 = generate_pos_on_ref(
+                    graph, lin_kmers, seq_length, lin.node_starts
+                )
+                codes2 = np.asarray([_kc(s) for s in u2], dtype=np.int64)
+                ok2 = codes2 >= 0
+                n_before = len(codes)
+                codes, offsets, counts, positions = _merge_kmer_tables(
+                    codes, offsets, counts, positions,
+                    codes2[ok2], off2[ok2], cnt2[ok2], pos2,
+                )
+                log.info(
+                    "path-guided fallback merged %d extra kmer groups for "
+                    "%d truncated handle orientations (%d ms)",
+                    len(codes) - n_before, n_capped,
+                    (time.monotonic() - t0) * 1000,
+                )
         if len(codes) > 1 and not (np.diff(codes) > 0).all():
             raise AssertionError(
                 "unique k-mer codes not strictly increasing — sorted-seq / "

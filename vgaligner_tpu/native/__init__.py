@@ -223,7 +223,8 @@ def kmer_index_native(graph, k: int, edge_max, degree_max, sampling_rate,
         lib.vg_free(oo)
         lib.vg_free(ocn)
         lib.vg_free(op)
-    return codes.astype(np.int64), offsets.astype(np.int64), counts.astype(np.int64), positions.astype(np.int64)
+    return (codes.astype(np.int64), offsets.astype(np.int64),
+            counts.astype(np.int64), positions.astype(np.int64), int(capped[0]))
 
 
 def build_poa_batch_arrays(labels_b: bytes, label_off: np.ndarray,
