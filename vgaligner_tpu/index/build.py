@@ -55,52 +55,77 @@ def _merge_kmer_tables(c1, o1, n1, p1, c2, o2, n2, p2):
     order.  Per-group rows stay sorted by the (so, start, eo, end)
     tuple order of generate_pos_on_ref.
     """
-    groups: dict = {}
-    for g in range(len(c2)):
-        r2 = p2[o2[g] : o2[g] + n2[g]]
-        groups[int(c2[g])] = [tuple(int(x) for x in row) for row in r2]
+    def _keyed(codes_per_row: np.ndarray, rows: np.ndarray):
+        """(code, so, start, eo, end) rows as a void view for set ops."""
+        full = np.concatenate([codes_per_row[:, None], rows], axis=1)
+        full = np.ascontiguousarray(full, dtype=np.int64)
+        return full, full.view([("", np.int64)] * 5).reshape(-1)
 
-    out_codes: List[int] = []
-    out_rows: List[tuple] = []
-    out_offsets: List[int] = []
-    out_counts: List[int] = []
+    if len(c1) == 0:
+        return c2.copy(), o2.copy(), n2.copy(), p2[: int(n2.sum()) if len(n2) else 0].copy()
 
-    def emit(code: int, rows: List[tuple]) -> None:
-        out_codes.append(code)
-        out_offsets.append(len(out_rows))
-        out_counts.append(len(rows))
-        out_rows.extend(rows)
+    # table-2 rows keyed by code; table-1 likewise (vectorized set ops —
+    # a per-group Python walk over ~1M groups took minutes on MICB)
+    code2_per_row = np.repeat(c2, n2)
+    rows2 = np.concatenate([p2[o2[g] : o2[g] + n2[g]] for g in range(len(c2))]) \
+        if len(c2) else np.zeros((0, 4), np.int64)
+    full2, keyed2 = _keyed(code2_per_row, rows2)
+    code1_per_row = np.repeat(c1, n1)
+    _, keyed1 = _keyed(code1_per_row, p1)
 
-    j2 = sorted(groups)
-    t = 0
-    for g in range(len(c1)):
-        code = int(c1[g])
-        while t < len(j2) and j2[t] < code:
-            emit(j2[t], sorted(groups[j2[t]]))  # code only in table 2
-            t += 1
-        rows = [tuple(int(x) for x in row) for row in p1[o1[g] : o1[g] + n1[g]]]
-        if t < len(j2) and j2[t] == code:
-            have = set(rows)
-            extra = [r for r in sorted(set(groups[j2[t]])) if r not in have]
-            if extra:
-                rows = sorted(rows + extra)
-            t += 1
-        emit(code, rows)
-    while t < len(j2):
-        emit(j2[t], sorted(groups[j2[t]]))
-        t += 1
+    # additions = unique table-2 rows absent from table 1
+    fresh_mask = ~np.isin(keyed2, keyed1)
+    fresh = np.unique(full2[fresh_mask], axis=0) if fresh_mask.any() else full2[:0]
+    if len(fresh) == 0:
+        return c1, o1, n1, p1
 
+    fresh_codes = fresh[:, 0]
+    uniq_codes, first_idx, fresh_counts = np.unique(
+        fresh_codes, return_index=True, return_counts=True
+    )
+    g1_of = np.searchsorted(c1, uniq_codes)
+    g1_clip = np.minimum(g1_of, len(c1) - 1)
+    exists = c1[g1_clip] == uniq_codes
+
+    # assemble by splicing: copy untouched [row-span, group-span] blocks
+    # of table 1 wholesale between merge events (augmented or new groups)
+    out_codes: List[np.ndarray] = []
+    out_counts: List[np.ndarray] = []
+    pos_parts: List[np.ndarray] = []
+    prev_g = 0
+    for t in np.argsort(g1_of, kind="stable"):
+        g = int(g1_of[t])
+        rows_new = fresh[first_idx[t] : first_idx[t] + fresh_counts[t], 1:]
+        if g > prev_g:
+            out_codes.append(c1[prev_g:g])
+            out_counts.append(n1[prev_g:g])
+            pos_parts.append(p1[o1[prev_g] : o1[g - 1] + n1[g - 1]])
+        if exists[np.searchsorted(uniq_codes, fresh_codes[first_idx[t]])]:
+            merged = np.concatenate(
+                [p1[o1[g] : o1[g] + n1[g]], rows_new]
+            )
+            order = np.lexsort(merged.T[::-1])
+            out_codes.append(c1[g : g + 1])
+            out_counts.append(np.asarray([len(merged)], dtype=n1.dtype))
+            pos_parts.append(merged[order])
+            prev_g = g + 1
+        else:
+            out_codes.append(fresh_codes[first_idx[t] : first_idx[t] + 1])
+            out_counts.append(np.asarray([len(rows_new)], dtype=n1.dtype))
+            pos_parts.append(rows_new)  # np.unique already sorted them
+            prev_g = g
+    if prev_g < len(c1):
+        out_codes.append(c1[prev_g:])
+        out_counts.append(n1[prev_g:])
+        pos_parts.append(p1[o1[prev_g] :])
+
+    codes = np.concatenate(out_codes)
+    counts = np.concatenate(out_counts).astype(np.int64)
     positions = (
-        np.asarray(out_rows, dtype=np.int64).reshape(-1, 4)
-        if out_rows
-        else np.zeros((0, 4), dtype=np.int64)
+        np.concatenate(pos_parts) if pos_parts else np.zeros((0, 4), np.int64)
     )
-    return (
-        np.asarray(out_codes, dtype=np.int64),
-        np.asarray(out_offsets, dtype=np.int64),
-        np.asarray(out_counts, dtype=np.int64),
-        positions,
-    )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    return codes, offsets, counts, positions
 
 
 class DeviceIndex(NamedTuple):
