@@ -708,7 +708,11 @@ def _align_bucket_native(node_edge_probs, qs, v_pad: int, l_pad: int):
     return kernel_and_finish(built, qs, v_pad, l_pad)
 
 
-_B_LADDER = (8, 32, 128, 256, 512, 1024)  # batch-dim pads: few executables
+# batch-dim pads: few executables.  Measured on the bench workload:
+# capping at 1024 beats extending to 4096 (1757 vs 2556 ms best-case
+# align) — V-sorted 1024-chunks keep each launch's batch-max nv bound
+# tight, while one big chunk runs every problem to the bucket max.
+_B_LADDER = (8, 32, 128, 256, 512, 1024)
 # Per-launch batch: bigger is faster (B=1024 measured 2.3x the
 # per-problem throughput of B=256 on v5e — the serial vertex scan
 # amortizes over the batch, and each launch costs a ~27 ms host-link
