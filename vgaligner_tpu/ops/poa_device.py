@@ -724,6 +724,11 @@ _HBM_BUDGET = 6 << 30
 def _b_chunk_for(v_pad: int, l_pad: int) -> int:
     per_problem = v_pad * (l_pad + 1) * 4 * 7
     b = _HBM_BUDGET // max(per_problem, 1)
+    if v_pad >= 2048:
+        # big-V buckets: the vertex loop runs to each chunk's max nv, and
+        # V spreads widely inside a pow2 bucket — small V-sorted chunks
+        # keep most launches' bounds far below the bucket max
+        b = min(b, 64)
     for cand in reversed(_B_LADDER):
         if cand <= b:
             return cand
