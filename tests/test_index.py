@@ -219,3 +219,47 @@ def test_path_guided_fallback_on_dfs_cap():
                 )
         # sanity: the capped+merged index is a subset of the full one
         assert len(capped.kmer_codes) <= len(full.kmer_codes)
+
+
+def test_merge_kmer_tables_edges():
+    """_merge_kmer_tables: duplicates in the primary are preserved,
+    additions are set-unioned, new codes insert in sorted order."""
+    import numpy as np
+
+    from vgaligner_tpu.index.build import _merge_kmer_tables
+
+    # primary: codes 5 (two identical rows — legal duplicate), 9
+    c1 = np.asarray([5, 9], dtype=np.int64)
+    n1 = np.asarray([2, 1], dtype=np.int64)
+    o1 = np.asarray([0, 2], dtype=np.int64)
+    p1 = np.asarray(
+        [[0, 10, 0, 21], [0, 10, 0, 21], [0, 40, 0, 51]], dtype=np.int64
+    )
+    # secondary: code 3 (new, with an internal duplicate kept as-is?
+    # no — np.unique dedups additions), 5 (one dup of existing + one new
+    # row), 9 (fully duplicate)
+    c2 = np.asarray([3, 5, 9], dtype=np.int64)
+    n2 = np.asarray([2, 2, 1], dtype=np.int64)
+    o2 = np.asarray([0, 2, 4], dtype=np.int64)
+    p2 = np.asarray(
+        [
+            [0, 1, 0, 12], [0, 1, 0, 12],           # code 3
+            [0, 10, 0, 21], [0, 5, 0, 16],          # code 5
+            [0, 40, 0, 51],                          # code 9
+        ],
+        dtype=np.int64,
+    )
+
+    c, o, n, p = _merge_kmer_tables(c1, o1, n1, p1, c2, o2, n2, p2)
+    assert c.tolist() == [3, 5, 9]
+    # code 3: secondary-internal duplicate rows dedup to one;
+    # code 5: one exact duplicate skipped, one new row sorted in, the
+    #   primary's legal internal duplicate preserved;
+    # code 9: fully duplicate secondary row NOT re-added
+    assert n.tolist() == [1, 3, 1]
+    assert o.tolist() == [0, 1, 4]
+    assert p.tolist() == [
+        [0, 1, 0, 12],
+        [0, 5, 0, 16], [0, 10, 0, 21], [0, 10, 0, 21],
+        [0, 40, 0, 51],
+    ]
