@@ -408,11 +408,6 @@ def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row,
             use_pallas = False
     if use_pallas:
         from .poa_pallas import poa_dp_pallas
-        if vpred.shape[-1] < P_MAX:  # the Pallas kernel is fixed at 8 slots
-            vpred = jnp.pad(
-                vpred, ((0, 0), (0, 0), (0, P_MAX - vpred.shape[-1])),
-                constant_values=-1,
-            )
         pad = l_w - L
         q_w = jnp.pad(jnp.asarray(q), ((0, 0), (0, pad)), constant_values=4)
         init_w = jnp.pad(jnp.asarray(init_row), (0, pad - 1), constant_values=NEGF)

@@ -83,13 +83,14 @@ def _poa_dp_kernel(nv_ref, nq_ref, vcodes_ref, vpred_ref, is_sink_ref,
     # no gather masks are needed at all.
     V = vcodes_ref.shape[1]
     Lw = q_ref.shape[2]
+    P = vpred_ref.shape[2]  # sliced to the batch max fan-in by callers
 
     S[:] = jnp.full(S.shape, NEGF, jnp.float32)
     S[pl.ds(V, 1), 0:Lw] = init_row_ref[0]
 
     q_row = q_ref[0]  # [1, Lw] int32
     jcol = jax.lax.broadcasted_iota(jnp.int32, (1, Lw), 1).astype(jnp.float32)
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (P_MAX, Lw), 0)
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (P, Lw), 0)
 
     def body(v, _):
         # predecessor slots (scalar loads; -1 -> sentinel rows).
@@ -97,11 +98,11 @@ def _poa_dp_kernel(nv_ref, nq_ref, vcodes_ref, vpred_ref, is_sink_ref,
         # materialized as int32 vector rows turned into i1 only via
         # comparisons: Mosaic's scalar i1/i64 convert lowering recurses
         # (x64 mode) and i1 vregs cannot be concatenated.
-        preds = [vpred_ref[0, v, p] for p in range(P_MAX)]
+        preds = [vpred_ref[0, v, p] for p in range(P)]
 
         rows = []
         live_rows = []
-        for p in range(P_MAX):
+        for p in range(P):
             pm = preds[p]
             neg = pm >> 31  # int32 arithmetic shift: -1 if pm < 0 else 0
             # dead slots -> NEG sentinel row V+1; slot 0 with no preds ->
@@ -118,7 +119,7 @@ def _poa_dp_kernel(nv_ref, nq_ref, vcodes_ref, vpred_ref, is_sink_ref,
 
         def slot_min(cand, best):
             return jnp.min(
-                jnp.where(cand == best, p_iota, P_MAX), axis=0, keepdims=True
+                jnp.where(cand == best, p_iota, P), axis=0, keepdims=True
             )
 
         def at_slot(flags, slot):
@@ -240,7 +241,7 @@ def poa_dp_pallas(vcodes, vpred, is_sink, nv, q, nq, init_row,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, V, 1), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V, P_MAX), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V, vpred.shape[-1]), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, V, 1), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, l_w), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, l_w), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
