@@ -67,3 +67,27 @@ def test_cli_missing_graph_for_align(tmp_path, monkeypatch):
             "map", "-i", prefix, "-f", f"{REFERENCE_TEST_DIR}/single-read-test.fa",
             "-o", str(tmp_path / "o"), "-p", "abpoa", "-D", "-t", "1",
         ])
+
+
+def test_cli_gaf_out_path_with_also_align(tmp_path, monkeypatch):
+    """A literal .gaf out path with --also-align produces ONE file
+    holding only the base-level alignments (pre-streaming behavior:
+    the alignments write replaced the chains write)."""
+    monkeypatch.chdir(tmp_path)
+    prefix = str(tmp_path / "tg")
+    main(["index", "-i", f"{REFERENCE_TEST_DIR}/test.gfa", "-k", "11", "-o", prefix])
+
+    out = str(tmp_path / "final.gaf")
+    main([
+        "map", "-i", prefix, "-f", f"{REFERENCE_TEST_DIR}/multiple-read-test.fa",
+        "-o", out, "-p", "abpoa", "-D", "-G", f"{REFERENCE_TEST_DIR}/test.gfa",
+        "-t", "1",
+    ])
+    lines = open(out).read().splitlines()
+    # one alignment row per read, no interleaved chain rows
+    import re
+
+    names = [ln.split("\t")[0] for ln in lines]
+    assert names == sorted(set(names), key=names.index)
+    assert len(names) == len(set(names))
+    assert not os.path.exists(out + ".progress.json")

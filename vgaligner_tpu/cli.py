@@ -106,7 +106,6 @@ def index_main(args) -> None:
 def map_main(args) -> None:
     from .index import Index
     from .io.fastx import read_seqs_from_file
-    from .io.gaf import write_gaf_to_file
     from .models.mapper import Mapper
     from .models.poa_aligner import PoaAligner, PoaEngine
 
@@ -167,6 +166,12 @@ def map_main(args) -> None:
     align_file = (
         out_prefix if out_prefix.endswith(".gaf") else out_prefix + "-alignments.gaf"
     ) if args.also_align else None
+    if align_file == chains_file:
+        # a literal .gaf out path names ONE file; with --also-align the
+        # base-level GAF is the single final product (matches the
+        # pre-streaming behavior where the alignments write replaced
+        # the chains write) — chain records are not written to disk
+        chains_file = None
     writer = ResumableGafWriter(
         out_prefix, chains_file, align_file, resume=args.resume
     )
@@ -174,9 +179,15 @@ def map_main(args) -> None:
         log.info("Resuming: %d reads already done", writer.skip_reads)
     pending_queries = queries[writer.skip_reads :]
 
+    # records are retained in memory only for the flags that need them
+    # (console echo, validation) — otherwise memory stays bounded by the
+    # batch size no matter the read-stream length
+    keep_chains = args.write_console
+    keep_alns = args.write_console or args.also_validate
     chains_gaf = []
     alignments = []
     n_chains = 0
+    n_alignments = 0
     t0 = time.monotonic()
 
     def _on_chains(batch_chains):
@@ -184,11 +195,15 @@ def map_main(args) -> None:
         n_chains += sum(len(c) for c in batch_chains)
         recs = mapper.chains_to_gaf(batch_chains)
         writer.write_chains(len(batch_chains), recs)
-        chains_gaf.extend(recs)
+        if keep_chains:
+            chains_gaf.extend(recs)
 
     def _on_alignments(batch_alns):
+        nonlocal n_alignments
+        n_alignments += len(batch_alns)
         writer.write_alignments(batch_alns)
-        alignments.extend(batch_alns)
+        if keep_alns:
+            alignments.extend(batch_alns)
 
     stream_map_align(
         mapper, pending_queries, aligner,
@@ -201,13 +216,14 @@ def map_main(args) -> None:
     log.info("Chaining%s took: %d ms",
              " + alignment" if aligner else "", (time.monotonic() - t0) * 1000)
     log.info("Found %d chains!", n_chains)
-    log.info("Chains stored correctly in %s!", chains_file)
+    if chains_file is not None:
+        log.info("Chains stored correctly in %s!", chains_file)
     if args.write_console:
         for rec in chains_gaf:
             print(rec.to_string(), end="")
 
     if args.also_align:
-        log.info("Found %d alignments!", len(alignments))
+        log.info("Found %d alignments!", n_alignments)
         log.info("Alignments stored correctly in %s!", align_file)
 
         if args.also_validate:

@@ -61,14 +61,23 @@ def _merge_kmer_tables(c1, o1, n1, p1, c2, o2, n2, p2):
         full = np.ascontiguousarray(full, dtype=np.int64)
         return full, full.view([("", np.int64)] * 5).reshape(-1)
 
+    # gather table-2 rows group-contiguously (o2 may be non-contiguous
+    # when the caller filtered groups out), fully vectorized
+    if len(c2):
+        row_idx = np.repeat(o2, n2) + (
+            np.arange(int(n2.sum())) - np.repeat(np.cumsum(n2) - n2, n2)
+        )
+        rows2 = p2[row_idx]
+    else:
+        rows2 = np.zeros((0, 4), np.int64)
+    code2_per_row = np.repeat(c2, n2)
+
     if len(c1) == 0:
-        return c2.copy(), o2.copy(), n2.copy(), p2[: int(n2.sum()) if len(n2) else 0].copy()
+        offsets2 = np.concatenate([[0], np.cumsum(n2)[:-1]]).astype(np.int64)
+        return c2.copy(), offsets2, n2.astype(np.int64).copy(), rows2
 
     # table-2 rows keyed by code; table-1 likewise (vectorized set ops —
     # a per-group Python walk over ~1M groups took minutes on MICB)
-    code2_per_row = np.repeat(c2, n2)
-    rows2 = np.concatenate([p2[o2[g] : o2[g] + n2[g]] for g in range(len(c2))]) \
-        if len(c2) else np.zeros((0, 4), np.int64)
     full2, keyed2 = _keyed(code2_per_row, rows2)
     code1_per_row = np.repeat(c1, n1)
     _, keyed1 = _keyed(code1_per_row, p1)
@@ -100,7 +109,7 @@ def _merge_kmer_tables(c1, o1, n1, p1, c2, o2, n2, p2):
             out_codes.append(c1[prev_g:g])
             out_counts.append(n1[prev_g:g])
             pos_parts.append(p1[o1[prev_g] : o1[g - 1] + n1[g - 1]])
-        if exists[np.searchsorted(uniq_codes, fresh_codes[first_idx[t]])]:
+        if exists[t]:  # fresh_codes[first_idx[t]] == uniq_codes[t]
             merged = np.concatenate(
                 [p1[o1[g] : o1[g] + n1[g]], rows_new]
             )

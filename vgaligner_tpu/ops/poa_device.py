@@ -71,15 +71,20 @@ _CASE_M, _CASE_E1, _CASE_E2, _CASE_F1, _CASE_F2 = 0, 1, 2, 3, 4
 _VIRT_SLOT = 15
 
 
-def _slice_preds(vpred: np.ndarray) -> np.ndarray:
+def _slice_preds(vpred: np.ndarray, n_real: int = -1) -> np.ndarray:
     """Slice the predecessor slot dim to the batch's max live fan-in
     (pow2 ladder 2/4/8).  Base-graph vertices almost always have 1-2
     predecessors; the DP's per-step cost scales with the slot count, so
     shipping 8 slots for a fan-in-2 batch more than triples the kernel
-    time.  P is shape-derived (static) in the kernels."""
+    time.  P is shape-derived (static) in the kernels.
+
+    n_real bounds the fan-in scan to the REAL batch rows: ladder-padded
+    rows are calloc'd to zero, and a zero slot reads as live predecessor
+    0, which silently forced p_use back to 8 on any padded chunk."""
     if vpred.size == 0:
         return vpred
-    fan = int((vpred >= 0).sum(axis=-1).max())
+    live = vpred if n_real < 0 else vpred[:n_real]
+    fan = int((live >= 0).sum(axis=-1).max()) if live.size else 1
     p_use = 2 if fan <= 2 else (4 if fan <= 4 else P_MAX)
     if p_use == vpred.shape[-1]:
         return vpred
@@ -673,14 +678,19 @@ def align_global_batch(
 
     bgs_all = [build_base_graph(n, e) for n, e, _ in problems]
     buckets = {}
+    out = [None] * len(problems)
     for i, (bg, q) in enumerate(zip(bgs_all, qs_all)):
+        if len(bg.codes) > 8192:
+            # outlier shapes: host DP beats a one-off compile (and the
+            # uint16 tape packing caps device vertex ids at 14 bits)
+            out[i] = align_global_host(*problems[i])
+            continue
         key = (
             _next_pow2(max(len(bg.codes), 256)),
             _next_pow2(max(len(q), 128)),
         )
         buckets.setdefault(key, []).append(i)
 
-    out = [None] * len(problems)
     for (v_pad, l_pad), idxs in sorted(buckets.items()):
         for i, res in zip(idxs, _align_bucket(
             [bgs_all[i] for i in idxs], [qs_all[i] for i in idxs], v_pad, l_pad
@@ -820,7 +830,7 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
         init_row = make_init_row(l_pad)
     with timer.phase("d_launch"):
         out_d = poa_global_kernel(
-            jnp.asarray(vcodes), jnp.asarray(_slice_preds(vpred)),
+            jnp.asarray(vcodes), jnp.asarray(_slice_preds(vpred, n_real)),
             jnp.asarray(is_sink.view(np.bool_)), jnp.asarray(nv),
             jnp.asarray(q_pad), jnp.asarray(nq), jnp.asarray(init_row),
         )
