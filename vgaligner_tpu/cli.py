@@ -146,7 +146,7 @@ def map_main(args) -> None:
         graph = graph_from_gfa(args.input_graph)
         engine = PoaEngine.ABPOA if args.poa_aligner == "abpoa" else PoaEngine.RSPOA
         aligner = PoaAligner(index, engine, export_subgraphs=True, graph=graph,
-                             bubble_closure=args.bubble_closure)
+                             bubble_closure=args.bubble_closure, mesh=mesh)
 
     # large read sets stream through a two-stage software pipeline
     # (device POA for batch N overlaps host mapping of batch N+1);

@@ -289,11 +289,14 @@ class PoaAligner:
 
     def __init__(self, index: Index, engine: PoaEngine = PoaEngine.ABPOA,
                  export_subgraphs: bool = False, graph=None,
-                 bubble_closure: bool = False):
+                 bubble_closure: bool = False, mesh=None):
         self.index = index
         self.engine = engine
         self.export_subgraphs = export_subgraphs
         self.graph = graph  # needed only for subgraph-path export
+        # data-parallel mesh: POA chunks are sharded along the batch dim
+        # (problems are independent; no collectives)
+        self.mesh = mesh
         # opt-in: splice one-hop bubble alt-alleles into the
         # chain-implied subgraph (close_bubbles).  Recovers alt alleles
         # the reference's contiguous-id range drops, but on bubble-dense
@@ -576,7 +579,9 @@ class PoaAligner:
                     out[i] = align_global_host(nodes, prob_edges, chains[i].query.seq)
                 continue
             pending.append(
-                (idxs, kernel_dispatch_chunked(built, [qs[i] for i in idxs], v_pad, l_pad))
+                (idxs, kernel_dispatch_chunked(
+                    built, [qs[i] for i in idxs], v_pad, l_pad, mesh=self.mesh,
+                ))
             )
         if oversize:
             from ..native import poa_global_host_native

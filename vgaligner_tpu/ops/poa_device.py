@@ -759,7 +759,7 @@ def padded_rows(n: int, v_pad: int, l_pad: int) -> int:
     return s_last + _b_pad_for(n - s_last)
 
 
-def kernel_dispatch_chunked(built, qs, v_pad: int, l_pad: int):
+def kernel_dispatch_chunked(built, qs, v_pad: int, l_pad: int, mesh=None):
     """Dispatch a bucket as fixed-size chunks (batch dims drawn from a
     small ladder, sized to the HBM budget for this problem shape) so POA
     executables are shared across datasets instead of recompiling for
@@ -786,7 +786,7 @@ def kernel_dispatch_chunked(built, qs, v_pad: int, l_pad: int):
                     return out
 
                 chunk = tuple(zpad(a) for a in built)
-        pendings.append(kernel_dispatch(chunk, qs[s:e], v_pad, l_pad))
+        pendings.append(kernel_dispatch(chunk, qs[s:e], v_pad, l_pad, mesh=mesh))
     return pendings
 
 
@@ -807,11 +807,15 @@ def make_init_row(l_pad: int) -> np.ndarray:
 _INIT_ROW_CACHE: dict = {}
 
 
-def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
+def kernel_dispatch(built, qs, v_pad: int, l_pad: int, mesh=None):
     """Launch the device POA kernel (async) on a ladder-padded chunk.
     Returns the pending state consumed by kernel_finish — split so
     multiple buckets queue on device back-to-back before any host sync
-    (the link charges ~27 ms per dispatch+sync cycle)."""
+    (the link charges ~27 ms per dispatch+sync cycle).
+
+    With a mesh, chunk arrays are sharded along the batch dim (problems
+    are independent, so SPMD compilation inserts no collectives) —
+    ladder pads are pow2, so any pow2 mesh divides them evenly."""
     vcodes, vpred, is_sink, nv, node_of, off_in = built
     n_real = len(qs)
     b_pad = vcodes.shape[0]
@@ -829,11 +833,15 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int):
 
         init_row = make_init_row(l_pad)
     with timer.phase("d_launch"):
-        out_d = poa_global_kernel(
-            jnp.asarray(vcodes), jnp.asarray(_slice_preds(vpred, n_real)),
-            jnp.asarray(is_sink.view(np.bool_)), jnp.asarray(nv),
-            jnp.asarray(q_pad), jnp.asarray(nq), jnp.asarray(init_row),
-        )
+        args = (vcodes, _slice_preds(vpred, n_real), is_sink.view(np.bool_),
+                nv, q_pad, nq)
+        if mesh is not None and b_pad % mesh.devices.size == 0:
+            from ..parallel.mesh import shard_batch
+
+            args = shard_batch(mesh, *(jnp.asarray(a) for a in args))
+        else:
+            args = tuple(jnp.asarray(a) for a in args)
+        out_d = poa_global_kernel(*args, jnp.asarray(init_row))
     return (out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
 
 
