@@ -153,13 +153,23 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
         tbits = jnp.zeros((V, L + 1), dtype=jnp.int32)
         jcol = jnp.arange(L + 1, dtype=jnp.float32)
 
-        def step(v, carry):
-            H, E1m, E2m, tbits = carry
+        def compute(v, H, E1m, E2m, sub_v=None, sub_rows=None):
+            """One vertex's row; sub_rows substitutes the just-computed
+            rows of vertex sub_v (not yet scattered into H/E1m/E2m) so
+            two topologically consecutive vertices can share one loop
+            iteration."""
             preds = vpred_b[v]  # [P]
             idx = jnp.where(preds >= 0, preds, V)  # -1 -> virtual source row
             Hp = H[idx]  # [P, L+1]
-            E1p = jnp.where(preds[:, None] >= 0, E1m[idx], NEGF)
-            E2p = jnp.where(preds[:, None] >= 0, E2m[idx], NEGF)
+            E1p_raw = E1m[idx]
+            E2p_raw = E2m[idx]
+            if sub_rows is not None:
+                m = (idx == sub_v)[:, None]
+                Hp = jnp.where(m, sub_rows[0][None, :], Hp)
+                E1p_raw = jnp.where(m, sub_rows[1][None, :], E1p_raw)
+                E2p_raw = jnp.where(m, sub_rows[2][None, :], E2p_raw)
+            E1p = jnp.where(preds[:, None] >= 0, E1p_raw, NEGF)
+            E2p = jnp.where(preds[:, None] >= 0, E2p_raw, NEGF)
             # mask out empty slots entirely EXCEPT slot 0 when the vertex
             # has no predecessors (then slot 0 acts as the virtual source)
             has_any = preds[0] >= 0
@@ -238,8 +248,6 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
                 jnp.where(h_row == f1_row, _CASE_F1, _CASE_F2),
             )
             prev_h = jnp.concatenate([jnp.full((1,), NEGF, jnp.float32), h_row[:-1]])
-            prev_f1 = jnp.concatenate([jnp.full((1,), NEGF, jnp.float32), f1_row[:-1]])
-            prev_f2 = jnp.concatenate([jnp.full((1,), NEGF, jnp.float32), f2_row[:-1]])
             f1_open = f1_row == prev_h - oe1
             f2_open = f2_row == prev_h - oe2
 
@@ -260,15 +268,32 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
                 | (f1_open.astype(jnp.int32) << 17)
                 | (f2_open.astype(jnp.int32) << 18)
             )
+            return h_row, best1, best2, bits
 
-            H = H.at[v].set(h_row)
-            E1m = E1m.at[v].set(best1)
-            E2m = E2m.at[v].set(best2)
-            tbits = tbits.at[v].set(bits)
+        def step(i, carry):
+            # 2x-unrolled vertex loop: vertex 2i+1's predecessor rows are
+            # read from the carried state with the fresh 2i rows
+            # substituted (preds are strictly lower-ranked, so only row 2i
+            # can be stale).  Halves the serial iteration count; rows past
+            # a problem's nv are junk exactly as in the 1-step loop
+            # (never read by sink selection or the traceback).
+            H, E1m, E2m, tbits = carry
+            v = (2 * i).astype(jnp.int32) if hasattr(i, "astype") else 2 * i
+            z = jnp.int32(0)
+            h0, b10, b20, bits0 = compute(v, H, E1m, E2m)
+            h1, b11, b21, bits1 = compute(
+                v + 1, H, E1m, E2m, sub_v=v, sub_rows=(h0, b10, b20)
+            )
+            H = jax.lax.dynamic_update_slice(H, jnp.stack([h0, h1]), (v, z))
+            E1m = jax.lax.dynamic_update_slice(E1m, jnp.stack([b10, b11]), (v, z))
+            E2m = jax.lax.dynamic_update_slice(E2m, jnp.stack([b20, b21]), (v, z))
+            tbits = jax.lax.dynamic_update_slice(
+                tbits, jnp.stack([bits0, bits1]), (v, z)
+            )
             return (H, E1m, E2m, tbits)
 
         H, E1m, E2m, tbits = jax.lax.fori_loop(
-            0, nv_max, step, (H, E1m, E2m, tbits)
+            0, (nv_max + 1) // 2, step, (H, E1m, E2m, tbits)
         )
 
         # best sink at column nq (first in topo order on ties)
