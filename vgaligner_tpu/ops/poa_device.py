@@ -146,28 +146,30 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
     e2 = np.float32(GAP_EXT2)
 
     def one(vcodes_b, vpred_b, is_sink_b, nv_b, q_b, nq_b):
-        H = jnp.full((V + 1, L + 1), NEGF, dtype=jnp.float32)
-        H = H.at[V].set(init_row)  # virtual source row
-        E1m = jnp.full((V + 1, L + 1), NEGF, dtype=jnp.float32)
-        E2m = jnp.full((V + 1, L + 1), NEGF, dtype=jnp.float32)
-        tbits = jnp.zeros((V, L + 1), dtype=jnp.int32)
-        jcol = jnp.arange(L + 1, dtype=jnp.float32)
+        # H/E1/E2 packed along the row: one [V+1, 3W] state means ONE
+        # predecessor row gather per vertex instead of three — the gather
+        # (not the arithmetic) dominates the step, and its cost is mostly
+        # per-gather overhead, so packing measured 1.4x on v5e.
+        W = L + 1
+        S = jnp.full((V + 1, 3 * W), NEGF, dtype=jnp.float32)
+        S = S.at[V, :W].set(init_row)  # virtual source row (H plane)
+        tbits = jnp.zeros((V, W), dtype=jnp.int32)
+        jcol = jnp.arange(W, dtype=jnp.float32)
 
-        def compute(v, H, E1m, E2m, sub_v=None, sub_rows=None):
+        def compute(v, S, sub_v=None, sub_rows=None):
             """One vertex's row; sub_rows substitutes the just-computed
-            rows of vertex sub_v (not yet scattered into H/E1m/E2m) so
+            packed row of vertex sub_v (not yet scattered into S) so
             two topologically consecutive vertices can share one loop
             iteration."""
             preds = vpred_b[v]  # [P]
             idx = jnp.where(preds >= 0, preds, V)  # -1 -> virtual source row
-            Hp = H[idx]  # [P, L+1]
-            E1p_raw = E1m[idx]
-            E2p_raw = E2m[idx]
+            Sp = S[idx]  # [P, 3W] one row gather
             if sub_rows is not None:
                 m = (idx == sub_v)[:, None]
-                Hp = jnp.where(m, sub_rows[0][None, :], Hp)
-                E1p_raw = jnp.where(m, sub_rows[1][None, :], E1p_raw)
-                E2p_raw = jnp.where(m, sub_rows[2][None, :], E2p_raw)
+                Sp = jnp.where(m, sub_rows[None, :], Sp)
+            Hp = Sp[:, :W]
+            E1p_raw = Sp[:, W : 2 * W]
+            E2p_raw = Sp[:, 2 * W :]
             E1p = jnp.where(preds[:, None] >= 0, E1p_raw, NEGF)
             E2p = jnp.where(preds[:, None] >= 0, E2p_raw, NEGF)
             # mask out empty slots entirely EXCEPT slot 0 when the vertex
@@ -268,38 +270,35 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
                 | (f1_open.astype(jnp.int32) << 17)
                 | (f2_open.astype(jnp.int32) << 18)
             )
-            return h_row, best1, best2, bits
+            row = jnp.concatenate([h_row, best1, best2])  # [3W]
+            return row, bits
 
         def step(i, carry):
             # 2x-unrolled vertex loop: vertex 2i+1's predecessor rows are
-            # read from the carried state with the fresh 2i rows
+            # read from the carried state with the fresh 2i row
             # substituted (preds are strictly lower-ranked, so only row 2i
             # can be stale).  Halves the serial iteration count; rows past
             # a problem's nv are junk exactly as in the 1-step loop
             # (never read by sink selection or the traceback).
-            H, E1m, E2m, tbits = carry
+            S, tbits = carry
             v = (2 * i).astype(jnp.int32) if hasattr(i, "astype") else 2 * i
             z = jnp.int32(0)
-            h0, b10, b20, bits0 = compute(v, H, E1m, E2m)
-            h1, b11, b21, bits1 = compute(
-                v + 1, H, E1m, E2m, sub_v=v, sub_rows=(h0, b10, b20)
-            )
-            H = jax.lax.dynamic_update_slice(H, jnp.stack([h0, h1]), (v, z))
-            E1m = jax.lax.dynamic_update_slice(E1m, jnp.stack([b10, b11]), (v, z))
-            E2m = jax.lax.dynamic_update_slice(E2m, jnp.stack([b20, b21]), (v, z))
+            row0, bits0 = compute(v, S)
+            row1, bits1 = compute(v + 1, S, sub_v=v, sub_rows=row0)
+            S = jax.lax.dynamic_update_slice(S, jnp.stack([row0, row1]), (v, z))
             tbits = jax.lax.dynamic_update_slice(
                 tbits, jnp.stack([bits0, bits1]), (v, z)
             )
-            return (H, E1m, E2m, tbits)
+            return (S, tbits)
 
-        H, E1m, E2m, tbits = jax.lax.fori_loop(
-            0, (nv_max + 1) // 2, step, (H, E1m, E2m, tbits)
+        S, tbits = jax.lax.fori_loop(
+            0, (nv_max + 1) // 2, step, (S, tbits)
         )
 
         # best sink at column nq (first in topo order on ties)
         v_ids = jnp.arange(V)
         sink_scores = jnp.where(
-            is_sink_b & (v_ids < nv_b), H[jnp.minimum(v_ids, V - 1), nq_b], NEGF
+            is_sink_b & (v_ids < nv_b), S[jnp.minimum(v_ids, V - 1), nq_b], NEGF
         )
         best_sink = jnp.argmax(sink_scores)
         best_score = sink_scores[best_sink]
