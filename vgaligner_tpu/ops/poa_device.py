@@ -756,8 +756,11 @@ def _b_chunk_for(v_pad: int, l_pad: int) -> int:
     if v_pad >= 2048:
         # big-V buckets: the vertex loop runs to each chunk's max nv, and
         # V spreads widely inside a pow2 bucket — small V-sorted chunks
-        # keep most launches' bounds far below the bucket max
-        b = min(b, 64)
+        # keep most launches' bounds far below the bucket max.  128 (not
+        # 64): at V=2048 the packed-state DP measures 0.40 ms/problem at
+        # B=128 vs 0.68 at B=64 — the serial vertex loop amortizes — and
+        # the nv-spread cost of doubling the chunk stays below that gain
+        b = min(b, 128)
     for cand in reversed(_B_LADDER):
         if cand <= b:
             return cand
