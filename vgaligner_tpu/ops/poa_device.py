@@ -405,6 +405,27 @@ def unpack_tape(tape: np.ndarray):
     return (t32 & 3).astype(np.int8), (t32 >> 2) - 2
 
 
+@jax.jit
+def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq, init_row):
+    """Wire-format variant of poa_global_kernel: ONE device launch per
+    chunk for DP + traceback, with the dispatch payload shrunk for the
+    host link (measured ~33 ms fixed round trip + ~50 MB/s):
+
+      * vcodes_p int8 [B,V]: base code in bits 0-2, is_sink in bit 5
+        (saves shipping a [B,V] bool plane);
+      * vpred16 int16 [B,V,P]: vertex ids < 8192 and the -1 sentinel fit
+        int16 — halves the largest array on the wire.
+    """
+    vcodes = (vcodes_p & 7).astype(jnp.int8)
+    is_sink = (vcodes_p >> 5) != 0
+    vpred = vpred16.astype(jnp.int32)
+    score, best_sink, tbits = poa_dp_xla(
+        vcodes, vpred, is_sink, nv, q, nq, init_row
+    )
+    tape, tlen = traceback_batch(tbits, vpred, best_sink, nq)
+    return score, tape, tlen
+
+
 def poa_global_kernel(vcodes, vpred, is_sink, nv, q, nq, init_row,
                       use_pallas: Optional[bool] = None):
     """One batch of global POA problems: DP + traceback.
@@ -860,15 +881,29 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int, mesh=None):
 
         init_row = make_init_row(l_pad)
     with timer.phase("d_launch"):
-        args = (vcodes, _slice_preds(vpred, n_real), is_sink.view(np.bool_),
-                nv, q_pad, nq)
+        # wire format (see poa_global_kernel_packed): sink bit folded
+        # into vcodes, predecessors as int16 — the host link runs at
+        # ~50 MB/s, so bytes on the wire are launch latency
+        vcodes_p = (vcodes | (is_sink.astype(np.int8) << 5)).astype(np.int8)
+        vpred16 = _slice_preds(vpred, n_real).astype(np.int16)
+        args = (vcodes_p, vpred16, nv, q_pad, nq)
         if mesh is not None and b_pad % mesh.devices.size == 0:
             from ..parallel.mesh import shard_batch
 
             args = shard_batch(mesh, *(jnp.asarray(a) for a in args))
         else:
             args = tuple(jnp.asarray(a) for a in args)
-        out_d = poa_global_kernel(*args, jnp.asarray(init_row))
+        import os
+
+        if os.environ.get("VGALIGNER_POA_PALLAS") == "1":
+            # opt-in Pallas DP keeps the unpacked entry point
+            vc, vp = args[0] & 7, args[1].astype(jnp.int32)
+            out_d = poa_global_kernel(
+                vc.astype(jnp.int8), vp, (args[0] >> 5) != 0,
+                args[2], args[3], args[4], jnp.asarray(init_row),
+            )
+        else:
+            out_d = poa_global_kernel_packed(*args, jnp.asarray(init_row))
     return (out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
 
 
