@@ -34,6 +34,7 @@ from functools import partial
 from typing import List, NamedTuple, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..index.build import Index
@@ -201,6 +202,65 @@ def _anchor_coords_host(seqs, index, a_max: np.ndarray, mem_off: np.ndarray,
     return out_qb, out_tb, out_te
 
 
+@jax.jit
+def _concat_bucket_outputs(u16_flat, i32_flat):
+    """Concatenate per-bucket device outputs into one flat buffer per
+    dtype — jax.device_get pays per-buffer latency on the axon link, so
+    two transfers beat 2×n_buckets.  Either list may be empty (its
+    output is then dropped by the caller before tracing)."""
+    outs = []
+    if u16_flat:
+        outs.append(jnp.concatenate(u16_flat))
+    if i32_flat:
+        outs.append(jnp.concatenate(i32_flat))
+    return tuple(outs)
+
+
+def _fetch_bucket_outputs(outs):
+    """Drain [(packed, counts), ...] bucket outputs to host numpy with a
+    minimal number of link transfers; returns the same list structure.
+
+    packed is uint16 (small-anchor buckets) or int32; counts is int32.
+    All int32 parts (big-bucket packed + every counts) share one buffer,
+    uint16 parts share another.  Mesh-sharded outputs (multichip) fall
+    back to the plain fetch — concat would force a cross-device gather.
+    """
+
+    def on_one_device(a):
+        try:
+            return len(a.devices()) == 1
+        except Exception:
+            return True
+
+    flat_all = [a for o in outs for a in o]
+    if len(outs) <= 1 or not all(on_one_device(a) for a in flat_all):
+        return jax.device_get(outs)
+
+    u16_parts, i32_parts = [], []
+    plan = []  # (dtype_key, start, shape) per array, in output order
+    for packed, counts in outs:
+        for a in (packed, counts):
+            if a.dtype == np.uint16:
+                plan.append(("u16", sum(p.size for p in u16_parts), a.shape))
+                u16_parts.append(a.reshape(-1))
+            else:
+                plan.append(("i32", sum(p.size for p in i32_parts), a.shape))
+                i32_parts.append(a.reshape(-1).astype(np.int32))
+    cat = jax.device_get(_concat_bucket_outputs(u16_parts, i32_parts))
+    bufs = {}
+    pos = 0
+    if u16_parts:
+        bufs["u16"] = cat[pos]
+        pos += 1
+    if i32_parts:
+        bufs["i32"] = cat[pos]
+    arrays = [
+        bufs[key][start : start + int(np.prod(shape))].reshape(shape)
+        for key, start, shape in plan
+    ]
+    return [(arrays[2 * i], arrays[2 * i + 1]) for i in range(len(outs))]
+
+
 class Mapper:
     """Batched read mapper over a built index."""
 
@@ -349,12 +409,14 @@ class Mapper:
             buckets.setdefault(a_max, []).append(qi)
 
         # dispatch every bucket's device program, then drain all results
-        # in ONE device_get (the host link charges ~27ms+ per round trip)
+        # in ONE device_get (the host link charges ~27ms+ per round trip,
+        # per BUFFER — so bucket outputs are first concatenated on device
+        # into one flat buffer per dtype, see _fetch_bucket_outputs)
         dispatched = []
         for a_max, qidx in sorted(buckets.items()):
             dispatched.append(self._dispatch_bucket(queries, qidx, a_max))
         with self.timer.phase("gather"):
-            fetched = jax.device_get([(d[2], d[3]) for d in dispatched])
+            fetched = _fetch_bucket_outputs([(d[2], d[3]) for d in dispatched])
         pending = [
             self._collect_bucket(d[0], d[1], pc[0], pc[1])
             for d, pc in zip(dispatched, fetched)

@@ -406,7 +406,7 @@ def unpack_tape(tape: np.ndarray):
 
 
 @jax.jit
-def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq, init_row):
+def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq):
     """Wire-format variant of poa_global_kernel: ONE device launch per
     chunk for DP + traceback, with the dispatch payload shrunk for the
     host link (measured ~33 ms fixed round trip + ~50 MB/s):
@@ -414,8 +414,18 @@ def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq, init_row):
       * vcodes_p int8 [B,V]: base code in bits 0-2, is_sink in bit 5
         (saves shipping a [B,V] bool plane);
       * vpred16 int16 [B,V,P]: vertex ids < 8192 and the -1 sentinel fit
-        int16 — halves the largest array on the wire.
+        int16 — halves the largest array on the wire;
+      * the leading-insertion cost row is a closed-form formula, so it
+        is computed on device rather than shipped (one fewer transfer
+        per launch on a per-buffer-latency link).
     """
+    L = q.shape[1]
+    j = jnp.arange(1, L + 1, dtype=jnp.float32)
+    costs = jnp.minimum(
+        np.float32(GAP_OPEN1) + j * np.float32(GAP_EXT1),
+        np.float32(GAP_OPEN2) + j * np.float32(GAP_EXT2),
+    )
+    init_row = jnp.concatenate([jnp.zeros(1, jnp.float32), -costs])
     vcodes = (vcodes_p & 7).astype(jnp.int8)
     is_sink = (vcodes_p >> 5) != 0
     vpred = vpred16.astype(jnp.int32)
@@ -903,19 +913,60 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int, mesh=None):
                 args[2], args[3], args[4], jnp.asarray(init_row),
             )
         else:
-            out_d = poa_global_kernel_packed(*args, jnp.asarray(init_row))
+            out_d = poa_global_kernel_packed(*args)
     return (out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
+
+
+@jax.jit
+def _concat_chunk_outputs(outs):
+    """Flatten many chunks' (score, tape, tlen) into THREE device
+    buffers.  jax.device_get pays per-buffer link latency on the axon
+    transport, so fetching 3 buffers instead of 3×n_chunks turns an
+    O(n_chunks) latency bill into O(1); the concat itself is a cheap
+    on-device copy.  Cached per distinct chunk-shape tuple (the ladder
+    quantizes shapes, so steady-state batches reuse one executable)."""
+    scores = jnp.concatenate([o[0] for o in outs])
+    tapes = jnp.concatenate([o[1].reshape(-1) for o in outs])
+    tlens = jnp.concatenate([o[2] for o in outs])
+    return scores, tapes, tlens
+
+
+def _on_one_device(arr) -> bool:
+    try:
+        return len(arr.devices()) == 1
+    except Exception:
+        return True  # plain np arrays (CPU fallbacks)
 
 
 def kernel_finish_all(pendings):
     """Fetch MANY dispatched chunks in ONE device_get, then decode.
 
-    The host link charges a full round trip per device_get; draining a
-    batch's chunks through one combined transfer saves ~27 ms per chunk.
+    The host link charges a full round trip per device_get AND per
+    buffer inside it; chunks' outputs are first concatenated on device
+    into three flat buffers (see _concat_chunk_outputs), then drained
+    with a single transfer and split host-side.  Mesh-sharded outputs
+    (multichip) skip the concat — it would force a cross-device gather.
     Returns the concatenated per-chunk result lists, in order.
     """
-    with timer.phase("f_fetch"):
-        fetched = jax.device_get([p[0] for p in pendings])
+    outs = [p[0] for p in pendings]
+    if len(outs) > 1 and all(
+        _on_one_device(a) for o in outs for a in o
+    ):
+        with timer.phase("f_fetch"):
+            s_cat, t_cat, l_cat = jax.device_get(_concat_chunk_outputs(outs))
+        fetched = []
+        ob = ot = 0
+        for o in outs:
+            B, T = o[1].shape
+            fetched.append(
+                (s_cat[ob : ob + B], t_cat[ot : ot + B * T].reshape(B, T),
+                 l_cat[ob : ob + B])
+            )
+            ob += B
+            ot += B * T
+    else:
+        with timer.phase("f_fetch"):
+            fetched = jax.device_get(outs)
     out: List = []
     for pending, got in zip(pendings, fetched):
         out.extend(_decode_finished(pending, got))
