@@ -143,3 +143,41 @@ def test_local_batch_matches_host():
         assert res_d.node_path == res_h.node_path
         assert res_d.query_start == res_h.query_start
         assert res_d.query_end == res_h.query_end
+
+
+def test_wire_kernel_matches_unpacked():
+    """The single-buffer wire dispatch (pack_chunk_wire +
+    poa_global_kernel_wire) must produce bit-identical outputs to the
+    per-array packed kernel — locks the byte layout and the backend
+    bitcast semantics the wire relies on."""
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.ops.poa_device import (
+        pack_chunk_wire,
+        poa_global_kernel_packed,
+        poa_global_kernel_wire,
+        wire_bitcast_supported,
+    )
+
+    assert wire_bitcast_supported()
+    rng = np.random.default_rng(7)
+    B, V, P, L = 4, 16, 2, 8
+    vcodes = rng.integers(0, 4, size=(B, V)).astype(np.int8)
+    vpred = np.full((B, V, P), -1, dtype=np.int16)
+    vpred[:, 1:, 0] = np.arange(V - 1, dtype=np.int16)
+    is_sink = np.zeros((B, V), dtype=np.int8)
+    nv = rng.integers(4, V + 1, size=B).astype(np.int32)
+    for b in range(B):
+        is_sink[b, nv[b] - 1] = 1
+    vcodes_p = (vcodes | (is_sink << 5)).astype(np.int8)
+    q = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    nq = rng.integers(1, L + 1, size=B).astype(np.int32)
+
+    ref = poa_global_kernel_packed(
+        jnp.asarray(vcodes_p), jnp.asarray(vpred), jnp.asarray(nv),
+        jnp.asarray(q), jnp.asarray(nq),
+    )
+    wire = pack_chunk_wire(vcodes_p, vpred, nv, q, nq)
+    got = poa_global_kernel_wire(jnp.asarray(wire), B, V, P, L)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

@@ -405,6 +405,88 @@ def unpack_tape(tape: np.ndarray):
     return (t32 & 3).astype(np.int8), (t32 >> 2) - 2
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def poa_global_kernel_wire(wire, B, V, P, L):
+    """Single-buffer wire variant: the chunk's five input arrays are
+    packed host-side into ONE uint8 buffer (see pack_chunk_wire) and
+    unpacked here by static slicing + bitcast, because device_put pays
+    per-buffer latency on the axon link just like device_get — one
+    transfer per launch instead of five."""
+    o = 0
+    vcodes_p = jax.lax.bitcast_convert_type(
+        wire[o : o + B * V], jnp.int8
+    ).reshape(B, V)
+    o += B * V
+    vpred16 = jax.lax.bitcast_convert_type(
+        wire[o : o + B * V * P * 2].reshape(B, V, P, 2), jnp.int16
+    )
+    o += B * V * P * 2
+    nv = jax.lax.bitcast_convert_type(
+        wire[o : o + B * 4].reshape(B, 4), jnp.int32
+    )
+    o += B * 4
+    q = jax.lax.bitcast_convert_type(wire[o : o + B * L], jnp.int8).reshape(B, L)
+    o += B * L
+    nq = jax.lax.bitcast_convert_type(
+        wire[o : o + B * 4].reshape(B, 4), jnp.int32
+    )
+    return poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq)
+
+
+def pack_chunk_wire(vcodes_p, vpred16, nv, q_pad, nq) -> np.ndarray:
+    """Concatenate a chunk's input arrays into the uint8 wire layout of
+    poa_global_kernel_wire (a single host memcpy — negligible next to
+    the per-buffer link latency it saves).  Dtypes are pinned to the
+    layout the kernel slices by (x64 mode would otherwise widen nv)."""
+    parts = (
+        (vcodes_p, np.int8),
+        (vpred16, np.int16),
+        (nv, np.int32),
+        (q_pad, np.int8),
+        (nq, np.int32),
+    )
+    return np.concatenate(
+        [
+            np.ascontiguousarray(a, dtype=dt).reshape(-1).view(np.uint8)
+            for a, dt in parts
+        ]
+    )
+
+
+_WIRE_BITCAST_OK: Optional[bool] = None
+
+
+def wire_bitcast_supported() -> bool:
+    """One-time probe that the backend's u8->i16/i32 bitcast matches the
+    host's little-endian byte order (XLA's layout here is backend-
+    defined in principle); mismatch falls back to per-array dispatch."""
+    global _WIRE_BITCAST_OK
+    if _WIRE_BITCAST_OK is None:
+        pat = np.arange(1, 9, dtype=np.uint8)
+        try:
+            got16 = np.asarray(
+                jax.jit(
+                    lambda b: jax.lax.bitcast_convert_type(
+                        b.reshape(4, 2), jnp.int16
+                    )
+                )(jnp.asarray(pat))
+            )
+            got32 = np.asarray(
+                jax.jit(
+                    lambda b: jax.lax.bitcast_convert_type(
+                        b.reshape(2, 4), jnp.int32
+                    )
+                )(jnp.asarray(pat))
+            )
+            _WIRE_BITCAST_OK = bool(
+                (got16 == pat.view(np.int16)).all()
+                and (got32 == pat.view(np.int32)).all()
+            )
+        except Exception:
+            _WIRE_BITCAST_OK = False
+    return _WIRE_BITCAST_OK
+
+
 @jax.jit
 def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq):
     """Wire-format variant of poa_global_kernel: ONE device launch per
@@ -896,24 +978,37 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int, mesh=None):
         # ~50 MB/s, so bytes on the wire are launch latency
         vcodes_p = (vcodes | (is_sink.astype(np.int8) << 5)).astype(np.int8)
         vpred16 = _slice_preds(vpred, n_real).astype(np.int16)
-        args = (vcodes_p, vpred16, nv, q_pad, nq)
-        if mesh is not None and b_pad % mesh.devices.size == 0:
-            from ..parallel.mesh import shard_batch
-
-            args = shard_batch(mesh, *(jnp.asarray(a) for a in args))
-        else:
-            args = tuple(jnp.asarray(a) for a in args)
         import os
 
-        if os.environ.get("VGALIGNER_POA_PALLAS") == "1":
-            # opt-in Pallas DP keeps the unpacked entry point
-            vc, vp = args[0] & 7, args[1].astype(jnp.int32)
-            out_d = poa_global_kernel(
-                vc.astype(jnp.int8), vp, (args[0] >> 5) != 0,
-                args[2], args[3], args[4], jnp.asarray(init_row),
+        use_pallas = os.environ.get("VGALIGNER_POA_PALLAS") == "1"
+        if (
+            mesh is None
+            and not use_pallas
+            and wire_bitcast_supported()
+        ):
+            # single-buffer wire: ONE device_put per launch instead of 5
+            P = vpred16.shape[-1]
+            wire = pack_chunk_wire(vcodes_p, vpred16, nv, q_pad, nq)
+            out_d = poa_global_kernel_wire(
+                jnp.asarray(wire), b_pad, vcodes.shape[1], P, l_pad
             )
         else:
-            out_d = poa_global_kernel_packed(*args)
+            args = (vcodes_p, vpred16, nv, q_pad, nq)
+            if mesh is not None and b_pad % mesh.devices.size == 0:
+                from ..parallel.mesh import shard_batch
+
+                args = shard_batch(mesh, *(jnp.asarray(a) for a in args))
+            else:
+                args = tuple(jnp.asarray(a) for a in args)
+            if use_pallas:
+                # opt-in Pallas DP keeps the unpacked entry point
+                vc, vp = args[0] & 7, args[1].astype(jnp.int32)
+                out_d = poa_global_kernel(
+                    vc.astype(jnp.int8), vp, (args[0] >> 5) != 0,
+                    args[2], args[3], args[4], jnp.asarray(init_row),
+                )
+            else:
+                out_d = poa_global_kernel_packed(*args)
     return (out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
 
 
