@@ -231,3 +231,41 @@ def test_dense_lut_matches_searchsorted(monkeypatch):
                 np.testing.assert_array_equal(a.aqb, b.aqb)
                 np.testing.assert_array_equal(a.atb, b.atb)
                 np.testing.assert_array_equal(a.ate, b.ate)
+
+
+def test_map_wire_dispatch_matches_unpacked():
+    """The single-buffer map dispatch (_device_map_wire) must produce
+    bit-identical packed channels to _device_map — locks the
+    codes+lens byte layout."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vgaligner_tpu.ops.encode import encode_reads_host
+    from vgaligner_tpu.ops.poa_device import wire_bitcast_supported
+
+    assert wire_bitcast_supported()
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    mapper = Mapper(index, chain_min_n_anchors=2)
+    seq = "".join(g.sequence(h) for h in g.get_path(0).nodes)
+    seqs = [seq[i : i + 24] for i in range(0, len(seq) - 24, 3)]
+    codes, lens = encode_reads_host(seqs, 32)
+    B, L = codes.shape
+    k, a_max = index.kmer_length, 256
+    ref = Mapper._device_map(
+        jnp.asarray(codes), jnp.asarray(lens), mapper.dindex,
+        mapper._gap_table_dev, k, a_max, mapper.bandwidth, mapper.precision,
+    )
+    wire = np.concatenate(
+        [
+            codes.reshape(-1).view(np.uint8),
+            np.ascontiguousarray(lens, dtype=np.int32)
+            .reshape(-1).view(np.uint8),
+        ]
+    )
+    got = Mapper._device_map_wire(
+        jnp.asarray(wire), B, L, mapper.dindex, mapper._gap_table_dev,
+        k, a_max, mapper.bandwidth, mapper.precision,
+    )
+    for r, g_ in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g_))

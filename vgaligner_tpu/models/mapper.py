@@ -287,6 +287,15 @@ class Mapper:
 
             self.dindex = replicate(mesh, self.dindex)
         self._gap_table = make_gap_cost_table(index.kmer_length, max_gap)
+        # one upload, reused by every bucket launch (the host link charges
+        # per-buffer latency, so re-running jnp.asarray per batch would pay
+        # a round trip for an array that never changes)
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self._gap_table_dev = replicate(mesh, jnp.asarray(self._gap_table))
+        else:
+            self._gap_table_dev = jnp.asarray(self._gap_table)
         from ..utils.timing import PhaseTimer
 
         self.timer = PhaseTimer()
@@ -340,6 +349,25 @@ class Mapper:
             axis=1,
         )
         return packed, counts
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("B", "L", "k", "a_max", "bandwidth",
+                                       "precision"))
+    def _device_map_wire(wire, B, L, dindex, gap_table, k, a_max, bandwidth,
+                         precision="exact"):
+        """Single-buffer variant of _device_map: codes[B,L] int8 and
+        lens[B] int32 arrive as ONE uint8 buffer (device_put pays
+        per-buffer latency on the host link), unpacked by static slicing
+        + bitcast.  Layout must match the packer in _dispatch_bucket."""
+        codes = jax.lax.bitcast_convert_type(
+            wire[: B * L], jnp.int8
+        ).reshape(B, L)
+        lens = jax.lax.bitcast_convert_type(
+            wire[B * L :].reshape(B, 4), jnp.int32
+        )
+        return Mapper._device_map(
+            codes, lens, dindex, gap_table, k, a_max, bandwidth, precision
+        )
 
     # ---- public API ----------------------------------------------------
 
@@ -452,15 +480,37 @@ class Mapper:
                 codes = np.pad(codes, ((0, b_pad - codes.shape[0]), (0, 0)), constant_values=4)
                 lens = np.pad(lens, (0, b_pad - lens.shape[0]))
             codes_d, lens_d = shard_batch(self.mesh, jnp.asarray(codes), jnp.asarray(lens))
-        else:
-            codes_d, lens_d = jnp.asarray(codes), jnp.asarray(lens)
+            with self.timer.phase("device_map"):
+                packed_d, counts_d = self._device_map(
+                    codes_d, lens_d, self.dindex, self._gap_table_dev,
+                    k, a_max, self.bandwidth, self.precision,
+                )
+            return mappable, a_max, packed_d, counts_d
 
-        gap_table = jnp.asarray(self._gap_table)
+        from ..ops.poa_device import wire_bitcast_supported
+
         with self.timer.phase("device_map"):
-            packed_d, counts_d = self._device_map(
-                codes_d, lens_d, self.dindex,
-                gap_table, k, a_max, self.bandwidth, self.precision,
-            )
+            if wire_bitcast_supported():
+                # ONE device_put per bucket launch instead of two
+                B, L = codes.shape
+                wire = np.concatenate(
+                    [
+                        np.ascontiguousarray(codes, dtype=np.int8)
+                        .reshape(-1).view(np.uint8),
+                        np.ascontiguousarray(lens, dtype=np.int32)
+                        .reshape(-1).view(np.uint8),
+                    ]
+                )
+                packed_d, counts_d = self._device_map_wire(
+                    jnp.asarray(wire), B, L, self.dindex, self._gap_table_dev,
+                    k, a_max, self.bandwidth, self.precision,
+                )
+            else:
+                packed_d, counts_d = self._device_map(
+                    jnp.asarray(codes), jnp.asarray(lens), self.dindex,
+                    self._gap_table_dev, k, a_max, self.bandwidth,
+                    self.precision,
+                )
         return mappable, a_max, packed_d, counts_d
 
     def _collect_bucket(self, mappable, a_max, packed, counts):
