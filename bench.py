@@ -55,7 +55,45 @@ def sample_reads(graph, n, read_len, seed=77):
     return reads
 
 
+def wait_for_device(max_wait_s=1800, probe_timeout_s=90):
+    """The shared TPU transport flaps under co-tenancy; if it is down
+    when the bench starts, wait for it (bounded) instead of hanging on
+    the first device op mid-measurement.  Probes in a subprocess so a
+    wedged PJRT init cannot wedge the bench itself."""
+    import subprocess
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            # honor JAX_PLATFORMS via config.update: this image's
+            # sitecustomize wedges when the env var alone disagrees with
+            # its TPU registration, while the config route works
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import os, jax\n"
+                 "p = os.environ.get('JAX_PLATFORMS')\n"
+                 "if p: jax.config.update('jax_platforms', p.split(',')[0])\n"
+                 "import jax.numpy as jnp; float(jnp.ones(2).sum())"],
+                timeout=probe_timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            sys.stderr.write(
+                f"bench: device probe failed {attempt}x for "
+                f"{max_wait_s}s; proceeding anyway\n"
+            )
+            return False
+        sys.stderr.write(f"bench: device probe {attempt} down; waiting\n")
+        time.sleep(30)
+
+
 def main():
+    wait_for_device()
     from vgaligner_tpu.graph import graph_from_gfa
     from vgaligner_tpu.index import Index
     from vgaligner_tpu.io.fastx import QuerySequence
