@@ -83,9 +83,16 @@ def wait_for_device(max_wait_s=1800, probe_timeout_s=90):
         except subprocess.TimeoutExpired:
             pass
         if time.monotonic() > deadline:
+            tail = ""
+            try:
+                tail = r.stderr.decode(errors="replace")[-400:]
+            except Exception:
+                pass
             sys.stderr.write(
                 f"bench: device probe failed {attempt}x for "
-                f"{max_wait_s}s; proceeding anyway\n"
+                f"{max_wait_s}s; proceeding anyway"
+                + (f"; last probe stderr: ...{tail}" if tail else "")
+                + "\n"
             )
             return False
         sys.stderr.write(f"bench: device probe {attempt} down; waiting\n")

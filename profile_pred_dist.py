@@ -17,14 +17,14 @@ jax.config.update("jax_platforms", "cpu")  # analysis is device-independent
 
 import numpy as np
 
-from bench import GRAPH, K, N_READS, READ_LEN, sample_reads
+from bench import FALLBACK_GRAPH, GRAPH, K, N_READS, READ_LEN, sample_reads
 from vgaligner_tpu.graph import graph_from_gfa
 from vgaligner_tpu.index import Index
 from vgaligner_tpu.io.fastx import QuerySequence
 from vgaligner_tpu.models.mapper import Mapper
 from vgaligner_tpu.native import extract_subgraphs_native
 
-graph = graph_from_gfa(GRAPH)
+graph = graph_from_gfa(GRAPH if os.path.exists(GRAPH) else FALLBACK_GRAPH)
 index = Index.build(graph, K, 100, 100)
 reads = sample_reads(graph, N_READS, READ_LEN)
 queries = [QuerySequence.from_name_and_string(f"r{i}", s) for i, s in enumerate(reads)]

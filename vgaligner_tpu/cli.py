@@ -108,6 +108,11 @@ def map_main(args) -> None:
     from .io.fastx import read_seqs_from_file
     from .models.mapper import Mapper
     from .models.poa_aligner import PoaAligner, PoaEngine
+    from .utils.platform import ensure_usable_backend
+
+    # Mapping is device work; if the device transport is down or hung,
+    # degrade to CPU instead of blocking the CLI (bounded probe).
+    ensure_usable_backend()
 
     idx_path = args.index
     if idx_path.endswith(".idx.npz"):

@@ -202,62 +202,15 @@ def _anchor_coords_host(seqs, index, a_max: np.ndarray, mem_off: np.ndarray,
     return out_qb, out_tb, out_te
 
 
-@jax.jit
-def _concat_bucket_outputs(u16_flat, i32_flat):
-    """Concatenate per-bucket device outputs into one flat buffer per
-    dtype — jax.device_get pays per-buffer latency on the axon link, so
-    two transfers beat 2×n_buckets.  Either list may be empty (its
-    output is then dropped by the caller before tracing)."""
-    outs = []
-    if u16_flat:
-        outs.append(jnp.concatenate(u16_flat))
-    if i32_flat:
-        outs.append(jnp.concatenate(i32_flat))
-    return tuple(outs)
-
-
 def _fetch_bucket_outputs(outs):
     """Drain [(packed, counts), ...] bucket outputs to host numpy with a
-    minimal number of link transfers; returns the same list structure.
+    minimal number of link transfers (ops.poa_device.fetch_grouped: one
+    flat buffer per dtype — packed is uint16 for small-anchor buckets or
+    int32 for big ones, counts is int32, so at most two transfers);
+    returns the same list structure."""
+    from ..ops.poa_device import fetch_grouped
 
-    packed is uint16 (small-anchor buckets) or int32; counts is int32.
-    All int32 parts (big-bucket packed + every counts) share one buffer,
-    uint16 parts share another.  Mesh-sharded outputs (multichip) fall
-    back to the plain fetch — concat would force a cross-device gather.
-    """
-
-    def on_one_device(a):
-        try:
-            return len(a.devices()) == 1
-        except Exception:
-            return True
-
-    flat_all = [a for o in outs for a in o]
-    if len(outs) <= 1 or not all(on_one_device(a) for a in flat_all):
-        return jax.device_get(outs)
-
-    u16_parts, i32_parts = [], []
-    plan = []  # (dtype_key, start, shape) per array, in output order
-    for packed, counts in outs:
-        for a in (packed, counts):
-            if a.dtype == np.uint16:
-                plan.append(("u16", sum(p.size for p in u16_parts), a.shape))
-                u16_parts.append(a.reshape(-1))
-            else:
-                plan.append(("i32", sum(p.size for p in i32_parts), a.shape))
-                i32_parts.append(a.reshape(-1).astype(np.int32))
-    cat = jax.device_get(_concat_bucket_outputs(u16_parts, i32_parts))
-    bufs = {}
-    pos = 0
-    if u16_parts:
-        bufs["u16"] = cat[pos]
-        pos += 1
-    if i32_parts:
-        bufs["i32"] = cat[pos]
-    arrays = [
-        bufs[key][start : start + int(np.prod(shape))].reshape(shape)
-        for key, start, shape in plan
-    ]
+    arrays = fetch_grouped([a for o in outs for a in o])
     return [(arrays[2 * i], arrays[2 * i + 1]) for i in range(len(outs))]
 
 
@@ -487,20 +440,13 @@ class Mapper:
                 )
             return mappable, a_max, packed_d, counts_d
 
-        from ..ops.poa_device import wire_bitcast_supported
+        from ..ops.poa_device import pack_wire, wire_bitcast_supported
 
         with self.timer.phase("device_map"):
             if wire_bitcast_supported():
                 # ONE device_put per bucket launch instead of two
                 B, L = codes.shape
-                wire = np.concatenate(
-                    [
-                        np.ascontiguousarray(codes, dtype=np.int8)
-                        .reshape(-1).view(np.uint8),
-                        np.ascontiguousarray(lens, dtype=np.int32)
-                        .reshape(-1).view(np.uint8),
-                    ]
-                )
+                wire = pack_wire(((codes, np.int8), (lens, np.int32)))
                 packed_d, counts_d = self._device_map_wire(
                     jnp.asarray(wire), B, L, self.dindex, self._gap_table_dev,
                     k, a_max, self.bandwidth, self.precision,

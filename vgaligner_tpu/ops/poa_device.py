@@ -31,6 +31,7 @@ abPOA defaults); every value is exactly representable.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
@@ -433,18 +434,13 @@ def poa_global_kernel_wire(wire, B, V, P, L):
     return poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq)
 
 
-def pack_chunk_wire(vcodes_p, vpred16, nv, q_pad, nq) -> np.ndarray:
-    """Concatenate a chunk's input arrays into the uint8 wire layout of
-    poa_global_kernel_wire (a single host memcpy — negligible next to
-    the per-buffer link latency it saves).  Dtypes are pinned to the
-    layout the kernel slices by (x64 mode would otherwise widen nv)."""
-    parts = (
-        (vcodes_p, np.int8),
-        (vpred16, np.int16),
-        (nv, np.int32),
-        (q_pad, np.int8),
-        (nq, np.int32),
-    )
+def pack_wire(parts) -> np.ndarray:
+    """Concatenate (array, dtype) pairs into one uint8 wire buffer (a
+    single host memcpy — negligible next to the per-buffer link latency
+    it saves).  The single source of truth for the byte layout every
+    *_wire kernel slices back with bitcast_convert_type: little-endian
+    (guarded by wire_bitcast_supported), C order, dtypes pinned by the
+    caller (x64 mode would otherwise widen int arrays)."""
     return np.concatenate(
         [
             np.ascontiguousarray(a, dtype=dt).reshape(-1).view(np.uint8)
@@ -453,15 +449,34 @@ def pack_chunk_wire(vcodes_p, vpred16, nv, q_pad, nq) -> np.ndarray:
     )
 
 
-_WIRE_BITCAST_OK: Optional[bool] = None
+def pack_chunk_wire(vcodes_p, vpred16, nv, q_pad, nq) -> np.ndarray:
+    """pack_wire layout for poa_global_kernel_wire."""
+    return pack_wire(
+        (
+            (vcodes_p, np.int8),
+            (vpred16, np.int16),
+            (nv, np.int32),
+            (q_pad, np.int8),
+            (nq, np.int32),
+        )
+    )
+
+
+_WIRE_BITCAST_OK: dict = {}
 
 
 def wire_bitcast_supported() -> bool:
-    """One-time probe that the backend's u8->i16/i32 bitcast matches the
-    host's little-endian byte order (XLA's layout here is backend-
-    defined in principle); mismatch falls back to per-array dispatch."""
-    global _WIRE_BITCAST_OK
-    if _WIRE_BITCAST_OK is None:
+    """Per-backend probe that the backend's u8->i16/i32 bitcast matches
+    the host's little-endian byte order (XLA's layout here is backend-
+    defined in principle); mismatch falls back to per-array dispatch.
+    Keyed by the default backend so a mid-process platform switch
+    (e.g. jax.default_device / JAX_PLATFORMS juggling in tests) cannot
+    reuse a stale verdict from a different backend."""
+    try:
+        key = jax.default_backend()
+    except Exception:
+        key = "?"
+    if key not in _WIRE_BITCAST_OK:
         pat = np.arange(1, 9, dtype=np.uint8)
         try:
             got16 = np.asarray(
@@ -478,13 +493,13 @@ def wire_bitcast_supported() -> bool:
                     )
                 )(jnp.asarray(pat))
             )
-            _WIRE_BITCAST_OK = bool(
+            _WIRE_BITCAST_OK[key] = bool(
                 (got16 == pat.view(np.int16)).all()
                 and (got32 == pat.view(np.int32)).all()
             )
         except Exception:
-            _WIRE_BITCAST_OK = False
-    return _WIRE_BITCAST_OK
+            _WIRE_BITCAST_OK[key] = False
+    return _WIRE_BITCAST_OK[key]
 
 
 @jax.jit
@@ -973,57 +988,45 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int, mesh=None):
 
         init_row = make_init_row(l_pad)
     with timer.phase("d_launch"):
-        # wire format (see poa_global_kernel_packed): sink bit folded
-        # into vcodes, predecessors as int16 — the host link runs at
-        # ~50 MB/s, so bytes on the wire are launch latency
-        vcodes_p = (vcodes | (is_sink.astype(np.int8) << 5)).astype(np.int8)
-        vpred16 = _slice_preds(vpred, n_real).astype(np.int16)
-        import os
-
         use_pallas = os.environ.get("VGALIGNER_POA_PALLAS") == "1"
-        if (
-            mesh is None
-            and not use_pallas
-            and wire_bitcast_supported()
-        ):
-            # single-buffer wire: ONE device_put per launch instead of 5
-            P = vpred16.shape[-1]
-            wire = pack_chunk_wire(vcodes_p, vpred16, nv, q_pad, nq)
-            out_d = poa_global_kernel_wire(
-                jnp.asarray(wire), b_pad, vcodes.shape[1], P, l_pad
+        if use_pallas:
+            # opt-in Pallas DP keeps the unpacked entry point — feed it
+            # the original arrays rather than packing + device-unpacking
+            args = (
+                np.ascontiguousarray(vcodes, dtype=np.int8),
+                _slice_preds(vpred, n_real).astype(np.int32),
+                is_sink != 0,
+                nv, q_pad, nq,
             )
         else:
-            args = (vcodes_p, vpred16, nv, q_pad, nq)
-            if mesh is not None and b_pad % mesh.devices.size == 0:
-                from ..parallel.mesh import shard_batch
-
-                args = shard_batch(mesh, *(jnp.asarray(a) for a in args))
-            else:
-                args = tuple(jnp.asarray(a) for a in args)
-            if use_pallas:
-                # opt-in Pallas DP keeps the unpacked entry point
-                vc, vp = args[0] & 7, args[1].astype(jnp.int32)
-                out_d = poa_global_kernel(
-                    vc.astype(jnp.int8), vp, (args[0] >> 5) != 0,
-                    args[2], args[3], args[4], jnp.asarray(init_row),
+            # wire format (see poa_global_kernel_packed): sink bit folded
+            # into vcodes, predecessors as int16 — the host link runs at
+            # ~50 MB/s, so bytes on the wire are launch latency
+            vcodes_p = (vcodes | (is_sink.astype(np.int8) << 5)).astype(
+                np.int8
+            )
+            vpred16 = _slice_preds(vpred, n_real).astype(np.int16)
+            if mesh is None and wire_bitcast_supported():
+                # single-buffer wire: ONE device_put per launch not 5
+                P = vpred16.shape[-1]
+                wire = pack_chunk_wire(vcodes_p, vpred16, nv, q_pad, nq)
+                out_d = poa_global_kernel_wire(
+                    jnp.asarray(wire), b_pad, vcodes.shape[1], P, l_pad
                 )
-            else:
-                out_d = poa_global_kernel_packed(*args)
+                return (out_d, vcodes, node_of, off_in, q_pad, v_pad,
+                        b_pad, n_real, qs)
+            args = (vcodes_p, vpred16, nv, q_pad, nq)
+        if mesh is not None and b_pad % mesh.devices.size == 0:
+            from ..parallel.mesh import shard_batch
+
+            args = shard_batch(mesh, *(jnp.asarray(a) for a in args))
+        else:
+            args = tuple(jnp.asarray(a) for a in args)
+        if use_pallas:
+            out_d = poa_global_kernel(*args, jnp.asarray(init_row))
+        else:
+            out_d = poa_global_kernel_packed(*args)
     return (out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
-
-
-@jax.jit
-def _concat_chunk_outputs(outs):
-    """Flatten many chunks' (score, tape, tlen) into THREE device
-    buffers.  jax.device_get pays per-buffer link latency on the axon
-    transport, so fetching 3 buffers instead of 3×n_chunks turns an
-    O(n_chunks) latency bill into O(1); the concat itself is a cheap
-    on-device copy.  Cached per distinct chunk-shape tuple (the ladder
-    quantizes shapes, so steady-state batches reuse one executable)."""
-    scores = jnp.concatenate([o[0] for o in outs])
-    tapes = jnp.concatenate([o[1].reshape(-1) for o in outs])
-    tlens = jnp.concatenate([o[2] for o in outs])
-    return scores, tapes, tlens
 
 
 def _on_one_device(arr) -> bool:
@@ -1033,38 +1036,59 @@ def _on_one_device(arr) -> bool:
         return True  # plain np arrays (CPU fallbacks)
 
 
-def kernel_finish_all(pendings):
-    """Fetch MANY dispatched chunks in ONE device_get, then decode.
+@jax.jit
+def _concat_dtype_groups(groups):
+    return tuple(
+        jnp.concatenate([x.reshape(-1) for x in g]) for g in groups
+    )
 
-    The host link charges a full round trip per device_get AND per
-    buffer inside it; chunks' outputs are first concatenated on device
-    into three flat buffers (see _concat_chunk_outputs), then drained
-    with a single transfer and split host-side.  Mesh-sharded outputs
-    (multichip) skip the concat — it would force a cross-device gather.
-    Returns the concatenated per-chunk result lists, in order.
+
+def fetch_grouped(arrays):
+    """Fetch many device arrays with a minimal number of link transfers:
+    group by dtype, concatenate each group on device into one flat
+    buffer, drain all buffers in a single device_get, and split back
+    host-side.  The host link charges a round trip per device_get AND
+    per buffer inside it, so this turns an O(n_arrays) latency bill
+    into O(n_dtypes); the concat is a cheap on-device copy, and the jit
+    caches one executable per (dtype, shape) structure (shape ladders
+    upstream keep that set small).  Plain fetch when there is nothing
+    to merge or any array is mesh-sharded (the concat would force a
+    cross-device gather).  Returns np arrays — original shapes, input
+    order."""
+    arrays = list(arrays)
+    if len(arrays) <= 1 or not all(_on_one_device(a) for a in arrays):
+        return list(jax.device_get(arrays))
+    groups: dict = {}  # dtype -> list of device arrays
+    offset: dict = {}  # dtype -> running flat offset
+    plan = []  # (dtype, start, shape) per input, in order
+    for a in arrays:
+        dt = np.dtype(a.dtype)
+        g = groups.setdefault(dt, [])
+        plan.append((dt, offset.get(dt, 0), a.shape))
+        offset[dt] = offset.get(dt, 0) + int(np.prod(a.shape))
+        g.append(a)
+    cats = jax.device_get(
+        _concat_dtype_groups(tuple(tuple(g) for g in groups.values()))
+    )
+    bufs = dict(zip(groups.keys(), cats))
+    return [
+        bufs[dt][start : start + int(np.prod(shape))].reshape(shape)
+        for dt, start, shape in plan
+    ]
+
+
+def kernel_finish_all(pendings):
+    """Fetch MANY dispatched chunks with a minimal number of link
+    transfers (see fetch_grouped: one flat buffer per dtype — scores,
+    tapes, tlens land in three buffers regardless of chunk count), then
+    decode.  Returns the concatenated per-chunk result lists, in order.
     """
     outs = [p[0] for p in pendings]
-    if len(outs) > 1 and all(
-        _on_one_device(a) for o in outs for a in o
-    ):
-        with timer.phase("f_fetch"):
-            s_cat, t_cat, l_cat = jax.device_get(_concat_chunk_outputs(outs))
-        fetched = []
-        ob = ot = 0
-        for o in outs:
-            B, T = o[1].shape
-            fetched.append(
-                (s_cat[ob : ob + B], t_cat[ot : ot + B * T].reshape(B, T),
-                 l_cat[ob : ob + B])
-            )
-            ob += B
-            ot += B * T
-    else:
-        with timer.phase("f_fetch"):
-            fetched = jax.device_get(outs)
+    with timer.phase("f_fetch"):
+        got = fetch_grouped([a for o in outs for a in o])
     out: List = []
-    for pending, got in zip(pendings, fetched):
-        out.extend(_decode_finished(pending, got))
+    for i, pending in enumerate(pendings):
+        out.extend(_decode_finished(pending, tuple(got[i * 3 : i * 3 + 3])))
     return out
 
 
