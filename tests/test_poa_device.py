@@ -182,3 +182,33 @@ def test_wire_kernel_matches_unpacked():
     got = poa_global_kernel_wire(jnp.asarray(wire), B, V, P, L)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_fetch_grouped_mixed_dtypes_and_shapes():
+    """fetch_grouped must return every input array bit-identical, in
+    input order, across interleaved dtypes and shapes (it reorders
+    internally into one flat buffer per dtype)."""
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.ops.poa_device import fetch_grouped
+
+    rng = np.random.default_rng(3)
+    srcs = [
+        rng.integers(0, 1000, size=(4, 7)).astype(np.int32),
+        rng.random((3,)).astype(np.float32),
+        rng.integers(0, 60000, size=(2, 5)).astype(np.uint16),
+        rng.integers(0, 1000, size=(6,)).astype(np.int32),
+        rng.random((2, 2, 2)).astype(np.float32),
+        rng.integers(0, 60000, size=(1,)).astype(np.uint16),
+    ]
+    got = fetch_grouped([jnp.asarray(a) for a in srcs])
+    assert len(got) == len(srcs)
+    for src, out in zip(srcs, got):
+        assert out.shape == src.shape and out.dtype == src.dtype
+        np.testing.assert_array_equal(out, src)
+
+    # single array short-circuits to a plain fetch
+    one = fetch_grouped([jnp.asarray(srcs[0])])
+    np.testing.assert_array_equal(one[0], srcs[0])
+    # empty input
+    assert fetch_grouped([]) == []
