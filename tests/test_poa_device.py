@@ -212,3 +212,56 @@ def test_fetch_grouped_mixed_dtypes_and_shapes():
     np.testing.assert_array_equal(one[0], srcs[0])
     # empty input
     assert fetch_grouped([]) == []
+
+
+def test_wire2_kernel_matches_packed():
+    """Delta-compressed wire dispatch (encode_pred_deltas +
+    poa_global_kernel_wire2) must produce bit-identical real-row outputs
+    to the per-array packed kernel, including multi-pred vertices, far
+    deltas (> 255, forced to the exception path), and V-padding."""
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.ops.poa_device import (
+        encode_pred_deltas,
+        pack_chunk_wire2,
+        poa_global_kernel_packed,
+        poa_global_kernel_wire2,
+        wire_bitcast_supported,
+    )
+
+    if not wire_bitcast_supported():
+        pytest.skip("wire bitcast unsupported on this backend; fallback path covers it")
+    rng = np.random.default_rng(11)
+    B, V, P, L = 5, 300, 3, 8
+    nv = np.array([300, 290, 12, 300, 4], dtype=np.int32)
+    vpred = np.full((B, V, P), -1, dtype=np.int32)
+    is_sink = np.zeros((B, V), dtype=np.int8)
+    for b in range(B):
+        vpred[b, 1 : nv[b], 0] = np.arange(nv[b] - 1)  # chain (delta 1)
+        is_sink[b, nv[b] - 1] = 1
+    # multi-pred vertices (slot 1 live)
+    vpred[0, 100, 1] = 50
+    vpred[1, 200, 1] = 3
+    vpred[1, 200, 2] = 199 - 1  # slot 2 too
+    # far delta > 255: slot 0 must go through the exception list
+    vpred[3, 299, 0] = 2
+    # calloc-zero quirk in the padded region (upstream ships zeros there)
+    vpred[2, 12:, :] = 0
+    vcodes = rng.integers(0, 4, size=(B, V)).astype(np.int8)
+    vcodes_p = (vcodes | (is_sink << 5)).astype(np.int8)
+    q = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    nq = np.array([8, 7, 5, 8, 3], dtype=np.int32)
+
+    ref = poa_global_kernel_packed(
+        jnp.asarray(vcodes_p), jnp.asarray(vpred.astype(np.int16)),
+        jnp.asarray(nv), jnp.asarray(q), jnp.asarray(nq),
+    )
+    dplane, exc_idx, exc_pred = encode_pred_deltas(vpred, nv)
+    # exceptions: 4 live exception slots, padded to the pow2 ladder
+    assert (dplane[3, 299] == 0) and (dplane[0, 100] == 1)
+    wire = pack_chunk_wire2(vcodes_p, dplane, nv, q, nq, exc_idx, exc_pred)
+    got = poa_global_kernel_wire2(
+        jnp.asarray(wire), B, V, P, L, len(exc_idx)
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

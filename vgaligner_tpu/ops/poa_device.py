@@ -434,6 +434,114 @@ def poa_global_kernel_wire(wire, B, V, P, L):
     return poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq)
 
 
+def encode_pred_deltas(vpred, nv):
+    """Delta-compress the dense predecessor table for the wire.
+
+    The dense [B,V,P] int16 table is ~85% of a POA chunk's upload bytes,
+    but it is extremely redundant: measured on DRB1-3123, 92% of live
+    slots are "previous vertex" (delta 1), 100% of live deltas fit in a
+    byte, and only ~4% of vertices have more than one predecessor.  So
+    the wire carries:
+
+      * dplane uint8 [B,V]: slot-0 delta (pred = v - dplane), 0 = none;
+      * a COO exception list for every other live slot (fan-in >= 2, or
+        a slot-0 delta that does not fit 1..255): flat indices into the
+        [B*V*P] table plus the predecessor ids, padded to a pow2 ladder
+        (pad entries point one past the table; the decoder scatters
+        into a +1 scratch slot).
+
+    Entries at v >= nv[b] (V-padding and batch-pad rows) are dropped —
+    they are calloc zeros upstream, decode to "no predecessor", and are
+    never read by the traceback.  Returns (dplane, exc_idx, exc_pred).
+    """
+    B, V, P = vpred.shape
+    v_idx = np.arange(V, dtype=np.int32)[None, :]
+    real = v_idx < np.asarray(nv).reshape(B, 1)
+    pred = vpred.astype(np.int32)
+    live = (pred >= 0) & real[:, :, None]
+    delta0 = np.where(live[:, :, 0], v_idx - pred[:, :, 0], 0)
+    simple0 = (delta0 >= 1) & (delta0 <= 255)
+    dplane = np.where(simple0, delta0, 0).astype(np.uint8)
+    exc_mask = live
+    exc_mask[:, :, 0] &= ~simple0
+    b_i, v_i, s_i = np.nonzero(exc_mask)
+    exc_idx = ((b_i.astype(np.int64) * V + v_i) * P + s_i).astype(np.int32)
+    exc_pred = pred[b_i, v_i, s_i]
+    e = len(exc_idx)
+    e_pad = max(8, 1 << (e - 1).bit_length()) if e else 8
+    if e_pad != e:
+        scratch = np.int32(B * V * P)  # decoder's +1 scratch slot
+        exc_idx = np.concatenate(
+            [exc_idx, np.full(e_pad - e, scratch, np.int32)]
+        )
+        exc_pred = np.concatenate(
+            [exc_pred, np.full(e_pad - e, -1, np.int32)]
+        )
+    return dplane, exc_idx, exc_pred
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def poa_global_kernel_wire2(wire, B, V, P, L, E):
+    """Delta-compressed single-buffer wire variant (the production TPU
+    entry point): like poa_global_kernel_wire, but the predecessor
+    table travels as a uint8 delta plane + COO exceptions (see
+    encode_pred_deltas) instead of dense int16 — ~3.4x fewer bytes per
+    launch on pred-heavy chunks, on a link where upload bytes are
+    launch latency.  The dense table is rebuilt here: slot 0 from the
+    delta plane, remaining slots scattered from the exception list into
+    a one-slot-extended scratch buffer (pad entries land in the scratch
+    slot and are sliced off)."""
+    o = 0
+    vcodes_p = jax.lax.bitcast_convert_type(
+        wire[o : o + B * V], jnp.int8
+    ).reshape(B, V)
+    o += B * V
+    dplane = wire[o : o + B * V].reshape(B, V)
+    o += B * V
+    nv = jax.lax.bitcast_convert_type(
+        wire[o : o + B * 4].reshape(B, 4), jnp.int32
+    )
+    o += B * 4
+    q = jax.lax.bitcast_convert_type(wire[o : o + B * L], jnp.int8).reshape(B, L)
+    o += B * L
+    nq = jax.lax.bitcast_convert_type(
+        wire[o : o + B * 4].reshape(B, 4), jnp.int32
+    )
+    o += B * 4
+    exc_idx = jax.lax.bitcast_convert_type(
+        wire[o : o + E * 4].reshape(E, 4), jnp.int32
+    )
+    o += E * 4
+    exc_pred = jax.lax.bitcast_convert_type(
+        wire[o : o + E * 4].reshape(E, 4), jnp.int32
+    )
+    v_iota = jnp.arange(V, dtype=jnp.int32)[None, :]
+    slot0 = jnp.where(dplane > 0, v_iota - dplane.astype(jnp.int32), -1)
+    vpred = jnp.full((B, V, P), -1, dtype=jnp.int32)
+    vpred = vpred.at[:, :, 0].set(slot0)
+    flat = jnp.concatenate(
+        [vpred.reshape(-1), jnp.full((1,), -1, jnp.int32)]
+    )
+    flat = flat.at[exc_idx].set(exc_pred, mode="promise_in_bounds")
+    vpred16 = flat[:-1].reshape(B, V, P).astype(jnp.int16)
+    return poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq)
+
+
+def pack_chunk_wire2(vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred):
+    """pack_wire layout for poa_global_kernel_wire2."""
+    return pack_wire(
+        (
+            (vcodes_p, np.int8),
+            (dplane, np.uint8),
+            (nv, np.int32),
+            (q_pad, np.int8),
+            (nq, np.int32),
+            (exc_idx, np.int32),
+            (exc_pred, np.int32),
+        )
+    )
+
+
 def pack_wire(parts) -> np.ndarray:
     """Concatenate (array, dtype) pairs into one uint8 wire buffer (a
     single host memcpy — negligible next to the per-buffer link latency
@@ -1000,22 +1108,37 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int, mesh=None):
             )
         else:
             # wire format (see poa_global_kernel_packed): sink bit folded
-            # into vcodes, predecessors as int16 — the host link runs at
-            # ~50 MB/s, so bytes on the wire are launch latency
+            # into vcodes, predecessors delta-compressed — the host link
+            # runs at ~50 MB/s, so bytes on the wire are launch latency
             vcodes_p = (vcodes | (is_sink.astype(np.int8) << 5)).astype(
                 np.int8
             )
-            vpred16 = _slice_preds(vpred, n_real).astype(np.int16)
+            vpred_s = _slice_preds(vpred, n_real)
             if mesh is None and wire_bitcast_supported():
-                # single-buffer wire: ONE device_put per launch not 5
-                P = vpred16.shape[-1]
-                wire = pack_chunk_wire(vcodes_p, vpred16, nv, q_pad, nq)
-                out_d = poa_global_kernel_wire(
-                    jnp.asarray(wire), b_pad, vcodes.shape[1], P, l_pad
-                )
+                # single-buffer wire: ONE device_put per launch
+                P = vpred_s.shape[-1]
+                if os.environ.get("VGALIGNER_POA_WIRE") == "v1":
+                    # escape hatch: dense int16 pred table on the wire
+                    wire = pack_chunk_wire(
+                        vcodes_p, vpred_s.astype(np.int16), nv, q_pad, nq
+                    )
+                    out_d = poa_global_kernel_wire(
+                        jnp.asarray(wire), b_pad, vcodes.shape[1], P, l_pad
+                    )
+                else:
+                    dplane, exc_idx, exc_pred = encode_pred_deltas(
+                        vpred_s, nv
+                    )
+                    wire = pack_chunk_wire2(
+                        vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred
+                    )
+                    out_d = poa_global_kernel_wire2(
+                        jnp.asarray(wire), b_pad, vcodes.shape[1], P,
+                        l_pad, len(exc_idx),
+                    )
                 return (out_d, vcodes, node_of, off_in, q_pad, v_pad,
                         b_pad, n_real, qs)
-            args = (vcodes_p, vpred16, nv, q_pad, nq)
+            args = (vcodes_p, vpred_s.astype(np.int16), nv, q_pad, nq)
         if mesh is not None and b_pad % mesh.devices.size == 0:
             from ..parallel.mesh import shard_batch
 
