@@ -550,10 +550,22 @@ class PoaAligner:
         out = [None] * n
         edges_flat = np.ascontiguousarray(edges.reshape(-1), dtype=np.int64)
         # dispatch every bucket before any host sync: kernels queue on
-        # device back-to-back, then one fetch pass drains them
-        from ..ops.poa_device import kernel_dispatch_chunked, padded_rows
+        # device back-to-back, then one fetch pass drains them.  On the
+        # wire path, chunk buffers are PREPARED per bucket but uploaded
+        # in one device_put for the whole drain (the link charges a
+        # fixed round trip per upload on top of bytes/bandwidth).
+        from ..ops.poa_device import (
+            kernel_dispatch_chunked,
+            kernel_launch_wires,
+            kernel_prepare_chunked,
+            padded_rows,
+            wire2_path_available,
+        )
 
         pending = []
+        use_wire = wire2_path_available(self.mesh)
+        prepared_all = []  # flattened prepared chunks across buckets
+        deferred = []  # (index into pending, n_chunks) per wire bucket
 
         for (v_pad, l_pad), idxs in sorted(buckets.items()):
             sel = np.asarray(idxs, dtype=np.int64)
@@ -578,11 +590,26 @@ class PoaAligner:
                     ]
                     out[i] = align_global_host(nodes, prob_edges, chains[i].query.seq)
                 continue
-            pending.append(
-                (idxs, kernel_dispatch_chunked(
-                    built, [qs[i] for i in idxs], v_pad, l_pad, mesh=self.mesh,
-                ))
-            )
+            if use_wire:
+                prep = kernel_prepare_chunked(
+                    built, [qs[i] for i in idxs], v_pad, l_pad
+                )
+                deferred.append((len(pending), len(prep)))
+                prepared_all.extend(prep)
+                pending.append((idxs, prep))  # placeholder, filled below
+            else:
+                pending.append(
+                    (idxs, kernel_dispatch_chunked(
+                        built, [qs[i] for i in idxs], v_pad, l_pad,
+                        mesh=self.mesh,
+                    ))
+                )
+        if prepared_all:
+            ps_flat = kernel_launch_wires(prepared_all)
+            pos = 0
+            for pi, k in deferred:
+                pending[pi] = (pending[pi][0], ps_flat[pos : pos + k])
+                pos += k
         if oversize:
             from ..native import poa_global_host_native
 

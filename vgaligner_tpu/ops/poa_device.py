@@ -1022,18 +1022,16 @@ def padded_rows(n: int, v_pad: int, l_pad: int) -> int:
     return s_last + _b_pad_for(n - s_last)
 
 
-def kernel_dispatch_chunked(built, qs, v_pad: int, l_pad: int, mesh=None):
-    """Dispatch a bucket as fixed-size chunks (batch dims drawn from a
-    small ladder, sized to the HBM budget for this problem shape) so POA
+def _iter_chunks(built, qs, v_pad: int, l_pad: int):
+    """Yield (chunk_arrays, chunk_qs) with batch dims drawn from a small
+    ladder (sized to the HBM budget for this problem shape) so POA
     executables are shared across datasets instead of recompiling for
     every distinct problem count.  Chunks are sliced as views when the
     builder over-allocated rows (padded_rows); host memory on the target
-    VMs is burst-throttled, so avoiding batch-dim copies matters.
-    Returns pending states for kernel_finish."""
+    VMs is burst-throttled, so avoiding batch-dim copies matters."""
     vcodes, vpred, is_sink, nv, node_of, off_in = built
     n = len(qs)
     b_chunk = _b_chunk_for(v_pad, l_pad)
-    pendings = []
     for s in range(0, n, b_chunk):
         e = min(s + b_chunk, n)
         b_pad = _b_pad_for(e - s)
@@ -1049,8 +1047,26 @@ def kernel_dispatch_chunked(built, qs, v_pad: int, l_pad: int, mesh=None):
                     return out
 
                 chunk = tuple(zpad(a) for a in built)
-        pendings.append(kernel_dispatch(chunk, qs[s:e], v_pad, l_pad, mesh=mesh))
-    return pendings
+        yield chunk, qs[s:e]
+
+
+def kernel_dispatch_chunked(built, qs, v_pad: int, l_pad: int, mesh=None):
+    """Dispatch a bucket as ladder-sized chunks (see _iter_chunks).
+    Returns pending states for kernel_finish."""
+    return [
+        kernel_dispatch(chunk, cqs, v_pad, l_pad, mesh=mesh)
+        for chunk, cqs in _iter_chunks(built, qs, v_pad, l_pad)
+    ]
+
+
+def kernel_prepare_chunked(built, qs, v_pad: int, l_pad: int):
+    """Prepare a bucket's chunks for kernel_launch_wires WITHOUT
+    uploading (see kernel_prepare) — batch callers collect prepared
+    chunks across buckets so a whole drain shares one device_put."""
+    return [
+        kernel_prepare(chunk, cqs, v_pad, l_pad)
+        for chunk, cqs in _iter_chunks(built, qs, v_pad, l_pad)
+    ]
 
 
 def make_init_row(l_pad: int) -> np.ndarray:
@@ -1070,30 +1086,138 @@ def make_init_row(l_pad: int) -> np.ndarray:
 _INIT_ROW_CACHE: dict = {}
 
 
+def wire2_path_available(mesh=None) -> bool:
+    """True when dispatch will take the delta-compressed single-buffer
+    wire path (the production TPU route): single device, no opt-in
+    Pallas DP or dense-wire escape hatch, and the backend bitcast probe
+    passes.  Callers use this to batch many chunks' uploads into one
+    device_put (kernel_prepare_chunked + kernel_launch_wires)."""
+    return (
+        mesh is None
+        and os.environ.get("VGALIGNER_POA_PALLAS") != "1"
+        and os.environ.get("VGALIGNER_POA_WIRE") != "v1"
+        and wire_bitcast_supported()
+    )
+
+
+def _pad_queries(qs, b_pad: int, l_pad: int):
+    """Ladder-padded query codes + lengths for one chunk."""
+    n_real = len(qs)
+    q_pad = np.full((b_pad, l_pad), 4, dtype=np.int8)
+    nq = np.zeros(b_pad, dtype=np.int32)
+    lens = [len(qc) for qc in qs]
+    nq[:n_real] = lens
+    if n_real and min(lens) == max(lens):
+        # common case (fixed-length read batches): one bulk copy
+        q_pad[:n_real, : lens[0]] = qs
+    else:
+        for i, qc in enumerate(qs):
+            q_pad[i, : len(qc)] = qc
+    return q_pad, nq
+
+
+def kernel_prepare(built, qs, v_pad: int, l_pad: int):
+    """Pad + delta-pack ONE chunk's wire buffer WITHOUT uploading or
+    launching.  Returns (wire, dims, rest) for kernel_launch_wires,
+    which uploads many prepared chunks in a single device_put."""
+    vcodes, vpred, is_sink, nv, node_of, off_in = built
+    n_real = len(qs)
+    b_pad = vcodes.shape[0]
+    with timer.phase("d_pad"):
+        q_pad, nq = _pad_queries(qs, b_pad, l_pad)
+    with timer.phase("d_pack"):
+        vcodes_p = (vcodes | (is_sink.astype(np.int8) << 5)).astype(np.int8)
+        vpred_s = _slice_preds(vpred, n_real)
+        dplane, exc_idx, exc_pred = encode_pred_deltas(vpred_s, nv)
+        wire = pack_chunk_wire2(
+            vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred
+        )
+    dims = (b_pad, vcodes.shape[1], vpred_s.shape[-1], l_pad, len(exc_idx))
+    rest = (vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
+    return wire, dims, rest
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _slice_wire(mega, off, size):
+    return jax.lax.dynamic_slice(mega, (off,), (size,))
+
+
+def _ladder_bytes(n: int) -> int:
+    """Round n up to a pow2/8 ladder (pad waste <= 12.5%) so the
+    mega-upload buffer reuses a small set of _slice_wire signatures
+    instead of recompiling per drain layout."""
+    if n <= 4096:
+        return 4096
+    p = 1 << (n - 1).bit_length()
+    step = max(4096, p // 8)
+    return -(-n // step) * step
+
+
+_WIRE_MEGA_CAP = 32 << 20  # flush mega-uploads in <=32 MB groups
+
+
+def kernel_launch_wires(prepared):
+    """Upload MANY prepared chunks' wire buffers in ONE device_put and
+    launch each chunk's kernel on a device-side dynamic slice.  The
+    host link charges a fixed round trip per device_put on top of
+    bytes/bandwidth, so one mega-buffer per drain beats one buffer per
+    chunk; the per-chunk DP executables are unchanged (the tiny slice
+    kernel is jitted per (mega-ladder-size, wire-size) pair).  Returns
+    pending states (kernel_finish layout), in input order."""
+    pendings = []
+    group: list = []
+    gbytes = 0
+
+    def flush():
+        nonlocal group, gbytes
+        if not group:
+            return
+        with timer.phase("d_launch"):
+            if len(group) == 1:
+                wire, dims, rest = group[0]
+                out_d = poa_global_kernel_wire2(jnp.asarray(wire), *dims)
+                pendings.append((out_d,) + rest)
+            else:
+                sizes = [len(w) for w, _, _ in group]
+                offs = np.concatenate([[0], np.cumsum(sizes)])
+                mega = np.zeros(_ladder_bytes(int(offs[-1])), np.uint8)
+                for (w, _, _), o in zip(group, offs[:-1]):
+                    mega[o : o + len(w)] = w
+                mega_d = jnp.asarray(mega)
+                for (w, dims, rest), o in zip(group, offs[:-1]):
+                    wire_d = _slice_wire(mega_d, int(o), len(w))
+                    out_d = poa_global_kernel_wire2(wire_d, *dims)
+                    pendings.append((out_d,) + rest)
+        group, gbytes = [], 0
+
+    for item in prepared:
+        if group and gbytes + len(item[0]) > _WIRE_MEGA_CAP:
+            flush()
+        group.append(item)
+        gbytes += len(item[0])
+    flush()
+    return pendings
+
+
 def kernel_dispatch(built, qs, v_pad: int, l_pad: int, mesh=None):
     """Launch the device POA kernel (async) on a ladder-padded chunk.
     Returns the pending state consumed by kernel_finish — split so
     multiple buckets queue on device back-to-back before any host sync
     (the link charges ~27 ms per dispatch+sync cycle).
 
-    With a mesh, chunk arrays are sharded along the batch dim (problems
-    are independent, so SPMD compilation inserts no collectives) —
-    ladder pads are pow2, so any pow2 mesh divides them evenly."""
+    On the production wire path this is prepare + launch for a single
+    chunk; batch callers use kernel_prepare_chunked + kernel_launch_wires
+    to share one upload across chunks.  With a mesh, chunk arrays are
+    sharded along the batch dim (problems are independent, so SPMD
+    compilation inserts no collectives) — ladder pads are pow2, so any
+    pow2 mesh divides them evenly."""
+    if wire2_path_available(mesh):
+        return kernel_launch_wires([kernel_prepare(built, qs, v_pad, l_pad)])[0]
     vcodes, vpred, is_sink, nv, node_of, off_in = built
     n_real = len(qs)
     b_pad = vcodes.shape[0]
     with timer.phase("d_pad"):
-        q_pad = np.full((b_pad, l_pad), 4, dtype=np.int8)
-        nq = np.zeros(b_pad, dtype=np.int32)
-        lens = [len(qc) for qc in qs]
-        nq[:n_real] = lens
-        if n_real and min(lens) == max(lens):
-            # common case (fixed-length read batches): one bulk copy
-            q_pad[:n_real, : lens[0]] = qs
-        else:
-            for i, qc in enumerate(qs):
-                q_pad[i, : len(qc)] = qc
-
+        q_pad, nq = _pad_queries(qs, b_pad, l_pad)
         init_row = make_init_row(l_pad)
     with timer.phase("d_launch"):
         use_pallas = os.environ.get("VGALIGNER_POA_PALLAS") == "1"
@@ -1107,38 +1231,22 @@ def kernel_dispatch(built, qs, v_pad: int, l_pad: int, mesh=None):
                 nv, q_pad, nq,
             )
         else:
-            # wire format (see poa_global_kernel_packed): sink bit folded
-            # into vcodes, predecessors delta-compressed — the host link
-            # runs at ~50 MB/s, so bytes on the wire are launch latency
+            # dense wire format (see poa_global_kernel_packed): sink bit
+            # folded into vcodes, predecessors as int16
             vcodes_p = (vcodes | (is_sink.astype(np.int8) << 5)).astype(
                 np.int8
             )
-            vpred_s = _slice_preds(vpred, n_real)
+            vpred16 = _slice_preds(vpred, n_real).astype(np.int16)
             if mesh is None and wire_bitcast_supported():
-                # single-buffer wire: ONE device_put per launch
-                P = vpred_s.shape[-1]
-                if os.environ.get("VGALIGNER_POA_WIRE") == "v1":
-                    # escape hatch: dense int16 pred table on the wire
-                    wire = pack_chunk_wire(
-                        vcodes_p, vpred_s.astype(np.int16), nv, q_pad, nq
-                    )
-                    out_d = poa_global_kernel_wire(
-                        jnp.asarray(wire), b_pad, vcodes.shape[1], P, l_pad
-                    )
-                else:
-                    dplane, exc_idx, exc_pred = encode_pred_deltas(
-                        vpred_s, nv
-                    )
-                    wire = pack_chunk_wire2(
-                        vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred
-                    )
-                    out_d = poa_global_kernel_wire2(
-                        jnp.asarray(wire), b_pad, vcodes.shape[1], P,
-                        l_pad, len(exc_idx),
-                    )
+                # VGALIGNER_POA_WIRE=v1 escape hatch: dense int16 preds
+                P = vpred16.shape[-1]
+                wire = pack_chunk_wire(vcodes_p, vpred16, nv, q_pad, nq)
+                out_d = poa_global_kernel_wire(
+                    jnp.asarray(wire), b_pad, vcodes.shape[1], P, l_pad
+                )
                 return (out_d, vcodes, node_of, off_in, q_pad, v_pad,
                         b_pad, n_real, qs)
-            args = (vcodes_p, vpred_s.astype(np.int16), nv, q_pad, nq)
+            args = (vcodes_p, vpred16, nv, q_pad, nq)
         if mesh is not None and b_pad % mesh.devices.size == 0:
             from ..parallel.mesh import shard_batch
 
