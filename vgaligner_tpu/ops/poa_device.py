@@ -1308,18 +1308,46 @@ def fetch_grouped(arrays):
     ]
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _slice_tape(tape, t_used):
+    return tape[:, :t_used]
+
+
 def kernel_finish_all(pendings):
     """Fetch MANY dispatched chunks with a minimal number of link
-    transfers (see fetch_grouped: one flat buffer per dtype — scores,
-    tapes, tlens land in three buffers regardless of chunk count), then
-    decode.  Returns the concatenated per-chunk result lists, in order.
-    """
+    transfers, then decode.  Two grouped fetch passes (fetch_grouped —
+    one flat buffer per dtype per pass):
+
+      1. scores + tlens (tiny);
+      2. the tapes, column-sliced ON DEVICE to a pow2 ladder of each
+         chunk's real max traceback length.
+
+    The tape buffer is sized worst-case (T = V + nq + 1, every vertex
+    visited) but a global alignment walks ~query-length steps, so big-V
+    chunks fetch 10-20x fewer bytes this way; on a link that charges
+    bytes/bandwidth plus a round trip per fetch, one extra round trip
+    buys back most of the tape transfer.  Returns the concatenated
+    per-chunk result lists, in order."""
     outs = [p[0] for p in pendings]
     with timer.phase("f_fetch"):
-        got = fetch_grouped([a for o in outs for a in o])
+        small = fetch_grouped([a for o in outs for a in (o[0], o[2])])
+    scores_l, tlens_l = small[0::2], small[1::2]
+    tape_parts = []
+    for o, tlens, p in zip(outs, tlens_l, pendings):
+        n_real = p[7]
+        t_cap = o[1].shape[1]
+        used = int(tlens[:n_real].max()) if n_real else 1
+        t_used = min(t_cap, max(64, 1 << max(0, used - 1).bit_length()))
+        tape_parts.append(
+            _slice_tape(o[1], t_used) if t_used < t_cap else o[1]
+        )
+    with timer.phase("f_fetch"):
+        tapes_l = fetch_grouped(tape_parts)
     out: List = []
     for i, pending in enumerate(pendings):
-        out.extend(_decode_finished(pending, tuple(got[i * 3 : i * 3 + 3])))
+        out.extend(
+            _decode_finished(pending, (scores_l[i], tapes_l[i], tlens_l[i]))
+        )
     return out
 
 
