@@ -265,3 +265,59 @@ def test_wire2_kernel_matches_packed():
     )
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_ladder_bytes_pow2_eighth():
+    from vgaligner_tpu.ops.poa_device import _ladder_bytes
+
+    assert _ladder_bytes(1) == 4096
+    assert _ladder_bytes(4096) == 4096
+    assert _ladder_bytes(4097) == 8192  # step floor is 4096
+    assert _ladder_bytes((1 << 20) + 1) == (1 << 20) + (1 << 17)  # pow2/8 step
+    for n in (5000, 70000, 1 << 20, (1 << 20) + 1, 30 << 20):
+        m = _ladder_bytes(n)
+        assert m >= n
+        assert (m - n) <= max(4096, (1 << (n - 1).bit_length()) // 8)
+    # ladder values repeat: a small set of sizes per octave
+    vals = {_ladder_bytes(n) for n in range(1 << 16, 1 << 17, 97)}
+    assert len(vals) <= 9
+
+
+def test_kernel_launch_wires_groups_by_cap(monkeypatch):
+    """kernel_launch_wires must honor the mega-size cap, preserve input
+    order, and produce identical pendings to one-launch-per-chunk."""
+    import jax.numpy as jnp
+
+    import vgaligner_tpu.ops.poa_device as pd
+
+    if not pd.wire_bitcast_supported():
+        pytest.skip("wire bitcast unsupported on this backend")
+    rng = np.random.default_rng(5)
+
+    def mk_prepared(B, V, P, L, seed):
+        r = np.random.default_rng(seed)
+        vcodes = r.integers(0, 4, size=(B, V)).astype(np.int8)
+        vpred = np.full((B, V, P), -1, dtype=np.int32)
+        vpred[:, 1:, 0] = np.arange(V - 1)
+        is_sink = np.zeros((B, V), dtype=np.int8)
+        nv = np.full(B, V, np.int32)
+        is_sink[:, V - 1] = 1
+        vcodes_p = (vcodes | (is_sink << 5)).astype(np.int8)
+        q = r.integers(0, 4, size=(B, L)).astype(np.int8)
+        nq = np.full(B, L, np.int32)
+        dplane, exc_idx, exc_pred = pd.encode_pred_deltas(vpred, nv)
+        wire = pd.pack_chunk_wire2(vcodes_p, dplane, nv, q, nq, exc_idx, exc_pred)
+        dims = (B, V, P, L, len(exc_idx))
+        rest = (vcodes, None, None, q, V, B, B, [None] * B)
+        return wire, dims, rest
+
+    prepared = [mk_prepared(2, 16, 2, 8, s) for s in range(5)]
+    # force multiple flush groups
+    monkeypatch.setattr(pd, "_WIRE_MEGA_CAP", 2 * len(prepared[0][0]) + 1)
+    got = pd.kernel_launch_wires(prepared)
+    assert len(got) == 5
+    for (wire, dims, rest), pending in zip(prepared, got):
+        ref = pd.poa_global_kernel_wire2(jnp.asarray(wire), *dims)
+        for r, g in zip(ref, pending[0]):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+        assert pending[1] is rest[0]
