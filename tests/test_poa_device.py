@@ -277,7 +277,7 @@ def test_ladder_bytes_pow2_eighth():
     for n in (5000, 70000, 1 << 20, (1 << 20) + 1, 30 << 20):
         m = _ladder_bytes(n)
         assert m >= n
-        assert (m - n) <= max(4096, (1 << (n - 1).bit_length()) // 8)
+        assert (m - n) <= max(4096, (1 << (n.bit_length() - 1)) // 8)
     # ladder values repeat: a small set of sizes per octave
     vals = {_ladder_bytes(n) for n in range(1 << 16, 1 << 17, 97)}
     assert len(vals) <= 9

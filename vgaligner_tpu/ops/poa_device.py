@@ -1148,8 +1148,7 @@ def _ladder_bytes(n: int) -> int:
     instead of recompiling per drain layout."""
     if n <= 4096:
         return 4096
-    p = 1 << (n - 1).bit_length()
-    step = max(4096, p // 8)
+    step = max(4096, (1 << (n.bit_length() - 1)) // 8)
     return -(-n // step) * step
 
 
