@@ -102,3 +102,76 @@ def test_mapper_no_anchors_placeholder():
     # short read -> placeholder too
     chains = mapper.map_reads([QuerySequence.from_name_and_string("s", "ACGT")])[0]
     assert chains[0].is_placeholder
+
+
+class TestMapqExtension:
+    """Opt-in --mapq extension (assign_mapq): working restatement of the
+    reference's commented-out primary/secondary logic (chain.rs:582-640)."""
+
+    @staticmethod
+    def _chain(qb_list, k=11):
+        import numpy as np
+
+        from vgaligner_tpu.io.fastx import QuerySequence
+        from vgaligner_tpu.models.mapper import Chain
+
+        q = QuerySequence.from_name_and_string("r", "A" * 64)
+        qb = np.asarray(qb_list, dtype=np.int64)
+        return Chain(query=q, aqb=qb, atb=qb.copy(), ate=qb + k, k=k)
+
+    def test_unique_chain_gets_max_mapq(self):
+        from vgaligner_tpu.models.mapper import assign_mapq
+
+        c = self._chain([0, 5, 10])
+        assign_mapq([c])
+        assert c.mapping_quality == 60.0
+        assert not c.is_secondary
+
+    def test_overlapping_chains_are_ambiguous(self):
+        from vgaligner_tpu.models.mapper import assign_mapq
+
+        a = self._chain([0, 5, 10])   # query span [0, 21)
+        b = self._chain([2, 6, 9])    # query span [2, 20) — inside a's
+        assign_mapq([a, b])
+        assert a.mapping_quality == 0.0
+        assert b.mapping_quality == 0.0
+        assert b.is_secondary and not a.is_secondary
+
+    def test_disjoint_chains_both_primary(self):
+        from vgaligner_tpu.models.mapper import assign_mapq
+
+        a = self._chain([0, 5])       # [0, 16)
+        b = self._chain([30, 40])     # [30, 51)
+        assign_mapq([a, b])
+        assert a.mapping_quality == 60.0 and b.mapping_quality == 60.0
+        assert not a.is_secondary and not b.is_secondary
+
+    def test_placeholder_untouched_and_gaf_plumbing(self):
+        from vgaligner_tpu.io.fastx import QuerySequence
+        from vgaligner_tpu.models.mapper import F64_MIN, Chain, assign_mapq
+
+        p = Chain(query=QuerySequence.from_name_and_string("r", "A" * 20),
+                  is_placeholder=True)
+        assign_mapq([p])
+        assert p.mapping_quality == F64_MIN  # sentinel -> GAF mapq 0
+
+    def test_mapq_flag_changes_gaf_column(self, tmp_path):
+        """End to end: default run emits mapq 0 (reference parity);
+        --mapq emits 60 for a uniquely-mapping read."""
+        from vgaligner_tpu.graph import graph_from_gfa
+        from vgaligner_tpu.index import Index
+        from vgaligner_tpu.io.fastx import QuerySequence
+        from vgaligner_tpu.models.mapper import Mapper
+
+        g = graph_from_gfa("/root/reference/test/test.gfa")
+        index = Index.build(g, 11, 100, 100)
+        seq = "".join(g.sequence(h) for h in g.get_path(0).nodes)
+        reads = [QuerySequence.from_name_and_string("r0", seq[:40])]
+
+        for flag, want in ((False, 0), (True, 60)):
+            mapper = Mapper(index, chain_min_n_anchors=2, mapq=flag)
+            chains = mapper.map_reads(reads)
+            recs = mapper.chains_to_gaf(chains)
+            assert recs, "expected at least one chain row"
+            got = int(recs[0].to_string().split("\t")[11])
+            assert got == want, (flag, recs[0].to_string())

@@ -12,7 +12,8 @@ defaults mirror cli.yml:5-175; reference quirks preserved:
   * bandwidth=50, secondary_chain_threshold=0.5 and max_mapq=60.0 are
     hard-coded at the map call site (map_main.rs:100-117); the latter
     two feed the mapq logic that the reference ships commented out
-    (chain.rs:560-642), so they are accepted-but-inert here too;
+    (chain.rs:560-642) — inert by default here too, enabled by the
+    opt-in --mapq extension (models/mapper.py assign_mapq);
   * --also-align requires -G/--graph (map.rs:155-159) and always
     exports per-read subgraph GFAs (map.rs:165 passes true).
 
@@ -65,6 +66,11 @@ def _build_parser() -> argparse.ArgumentParser:
     mp.add_argument("-P", "--validation-path", metavar="FILE")
     mp.add_argument("-p", "--poa-aligner", required=True, metavar="ALIGNER_NAME",
                     choices=["rspoa", "abpoa"])
+    mp.add_argument("--mapq", action="store_true",
+                    help="extension (default off, reference emits mapq 0 on "
+                         "chain rows): primary/secondary chain identification "
+                         "per the reference's disabled logic — unambiguous "
+                         "chains get mapq 60, query-overlap-ambiguous get 0")
     mp.add_argument("--bubble-closure", action="store_true",
                     help="splice out-of-range bubble alt-alleles into the "
                          "chain-implied POA subgraph (extension beyond the "
@@ -140,6 +146,7 @@ def map_main(args) -> None:
         max_gap=args.max_gap_length,
         chain_min_n_anchors=args.chain_min_anchors,
         mesh=mesh,
+        mapq=args.mapq,
     )
 
     aligner = None

@@ -91,7 +91,9 @@ class GAFAlignment:
             path_end=0,
             residue=0,
             alignment_block_length=0,
-            mapping_quality=0,  # min(f64::MIN as u64, 254) == 0
+            # min(mapq as u64, 254), align.rs:904 — the f64::MIN sentinel
+            # saturates to 0; the opt-in --mapq extension sets 0/60
+            mapping_quality=min(int(max(chain.mapping_quality, 0.0)), 254),
             notes=f"ta:Z:chain,n_anchors: {n}",
         )
 

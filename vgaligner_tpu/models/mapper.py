@@ -49,6 +49,52 @@ log = logging.getLogger(__name__)
 
 F64_MIN = -np.finfo(np.float64).max  # mapping_quality sentinel (f64::MIN)
 
+SECONDARY_CHAIN_THRESHOLD = 0.5  # map_main.rs:100-117 (hard-coded)
+MAX_MAPQ = 60.0
+
+
+def assign_mapq(
+    chains,
+    secondary_chain_threshold: float = SECONDARY_CHAIN_THRESHOLD,
+    max_mapq: float = MAX_MAPQ,
+) -> None:
+    """Opt-in mapq extension (--mapq): a working restatement of the
+    reference's commented-out primary/secondary identification
+    (chain.rs:582-640; map_main.rs:100-117 hard-codes threshold 0.5 /
+    max mapq 60, and neither is reachable in the release build).
+
+    The dead code cannot run as written — it marks secondaries on a
+    CLONE pulled out of the interval tree, divides score by score on
+    the always-score-tied chains the live backtrack emits
+    (chain.rs:469 keeps only global-max chains), and its
+    min(1, n_anchors/10) integer division zeroes the formula for every
+    sub-10-anchor chain.  This extension implements the intent on the
+    real chain list: a chain whose query interval is overlapped by
+    another chain of the read (by more than secondary_chain_threshold
+    of that other chain's length, chain.rs:615) is ambiguous — it gets
+    mapq 0 and lower-ranked overlapping chains are flagged
+    is_secondary — while an unambiguous chain gets max_mapq.
+    Inverted query intervals are skipped as in the reference
+    (chain.rs:588-592), leaving the sentinel (GAF mapq 0).  Default
+    OFF: the reference's release emits mapq 0 on every chain row
+    (align.rs:904)."""
+    real = [c for c in chains if not c.is_placeholder and c.n_anchors]
+    spans = [(int(c.aqb[0]), int(c.aqb[-1]) + c.k) for c in real]
+    for i, c in enumerate(real):
+        qb, qe = spans[i]
+        if qb >= qe:
+            continue
+        ambiguous = False
+        for j, (ob, oe) in enumerate(spans):
+            if j == i or ob >= oe:
+                continue
+            ovlp = min(qe, oe) - max(qb, ob)
+            if ovlp > (oe - ob) * secondary_chain_threshold:
+                ambiguous = True
+                if j > i:
+                    real[j].is_secondary = True
+        c.mapping_quality = 0.0 if ambiguous else max_mapq
+
 
 class ChainAnchor(NamedTuple):
     """An anchor inside a chain (chain.rs:29-75), forward-only production
@@ -226,6 +272,7 @@ class Mapper:
         max_anchors_cap: int = 65536,
         mesh=None,
         precision: str = "exact",
+        mapq: bool = False,
     ) -> None:
         self.index = index
         self.bandwidth = bandwidth
@@ -234,6 +281,7 @@ class Mapper:
         self.max_anchors_cap = max_anchors_cap
         self.mesh = mesh
         self.precision = precision
+        self.mapq = mapq
         self.dindex = index.device()
         if mesh is not None:
             from ..parallel.mesh import replicate
@@ -403,6 +451,9 @@ class Mapper:
             for d, pc in zip(dispatched, fetched)
         ]
         self._finalize_chains(queries, pending, out)
+        if self.mapq:
+            for chains in out:
+                assign_mapq(chains)
         return out
 
     def _dispatch_bucket(self, queries, qidx: List[int], a_max: int):
