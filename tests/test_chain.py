@@ -135,7 +135,9 @@ class TestMapqExtension:
         assign_mapq([a, b])
         assert a.mapping_quality == 0.0
         assert b.mapping_quality == 0.0
-        assert b.is_secondary and not a.is_secondary
+        # heavy MUTUAL overlap between score-tied chains flags both
+        # (the reference's marking is not rank-gated for ties)
+        assert a.is_secondary and b.is_secondary
 
     def test_disjoint_chains_both_primary(self):
         from vgaligner_tpu.models.mapper import assign_mapq
@@ -175,3 +177,18 @@ class TestMapqExtension:
             assert recs, "expected at least one chain row"
             got = int(recs[0].to_string().split("\t")[11])
             assert got == want, (flag, recs[0].to_string())
+
+    def test_asymmetric_containment_penalizes_both(self):
+        """Regression: a tiny chain contained in a long one must NOT
+        keep mapq 60 — the reference zeroes the overlapped chain's mapq
+        when flagging it secondary (chain.rs:613-617), and the long
+        chain's best_secondary tracking is not threshold-gated
+        (chain.rs:619-625)."""
+        from vgaligner_tpu.models.mapper import assign_mapq
+
+        a = self._chain(list(range(0, 90, 5)))  # query span [0, 96)
+        b = self._chain([40])                   # [40, 51), contained
+        assign_mapq([a, b])
+        assert a.mapping_quality == 0.0
+        assert b.mapping_quality == 0.0
+        assert b.is_secondary and not a.is_secondary

@@ -89,11 +89,24 @@ def assign_mapq(
             if j == i or ob >= oe:
                 continue
             ovlp = min(qe, oe) - max(qb, ob)
+            if ovlp <= 0:
+                continue
+            # ANY overlapping (score-tied) chain makes this one
+            # ambiguous — the reference's best_secondary tracking is
+            # not gated by the threshold (chain.rs:619-625), and with
+            # tied scores its formula yields 0; the threshold only
+            # governs the secondary FLAG on the overlapped chain
+            # (chain.rs:613-617)
+            ambiguous = True
             if ovlp > (oe - ob) * secondary_chain_threshold:
-                ambiguous = True
-                if j > i:
-                    real[j].is_secondary = True
+                real[j].is_secondary = True
         c.mapping_quality = 0.0 if ambiguous else max_mapq
+    # a flagged secondary is never a confident mapping, whatever its own
+    # view of the overlap (reference zeroes the overlapped chain's mapq
+    # at flag time, chain.rs:616)
+    for c in real:
+        if c.is_secondary and c.mapping_quality == max_mapq:
+            c.mapping_quality = 0.0
 
 
 class ChainAnchor(NamedTuple):

@@ -607,9 +607,9 @@ class PoaAligner:
         if prepared_all:
             ps_flat = kernel_launch_wires(prepared_all)
             pos = 0
-            for pi, k in deferred:
-                pending[pi] = (pending[pi][0], ps_flat[pos : pos + k])
-                pos += k
+            for pi, n_chunks in deferred:
+                pending[pi] = (pending[pi][0], ps_flat[pos : pos + n_chunks])
+                pos += n_chunks
         if oversize:
             from ..native import poa_global_host_native
 

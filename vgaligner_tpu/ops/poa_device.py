@@ -481,16 +481,13 @@ def encode_pred_deltas(vpred, nv):
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def poa_global_kernel_wire2(wire, B, V, P, L, E):
-    """Delta-compressed single-buffer wire variant (the production TPU
-    entry point): like poa_global_kernel_wire, but the predecessor
-    table travels as a uint8 delta plane + COO exceptions (see
-    encode_pred_deltas) instead of dense int16 — ~3.4x fewer bytes per
-    launch on pred-heavy chunks, on a link where upload bytes are
-    launch latency.  The dense table is rebuilt here: slot 0 from the
-    delta plane, remaining slots scattered from the exception list into
-    a one-slot-extended scratch buffer (pad entries land in the scratch
-    slot and are sliced off)."""
+def _decode_wire2(wire, B, V, P, L, E):
+    """Unpack the delta-compressed wire (see poa_global_kernel_wire2).
+    A SEPARATE jit from the DP on purpose: its signature includes the
+    pow2 exception count E, which varies across chunks of identical
+    (B,V,P,L) — keeping it out of the DP kernel's signature means the
+    expensive DP+traceback executable compiles once per shape while
+    this trivial decode recompiles per E bucket."""
     o = 0
     vcodes_p = jax.lax.bitcast_convert_type(
         wire[o : o + B * V], jnp.int8
@@ -524,7 +521,21 @@ def poa_global_kernel_wire2(wire, B, V, P, L, E):
     )
     flat = flat.at[exc_idx].set(exc_pred, mode="promise_in_bounds")
     vpred16 = flat[:-1].reshape(B, V, P).astype(jnp.int16)
-    return poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq)
+    return vcodes_p, vpred16, nv, q, nq
+
+
+def poa_global_kernel_wire2(wire, B, V, P, L, E):
+    """Delta-compressed single-buffer wire variant (the production TPU
+    entry point): like poa_global_kernel_wire, but the predecessor
+    table travels as a uint8 delta plane + COO exceptions (see
+    encode_pred_deltas) instead of dense int16 — ~3.4x fewer bytes per
+    launch on pred-heavy chunks, on a link where upload bytes are
+    launch latency.  Two async device calls: a trivial decode keyed by
+    (B,V,P,L,E) rebuilds the dense table (slot 0 from the delta plane,
+    exceptions scattered into a one-slot-extended scratch buffer), then
+    the unchanged DP executable — compiled once per (B,V,P,L) — runs on
+    the device-resident unpacked arrays."""
+    return poa_global_kernel_packed(*_decode_wire2(wire, B, V, P, L, E))
 
 
 def pack_chunk_wire2(vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred):
@@ -1190,7 +1201,8 @@ def kernel_launch_wires(prepared):
         group, gbytes = [], 0
 
     for item in prepared:
-        if group and gbytes + len(item[0]) > _WIRE_MEGA_CAP:
+        # cap the PADDED upload size (ladder padding adds up to 12.5%)
+        if group and _ladder_bytes(gbytes + len(item[0])) > _WIRE_MEGA_CAP:
             flush()
         group.append(item)
         gbytes += len(item[0])
