@@ -1412,8 +1412,15 @@ def _decode_finished(pending, fetched):
 
 def kernel_and_finish(built, qs, v_pad: int, l_pad: int):
     """Run the device POA kernel over prebuilt problem arrays and decode
-    the tapes natively into PoaResults."""
-    return kernel_finish_all(kernel_dispatch_chunked(built, qs, v_pad, l_pad))
+    the tapes natively into PoaResults.  On the wire path, a
+    multi-chunk bucket shares one upload (kernel_launch_wires)."""
+    if wire2_path_available():
+        pendings = kernel_launch_wires(
+            kernel_prepare_chunked(built, qs, v_pad, l_pad)
+        )
+    else:
+        pendings = kernel_dispatch_chunked(built, qs, v_pad, l_pad)
+    return kernel_finish_all(pendings)
 
 
 def _align_bucket(bgs, qs, v_pad: int, l_pad: int):
