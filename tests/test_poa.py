@@ -229,3 +229,42 @@ def test_bubble_closure_recovers_distant_alt_allele():
     aln_p = parity.best_alignments_for_queries(chains)[0]
     # reference-parity subgraph misses node 5 -> substitution via node 2
     assert ">5" not in (aln_p.path_matching or ""), aln_p.path_matching
+
+
+def test_find_range_chain_reverse_and_both(tindex):
+    """align.rs:267-402's Reverse and Both cases: a chain whose anchors
+    sit on reverse-orient handles yields a reverse contiguous range; a
+    mixed-orient chain yields BOTH (fwd+rev handle pair per id)."""
+    from vgaligner_tpu.graph.handlegraph import handle_id, handle_is_reverse
+    from vgaligner_tpu.models.mapper import anchors_for_query_host
+    from vgaligner_tpu.models.mapper import Chain
+    from vgaligner_tpu.utils.dna import reverse_complement
+
+    g, index = tindex
+    path_x_seq = "".join(g.sequence(h) for h in g.get_path(0).nodes)
+    # a read from the reverse strand anchors on reverse-orient positions
+    rc = reverse_complement(path_x_seq[:40])
+    q = QuerySequence.from_name_and_string("rev", rc)
+    anchors = [
+        a for a in anchors_for_query_host(index, q, only_forward=False)
+        if a.so != 0 and a.eo != 0
+    ]
+    assert anchors, "expected reverse-orient anchors for an RC read"
+    chain = Chain.from_anchor_list(q, anchors)
+    rng = find_range_chain(index, chain)
+    assert rng.orient == RangeOrient.REVERSE
+    assert all(handle_is_reverse(h) for h in rng.handles)
+    ids = sorted(handle_id(h) for h in rng.handles)
+    assert ids == list(range(min(ids), max(ids) + 1))
+
+    # mixed orientation -> BOTH: every id appears in both orients
+    fwd_anchors = anchors_for_query_host(
+        index, QuerySequence.from_name_and_string("f", path_x_seq[:40])
+    )
+    mixed = Chain.from_anchor_list(q, anchors[:1] + fwd_anchors[:1])
+    rng2 = find_range_chain(index, mixed)
+    assert rng2.orient == RangeOrient.BOTH
+    by_id = {}
+    for h in rng2.handles:
+        by_id.setdefault(handle_id(h), set()).add(handle_is_reverse(h))
+    assert all(v == {False, True} for v in by_id.values())
