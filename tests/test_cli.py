@@ -91,3 +91,35 @@ def test_cli_gaf_out_path_with_also_align(tmp_path, monkeypatch):
     assert names == sorted(set(names), key=names.index)
     assert len(names) == len(set(names))
     assert not os.path.exists(out + ".progress.json")
+
+
+def test_ensure_usable_backend_cpu_pinned(monkeypatch):
+    """With the environment already pinned to cpu, no probe runs."""
+    import subprocess as sp
+
+    from vgaligner_tpu.utils import platform as plat
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    def boom(*a, **k):
+        raise AssertionError("probe must not run when env pins cpu")
+    monkeypatch.setattr(sp, "run", boom)
+    assert plat.ensure_usable_backend() == "cpu"
+
+
+def test_ensure_usable_backend_falls_back_on_probe_failure(monkeypatch):
+    """A failing (or hanging) probe pins the process to CPU instead of
+    letting the first in-process device op block the CLI."""
+    import subprocess as sp
+
+    from vgaligner_tpu.utils import platform as plat
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    def timeout_probe(*a, **k):
+        raise sp.TimeoutExpired(cmd=a[0], timeout=k.get("timeout", 0))
+    monkeypatch.setattr(sp, "run", timeout_probe)
+    calls = []
+    import jax
+
+    monkeypatch.setattr(jax.config, "update", lambda *a: calls.append(a))
+    assert plat.ensure_usable_backend(probe_timeout_s=0.01) == "cpu"
+    assert ("jax_platforms", "cpu") in calls
