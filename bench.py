@@ -100,7 +100,14 @@ def wait_for_device(max_wait_s=1800, probe_timeout_s=90):
 
 
 def main():
-    wait_for_device()
+    if not wait_for_device():
+        # a wedged transport would hang the FIRST device op forever
+        # (no exception); a CPU number with an honest stderr note beats
+        # a bench that never returns
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        sys.stderr.write("bench: pinned to CPU — device never came up\n")
     from vgaligner_tpu.graph import graph_from_gfa
     from vgaligner_tpu.index import Index
     from vgaligner_tpu.io.fastx import QuerySequence
