@@ -123,3 +123,21 @@ def test_ensure_usable_backend_falls_back_on_probe_failure(monkeypatch):
     monkeypatch.setattr(jax.config, "update", lambda *a: calls.append(a))
     assert plat.ensure_usable_backend(probe_timeout_s=0.01) == "cpu"
     assert ("jax_platforms", "cpu") in calls
+
+
+def test_cli_write_console(tmp_path, monkeypatch, capsys):
+    """-C/--write-console prints GAF rows to stdout in addition to the
+    file outputs (map.rs:123-133 console branch)."""
+    monkeypatch.chdir(tmp_path)
+    prefix = str(tmp_path / "tg")
+    main(["index", "-i", f"{REFERENCE_TEST_DIR}/test.gfa", "-k", "11", "-o", prefix])
+    out = str(tmp_path / "reads")
+    main([
+        "map", "-i", prefix, "-f", f"{REFERENCE_TEST_DIR}/single-read-test.fa",
+        "-o", out, "-p", "abpoa", "-t", "1", "-C",
+    ])
+    printed = capsys.readouterr().out
+    file_rows = open(out + "-chains.gaf").read().splitlines()
+    assert file_rows
+    for row in file_rows:
+        assert row in printed
