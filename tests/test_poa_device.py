@@ -321,3 +321,57 @@ def test_kernel_launch_wires_groups_by_cap(monkeypatch):
         for r, g in zip(ref, pending[0]):
             np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
         assert pending[1] is rest[0]
+
+
+def test_wire3_kernel_matches_packed():
+    """Row-packed delta wire (pack_rows + poa_global_kernel_wire3) must
+    match the per-array packed kernel bit for bit, including V-padding,
+    batch-pad rows, ladder tail, and exception slots."""
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.ops.poa_device import (
+        _ladder_bytes,
+        encode_pred_deltas,
+        pack_chunk_wire3,
+        pack_rows,
+        poa_global_kernel_packed,
+        poa_global_kernel_wire3,
+        wire_bitcast_supported,
+    )
+
+    if not wire_bitcast_supported():
+        pytest.skip("wire bitcast unsupported on this backend; fallback path covers it")
+    rng = np.random.default_rng(17)
+    B, V, P, L = 6, 64, 2, 16
+    nv = np.array([64, 50, 3, 64, 1, 0], dtype=np.int32)  # incl. pad row
+    vpred = np.full((B, V, P), -1, dtype=np.int32)
+    is_sink = np.zeros((B, V), dtype=np.int8)
+    for b in range(B):
+        if nv[b]:
+            vpred[b, 1 : nv[b], 0] = np.arange(nv[b] - 1)
+            is_sink[b, nv[b] - 1] = 1
+        vpred[b, nv[b] :, :] = 0  # upstream calloc quirk
+    vpred[0, 30, 1] = 7  # multi-pred exception
+    vcodes = rng.integers(0, 4, size=(B, V)).astype(np.int8)
+    vcodes_p = (vcodes | (is_sink << 5)).astype(np.int8)
+    q = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    nq = np.array([16, 10, 3, 16, 1, 0], dtype=np.int32)
+
+    ref = poa_global_kernel_packed(
+        jnp.asarray(vcodes_p), jnp.asarray(vpred.astype(np.int16)),
+        jnp.asarray(nv), jnp.asarray(q), jnp.asarray(nq),
+    )
+    dplane, exc_idx, exc_pred = encode_pred_deltas(vpred, nv)
+    vf, df = pack_rows(vcodes_p, nv), pack_rows(dplane, nv)
+    assert len(vf) == int(nv.sum())
+    t_pad = _ladder_bytes(len(vf))
+    vf = np.concatenate([vf, np.zeros(t_pad - len(vf), np.int8)])
+    df = np.concatenate([df, np.zeros(t_pad - len(df), np.uint8)])
+    wire = pack_chunk_wire3(vf, df, nv, q, nq, exc_idx, exc_pred)
+    got = poa_global_kernel_wire3(
+        jnp.asarray(wire), B, V, P, L, len(exc_idx), t_pad
+    )
+    # pad rows (nv==0) produce garbage either way; compare real rows
+    real = nv > 0
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r)[real], np.asarray(g)[real])

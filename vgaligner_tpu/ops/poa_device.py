@@ -553,6 +553,100 @@ def pack_chunk_wire2(vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred):
     )
 
 
+def pack_rows(plane: np.ndarray, nv) -> np.ndarray:
+    """Concatenate each row's first nv[b] entries (drop the batch/V
+    ladder padding, which is ~60-90% of a [B,V] plane's slots)."""
+    B, V = plane.shape
+    mask = np.arange(V, dtype=np.int32)[None, :] < np.asarray(nv).reshape(B, 1)
+    return np.ascontiguousarray(plane[mask])
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _unpack_rows(flat, nv, B, V):
+    """Rebuild the dense [B,V] plane from row-packed entries: compute
+    each flat position's (b, v) from the running nv prefix sum and
+    scatter into a one-slot-extended buffer (ladder-pad tail entries
+    land in the scratch slot).  Inverse of pack_rows."""
+    t_pad = flat.shape[0]
+    cum = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nv.astype(jnp.int32))]
+    )
+    pos = jnp.arange(t_pad, dtype=jnp.int32)
+    b_of = jnp.searchsorted(cum, pos, side="right").astype(jnp.int32) - 1
+    v_of = pos - cum[b_of]
+    target = jnp.where(pos < cum[-1], b_of * V + v_of, B * V)
+    out = jnp.zeros(B * V + 1, dtype=flat.dtype)
+    out = out.at[target].set(flat, mode="promise_in_bounds")
+    return out[:-1].reshape(B, V)
+
+
+def pack_chunk_wire3(vcodes_f, dplane_f, nv, q_pad, nq, exc_idx, exc_pred):
+    """pack_wire layout for poa_global_kernel_wire3 (row-packed planes)."""
+    return pack_wire(
+        (
+            (nv, np.int32),
+            (q_pad, np.int8),
+            (nq, np.int32),
+            (exc_idx, np.int32),
+            (exc_pred, np.int32),
+            (vcodes_f, np.int8),
+            (dplane_f, np.uint8),
+        )
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _decode_wire3(wire, B, V, P, L, E, T):
+    """Unpack the row-packed delta wire (see poa_global_kernel_wire3).
+    Separate jit from the DP for the same reason as _decode_wire2: its
+    signature carries the per-chunk pow2 ladders (E exceptions, T
+    packed vertex entries) that must not key the DP executable."""
+    o = 0
+    nv = jax.lax.bitcast_convert_type(
+        wire[o : o + B * 4].reshape(B, 4), jnp.int32
+    )
+    o += B * 4
+    q = jax.lax.bitcast_convert_type(wire[o : o + B * L], jnp.int8).reshape(B, L)
+    o += B * L
+    nq = jax.lax.bitcast_convert_type(
+        wire[o : o + B * 4].reshape(B, 4), jnp.int32
+    )
+    o += B * 4
+    exc_idx = jax.lax.bitcast_convert_type(
+        wire[o : o + E * 4].reshape(E, 4), jnp.int32
+    )
+    o += E * 4
+    exc_pred = jax.lax.bitcast_convert_type(
+        wire[o : o + E * 4].reshape(E, 4), jnp.int32
+    )
+    o += E * 4
+    vcodes_f = jax.lax.bitcast_convert_type(wire[o : o + T], jnp.int8)
+    o += T
+    dplane_f = wire[o : o + T]
+    vcodes_p = _unpack_rows(vcodes_f, nv, B, V)
+    dplane = _unpack_rows(dplane_f, nv, B, V)
+    v_iota = jnp.arange(V, dtype=jnp.int32)[None, :]
+    slot0 = jnp.where(dplane > 0, v_iota - dplane.astype(jnp.int32), -1)
+    vpred = jnp.full((B, V, P), -1, dtype=jnp.int32)
+    vpred = vpred.at[:, :, 0].set(slot0)
+    flat = jnp.concatenate(
+        [vpred.reshape(-1), jnp.full((1,), -1, jnp.int32)]
+    )
+    flat = flat.at[exc_idx].set(exc_pred, mode="promise_in_bounds")
+    vpred16 = flat[:-1].reshape(B, V, P).astype(jnp.int16)
+    return vcodes_p, vpred16, nv, q, nq
+
+
+def poa_global_kernel_wire3(wire, B, V, P, L, E, T):
+    """Row-packed delta wire (the production TPU entry point): wire2
+    with the two [B,V] planes (vertex codes + delta plane) shipped as
+    row-packed entries — batch/V ladder padding is 60-90% of those
+    planes' slots on real drains, so dropping it cuts the dominant
+    remaining upload bytes.  Decode (cheap, per-ladder signature) and
+    the DP (compiled once per (B,V,P,L)) stay separate executables."""
+    return poa_global_kernel_packed(*_decode_wire3(wire, B, V, P, L, E, T))
+
+
 def pack_wire(parts) -> np.ndarray:
     """Concatenate (array, dtype) pairs into one uint8 wire buffer (a
     single host memcpy — negligible next to the per-buffer link latency
@@ -1130,7 +1224,9 @@ def _pad_queries(qs, b_pad: int, l_pad: int):
 def kernel_prepare(built, qs, v_pad: int, l_pad: int):
     """Pad + delta-pack ONE chunk's wire buffer WITHOUT uploading or
     launching.  Returns (wire, dims, rest) for kernel_launch_wires,
-    which uploads many prepared chunks in a single device_put."""
+    which uploads many prepared chunks in a single device_put.  dims
+    selects the kernel: 6 entries = row-packed wire3 (production),
+    5 = dense-plane wire2 (VGALIGNER_POA_WIRE=v2 escape hatch)."""
     vcodes, vpred, is_sink, nv, node_of, off_in = built
     n_real = len(qs)
     b_pad = vcodes.shape[0]
@@ -1140,10 +1236,29 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
         vcodes_p = (vcodes | (is_sink.astype(np.int8) << 5)).astype(np.int8)
         vpred_s = _slice_preds(vpred, n_real)
         dplane, exc_idx, exc_pred = encode_pred_deltas(vpred_s, nv)
-        wire = pack_chunk_wire2(
-            vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred
-        )
-    dims = (b_pad, vcodes.shape[1], vpred_s.shape[-1], l_pad, len(exc_idx))
+        if os.environ.get("VGALIGNER_POA_WIRE") == "v2":
+            wire = pack_chunk_wire2(
+                vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred
+            )
+            dims = (b_pad, vcodes.shape[1], vpred_s.shape[-1], l_pad,
+                    len(exc_idx))
+        else:
+            vcodes_f = pack_rows(vcodes_p, nv)
+            dplane_f = pack_rows(dplane, nv)
+            t_pad = _ladder_bytes(max(len(vcodes_f), 1))
+            if t_pad != len(vcodes_f):
+                pad = t_pad - len(vcodes_f)
+                vcodes_f = np.concatenate(
+                    [vcodes_f, np.zeros(pad, np.int8)]
+                )
+                dplane_f = np.concatenate(
+                    [dplane_f, np.zeros(pad, np.uint8)]
+                )
+            wire = pack_chunk_wire3(
+                vcodes_f, dplane_f, nv, q_pad, nq, exc_idx, exc_pred
+            )
+            dims = (b_pad, vcodes.shape[1], vpred_s.shape[-1], l_pad,
+                    len(exc_idx), t_pad)
     rest = (vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
     return wire, dims, rest
 
@@ -1185,7 +1300,9 @@ def kernel_launch_wires(prepared):
         with timer.phase("d_launch"):
             if len(group) == 1:
                 wire, dims, rest = group[0]
-                out_d = poa_global_kernel_wire2(jnp.asarray(wire), *dims)
+                kern = (poa_global_kernel_wire3 if len(dims) == 6
+                        else poa_global_kernel_wire2)
+                out_d = kern(jnp.asarray(wire), *dims)
                 pendings.append((out_d,) + rest)
             else:
                 sizes = [len(w) for w, _, _ in group]
@@ -1196,7 +1313,9 @@ def kernel_launch_wires(prepared):
                 mega_d = jnp.asarray(mega)
                 for (w, dims, rest), o in zip(group, offs[:-1]):
                     wire_d = _slice_wire(mega_d, int(o), len(w))
-                    out_d = poa_global_kernel_wire2(wire_d, *dims)
+                    kern = (poa_global_kernel_wire3 if len(dims) == 6
+                            else poa_global_kernel_wire2)
+                    out_d = kern(wire_d, *dims)
                     pendings.append((out_d,) + rest)
         group, gbytes = [], 0
 
