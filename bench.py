@@ -55,11 +55,14 @@ def sample_reads(graph, n, read_len, seed=77):
     return reads
 
 
-def wait_for_device(max_wait_s=1800, probe_timeout_s=90):
+def wait_for_device(max_wait_s=1800, probe_timeout_s=60):
     """The shared TPU transport flaps under co-tenancy; if it is down
     when the bench starts, wait for it (bounded) instead of hanging on
     the first device op mid-measurement.  Probes in a subprocess so a
-    wedged PJRT init cannot wedge the bench itself."""
+    wedged PJRT init cannot wedge the bench itself.  The transport's
+    up-windows can be short (minutes), so probes re-arm quickly: a
+    down-probe hangs for probe_timeout_s, then the next attempt starts
+    after a short sleep — one sample per ~65 s instead of per ~2 min."""
     import subprocess
 
     deadline = time.monotonic() + max_wait_s
@@ -96,7 +99,7 @@ def wait_for_device(max_wait_s=1800, probe_timeout_s=90):
             )
             return False
         sys.stderr.write(f"bench: device probe {attempt} down; waiting\n")
-        time.sleep(30)
+        time.sleep(5)
 
 
 def main():
