@@ -1482,11 +1482,9 @@ def kernel_finish_all(pendings):
 
 
 def kernel_finish(pending):
-    """Fetch a dispatched bucket's results and decode the tapes natively."""
-    out_d = pending[0]
-    with timer.phase("f_fetch"):
-        got = jax.device_get(out_d)
-    return _decode_finished(pending, got)
+    """Fetch ONE dispatched chunk's results and decode (single-pending
+    convenience over kernel_finish_all, sharing its two-phase fetch)."""
+    return kernel_finish_all([pending])
 
 
 def _decode_finished(pending, fetched):
