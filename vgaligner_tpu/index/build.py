@@ -55,11 +55,35 @@ def _merge_kmer_tables(c1, o1, n1, p1, c2, o2, n2, p2):
     order.  Per-group rows stay sorted by the (so, start, eo, end)
     tuple order of generate_pos_on_ref.
     """
-    def _keyed(codes_per_row: np.ndarray, rows: np.ndarray):
-        """(code, so, start, eo, end) rows as a void view for set ops."""
+    def _full(codes_per_row: np.ndarray, rows: np.ndarray):
         full = np.concatenate([codes_per_row[:, None], rows], axis=1)
-        full = np.ascontiguousarray(full, dtype=np.int64)
-        return full, full.view([("", np.int64)] * 5).reshape(-1)
+        return np.ascontiguousarray(full, dtype=np.int64)
+
+    def _keys_for(full1: np.ndarray, full2: np.ndarray):
+        """Set-op keys for (code, so, start, eo, end) rows, shared
+        layout across both tables.  One packed int64 per row when the
+        field widths fit 63 bits (always, for 4^k codes with k <= ~20
+        on HLA-scale linearizations) — scalar isin/unique are ~10x the
+        speed of the structured void-view fallback, which spent 25s+
+        on B3106's 6.5M duplicate-heavy rows."""
+        parts = [f for f in (full1, full2) if len(f)]
+        both = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        if len(both) and both.min() >= 0:
+            bits = [
+                max(int(both[:, j].max()).bit_length(), 1) for j in range(5)
+            ]
+            if sum(bits) <= 63:
+                def pack(full):
+                    key = full[:, 0].copy()
+                    for j in range(1, 5):
+                        key = (key << bits[j]) | full[:, j]
+                    return key
+                return pack(full1), pack(full2)
+        def void(full):
+            return np.ascontiguousarray(full).view(
+                [("", np.int64)] * 5
+            ).reshape(-1)
+        return void(full1), void(full2)
 
     # gather table-2 rows group-contiguously (o2 may be non-contiguous
     # when the caller filtered groups out), fully vectorized
@@ -78,9 +102,10 @@ def _merge_kmer_tables(c1, o1, n1, p1, c2, o2, n2, p2):
 
     # table-2 rows keyed by code; table-1 likewise (vectorized set ops —
     # a per-group Python walk over ~1M groups took minutes on MICB)
-    full2, keyed2 = _keyed(code2_per_row, rows2)
+    full2 = _full(code2_per_row, rows2)
     code1_per_row = np.repeat(c1, n1)
-    _, keyed1 = _keyed(code1_per_row, p1)
+    full1 = _full(code1_per_row, p1)
+    keyed1, keyed2 = _keys_for(full1, full2)
 
     # additions = unique table-2 rows absent from table 1
     fresh_mask = ~np.isin(keyed2, keyed1)
