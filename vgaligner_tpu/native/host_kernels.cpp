@@ -307,12 +307,51 @@ int64_t vg_kmer_index(
   if (out_capped) *out_capped = capped;
 
   // stable sort by sequence only (kmer.rs:295-298), then dedup runs of
-  // fully identical records (kmer.rs:299-301)
-  std::stable_sort(kmers.begin(), kmers.end(), [](const Km& a, const Km& b) {
-    int c = std::memcmp(a.seq, b.seq, std::min(a.len, b.len));
-    if (c != 0) return c < 0;
-    return a.len < b.len;
-  });
+  // fully identical records (kmer.rs:299-301).  Sorting (packed key,
+  // index) pairs and permuting once beats stable_sort moving ~80-byte
+  // Km records with a memcmp comparator (tens of seconds on
+  // budget-bound hub graphs like MICB, ~20M records): left-aligned
+  // 2-bit base codes order exactly like memcmp (A<C<G<T in both), the
+  // length in the low bits reproduces the shorter-first tie-break, and
+  // the original index as the final key keeps the sort stable (the
+  // reference's adjacent-duplicates dedup is insertion-order
+  // dependent, so stability is a parity requirement).
+  {
+    typedef unsigned __int128 u128;
+    struct KeyIdx { u128 key; };
+    const size_t nk = kmers.size();
+    std::vector<KeyIdx> ki(nk);
+    for (size_t t = 0; t < nk; ++t) {
+      const Km& km = kmers[t];
+      u128 key = 0;
+      for (int32_t p = 0; p < km.len; ++p)
+        key |= (u128)(uint8_t)base_code(km.seq[p]) << (120 - 2 * p);
+      // low 38 bits: len (6) then original index (32) for stability
+      key |= (u128)(uint32_t)km.len << 32;
+      key |= (u128)(uint32_t)t;
+      ki[t].key = key;
+    }
+    std::sort(ki.begin(), ki.end(),
+              [](const KeyIdx& a, const KeyIdx& b) { return a.key < b.key; });
+    // apply the permutation in place (sorted[j] = old[idx_j]); marking
+    // consumed slots avoids a second ~GB-scale Km buffer
+    std::vector<uint32_t> idx(nk);
+    for (size_t t = 0; t < nk; ++t) idx[t] = (uint32_t)(ki[t].key & 0xffffffffu);
+    ki.clear(); ki.shrink_to_fit();
+    const uint32_t DONE = 0xffffffffu;
+    for (size_t i = 0; i < nk; ++i) {
+      if (idx[i] == DONE || idx[i] == i) { idx[i] = DONE; continue; }
+      size_t j = i;
+      Km tmp = kmers[i];
+      while (true) {
+        size_t src = idx[j];
+        idx[j] = DONE;
+        if (src == i) { kmers[j] = tmp; break; }
+        kmers[j] = kmers[src];
+        j = src;
+      }
+    }
+  }
   std::vector<Km> dedup;
   dedup.reserve(kmers.size());
   for (const Km& km : kmers) {
