@@ -55,35 +55,35 @@ def _merge_kmer_tables(c1, o1, n1, p1, c2, o2, n2, p2):
     order.  Per-group rows stay sorted by the (so, start, eo, end)
     tuple order of generate_pos_on_ref.
     """
-    def _full(codes_per_row: np.ndarray, rows: np.ndarray):
-        full = np.concatenate([codes_per_row[:, None], rows], axis=1)
-        return np.ascontiguousarray(full, dtype=np.int64)
+    def _pack_layout(ca, ra, cb, rb):
+        """Shared packed-int64 layout for (code, so, start, eo, end)
+        rows across both tables, or None when the field widths exceed
+        63 bits (only for k > ~20 on megabase linearizations).  Packed
+        keys make every set op scalar AND globally sorted (codes sorted
+        + per-group tuple order), which the fast merge path exploits."""
+        maxs = np.zeros(5, dtype=np.int64)
+        neg = False
+        for c, r in ((ca, ra), (cb, rb)):
+            if len(r):
+                maxs = np.maximum(
+                    maxs,
+                    np.concatenate([[c.max()], r.max(axis=0)]),
+                )
+                neg = neg or int(c.min()) < 0 or int(r.min()) < 0
+        if neg:
+            return None
+        bits = [max(int(m).bit_length(), 1) for m in maxs]
+        if sum(bits) > 63:
+            return None
 
-    def _keys_for(full1: np.ndarray, full2: np.ndarray):
-        """Set-op keys for (code, so, start, eo, end) rows, shared
-        layout across both tables.  One packed int64 per row when the
-        field widths fit 63 bits (always, for 4^k codes with k <= ~20
-        on HLA-scale linearizations) — scalar isin/unique are ~10x the
-        speed of the structured void-view fallback, which spent 25s+
-        on B3106's 6.5M duplicate-heavy rows."""
-        parts = [f for f in (full1, full2) if len(f)]
-        both = parts[0] if len(parts) == 1 else np.concatenate(parts)
-        if len(both) and both.min() >= 0:
-            bits = [
-                max(int(both[:, j].max()).bit_length(), 1) for j in range(5)
-            ]
-            if sum(bits) <= 63:
-                def pack(full):
-                    key = full[:, 0].copy()
-                    for j in range(1, 5):
-                        key = (key << bits[j]) | full[:, j]
-                    return key
-                return pack(full1), pack(full2)
-        def void(full):
-            return np.ascontiguousarray(full).view(
-                [("", np.int64)] * 5
-            ).reshape(-1)
-        return void(full1), void(full2)
+        def pack(codes, rows):
+            key = np.ascontiguousarray(codes, dtype=np.int64).copy()
+            for j in range(4):
+                key <<= bits[j + 1]
+                key |= np.ascontiguousarray(rows[:, j], dtype=np.int64)
+            return key
+
+        return pack
 
     # gather table-2 rows group-contiguously (o2 may be non-contiguous
     # when the caller filtered groups out), fully vectorized
@@ -100,12 +100,48 @@ def _merge_kmer_tables(c1, o1, n1, p1, c2, o2, n2, p2):
         offsets2 = np.concatenate([[0], np.cumsum(n2)[:-1]]).astype(np.int64)
         return c2.copy(), offsets2, n2.astype(np.int64).copy(), rows2
 
-    # table-2 rows keyed by code; table-1 likewise (vectorized set ops —
-    # a per-group Python walk over ~1M groups took minutes on MICB)
-    full2 = _full(code2_per_row, rows2)
     code1_per_row = np.repeat(c1, n1)
+    pack = _pack_layout(code1_per_row, p1, code2_per_row, rows2)
+    if pack is not None:
+        # fast path: packed keys are GLOBALLY sorted for table 1 (codes
+        # ascending, rows in tuple order within each group), so the
+        # whole merge is one searchsorted + one np.insert — the
+        # per-merge-event Python splice below walked ~800k groups on
+        # MICB (40s+)
+        keyed1 = pack(code1_per_row, p1)
+        keyed2 = pack(code2_per_row, rows2)
+        fresh_mask = ~np.isin(keyed2, keyed1)
+        if not fresh_mask.any():
+            return c1, o1, n1, p1
+        fk, fidx = np.unique(keyed2[fresh_mask], return_index=True)
+        fresh_rows = rows2[fresh_mask][fidx]
+        fresh_codes = code2_per_row[fresh_mask][fidx]
+
+        uniq_codes, fresh_counts = np.unique(fresh_codes, return_counts=True)
+        g1 = np.searchsorted(c1, uniq_codes)
+        g1c = np.minimum(g1, len(c1) - 1)
+        exists = c1[g1c] == uniq_codes
+        n_out = n1.astype(np.int64).copy()
+        n_out[g1[exists]] += fresh_counts[exists]
+        c_out = np.insert(c1, g1[~exists], uniq_codes[~exists]).astype(np.int64)
+        n_out = np.insert(n_out, g1[~exists], fresh_counts[~exists])
+        o_out = np.concatenate([[0], np.cumsum(n_out)[:-1]]).astype(np.int64)
+        p_out = np.insert(p1, np.searchsorted(keyed1, fk), fresh_rows, axis=0)
+        return c_out, o_out, n_out.astype(np.int64), p_out
+
+    # void-view fallback for >63-bit field layouts
+    def _full(codes_per_row: np.ndarray, rows: np.ndarray):
+        full = np.concatenate([codes_per_row[:, None], rows], axis=1)
+        return np.ascontiguousarray(full, dtype=np.int64)
+
+    def _void(full):
+        return np.ascontiguousarray(full).view(
+            [("", np.int64)] * 5
+        ).reshape(-1)
+
+    full2 = _full(code2_per_row, rows2)
     full1 = _full(code1_per_row, p1)
-    keyed1, keyed2 = _keys_for(full1, full2)
+    keyed1, keyed2 = _void(full1), _void(full2)
 
     # additions = unique table-2 rows absent from table 1
     fresh_mask = ~np.isin(keyed2, keyed1)

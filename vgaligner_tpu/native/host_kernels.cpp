@@ -25,7 +25,9 @@
 // Build: g++ -O3 -march=native -shared -fPIC (see native/__init__.py).
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <deque>
@@ -278,6 +280,15 @@ int64_t vg_kmer_index(
     int64_t* out_n_pos, int64_t** out_positions) {
   GraphView g{n_nodes, labels, label_off, l_off, l_dat, r_off, r_dat};
 
+  // env-gated phase timing (VGALIGNER_NATIVE_TIMING=1): the DFS /
+  // sort / convert split on hub-dense graphs drives tuning decisions
+  const bool timing = std::getenv("VGALIGNER_NATIVE_TIMING") != nullptr;
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  auto t_start = now();
+
   std::vector<Km> kmers;
   std::vector<Km> stack;
   std::vector<int64_t> nbrs, nbrs2;
@@ -305,6 +316,10 @@ int64_t vg_kmer_index(
     }
   }
   if (out_capped) *out_capped = capped;
+  auto t_dfs = now();
+  if (timing)
+    fprintf(stderr, "vg_kmer_index: dfs %.1fs (%zu records)\n",
+            secs(t_start, t_dfs), kmers.size());
 
   // stable sort by sequence only (kmer.rs:295-298), then dedup runs of
   // fully identical records (kmer.rs:299-301).  Sorting (packed key,
@@ -358,6 +373,10 @@ int64_t vg_kmer_index(
     if (!dedup.empty() && km_key_eq(dedup.back(), km)) continue;
     dedup.push_back(km);
   }
+  auto t_sort = now();
+  if (timing)
+    fprintf(stderr, "vg_kmer_index: sort+dedup %.1fs (%zu unique records)\n",
+            secs(t_dfs, t_sort), dedup.size());
 
   // group by sequence; positions on the linearization (kmer.rs:752-928)
   struct Row { int64_t so, s, eo, e; };
