@@ -40,18 +40,31 @@ def is_dna(base: str) -> bool:
     return base in _DNA_CHARS
 
 
+# str.translate table: complement for the DNA alphabet, every other
+# character mapped to a sentinel so one scan both converts and detects
+# non-DNA input (the char-wise Python loop was ~10s/build on MICB-class
+# graphs, called once per embedded-path window)
+_RC_SENTINEL = "\x00"
+_RC_TABLE = str.maketrans(
+    {c: _SWITCH.get(c, "N" if c in "Nn" else _RC_SENTINEL)
+     for c in map(chr, range(128))}
+)
+
+
 def reverse_complement(sequence: str) -> str:
     """Reverse-complement of a sequence (dna.rs:5-17).
 
     Raises ValueError on non-DNA input (reference panics). N maps to N
     (switch_base's fallthrough arm, dna.rs:31).
     """
-    out = []
-    for base in reversed(sequence):
-        if not is_dna(base):
-            raise ValueError(f"Input sequence base is not DNA: {base}")
-        out.append(_SWITCH.get(base, "N"))
-    return "".join(out)
+    out = sequence.translate(_RC_TABLE)[::-1]
+    if _RC_SENTINEL in out:
+        bad = sequence[len(sequence) - 1 - out.index(_RC_SENTINEL)]
+        raise ValueError(f"Input sequence base is not DNA: {bad}")
+    if not out.isascii():  # non-ASCII passes translate untouched
+        bad = next(c for c in sequence if not c.isascii())
+        raise ValueError(f"Input sequence base is not DNA: {bad}")
+    return out
 
 
 def encode_seq(sequence: str) -> np.ndarray:
