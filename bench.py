@@ -65,20 +65,19 @@ def wait_for_device(max_wait_s=1800, probe_timeout_s=60):
     after a short sleep — one sample per ~65 s instead of per ~2 min."""
     import subprocess
 
+    from vgaligner_tpu.utils.platform import _PROBE_SRC
+
     deadline = time.monotonic() + max_wait_s
     attempt = 0
     while True:
         attempt += 1
+        t_probe = time.monotonic()
         try:
-            # honor JAX_PLATFORMS via config.update: this image's
-            # sitecustomize wedges when the env var alone disagrees with
-            # its TPU registration, while the config route works
+            # probe source shared with utils/platform.py (config.update
+            # route: this image's sitecustomize wedges when the env var
+            # alone disagrees with its TPU registration)
             r = subprocess.run(
-                [sys.executable, "-c",
-                 "import os, jax\n"
-                 "p = os.environ.get('JAX_PLATFORMS')\n"
-                 "if p: jax.config.update('jax_platforms', p.split(',')[0])\n"
-                 "import jax.numpy as jnp; float(jnp.ones(2).sum())"],
+                [sys.executable, "-c", _PROBE_SRC],
                 timeout=probe_timeout_s, capture_output=True,
             )
             if r.returncode == 0:
@@ -99,7 +98,9 @@ def wait_for_device(max_wait_s=1800, probe_timeout_s=60):
             )
             return False
         sys.stderr.write(f"bench: device probe {attempt} down; waiting\n")
-        time.sleep(5)
+        # fixed ~65s cadence whether the probe hung to its timeout or
+        # failed fast (a fast-failing probe must not spin-import jax)
+        time.sleep(max(5.0, 65.0 - (time.monotonic() - t_probe)))
 
 
 def main():

@@ -397,3 +397,23 @@ def test_kmer_state_cap_native_matches_python(monkeypatch):
     monkeypatch.delenv("VGALIGNER_NO_NATIVE")
     full = Index.build(g, 5, 100, 100, state_cap=0)
     assert full.n_kmers >= native_idx.n_kmers
+
+
+@pytest.mark.parametrize("label", ["acT", "AUG"])
+def test_kmer_index_non_acgt_fallback_matches_python(label):
+    """Lowercase/U labels force the native sort off the packed-key fast
+    path (2-bit keys are memcmp-equivalent only for uppercase ACGT);
+    the memcmp fallback must still match the Python path exactly."""
+    g = HashGraph()
+    h1 = g.create_handle("ACT", 1)
+    h2 = g.create_handle(label, 2)
+    h3 = g.create_handle("GCAC", 3)
+    g.create_edge(h1, h2)
+    g.create_edge(h2, h3)
+    k = 4
+    pc, po, pn, pp = _python_kmer_index(g, k, 100, 100, None)
+    nc, no, nn, npos = _native_kmer_index(g, k, 100, 100, None)
+    np.testing.assert_array_equal(pc, nc)
+    np.testing.assert_array_equal(po, no)
+    np.testing.assert_array_equal(pn, nn)
+    np.testing.assert_array_equal(pp, npos)

@@ -39,16 +39,30 @@ _charp = ctypes.c_char_p
 
 
 def _build() -> Optional[str]:
-    """Compile the shared library if missing or stale."""
+    """Compile the shared library if missing or stale.
+
+    Staleness is content-hashed, not mtime-compared: a fresh checkout
+    gives source and binary identical mtimes, which silently kept a
+    stale binary loading after source-only commits."""
     try:
-        if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
-            return _LIB_PATH
+        import hashlib
+
+        with open(_SRC, "rb") as fh:
+            src_hash = hashlib.sha256(fh.read()).hexdigest()
+        hash_path = _LIB_PATH + ".srchash"
+        if os.path.exists(_LIB_PATH) and os.path.exists(hash_path):
+            with open(hash_path) as fh:
+                if fh.read().strip() == src_hash:
+                    return _LIB_PATH
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
             _SRC, "-o", _LIB_PATH + ".tmp",
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
+        with open(hash_path + ".tmp", "w") as fh:
+            fh.write(src_hash)
+        os.replace(hash_path + ".tmp", hash_path)
         return _LIB_PATH
     except Exception as exc:  # pragma: no cover - toolchain-dependent
         log.warning("native build failed, using Python fallbacks: %s", exc)

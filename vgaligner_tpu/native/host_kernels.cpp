@@ -336,34 +336,55 @@ int64_t vg_kmer_index(
     struct KeyIdx { u128 key; };
     const size_t nk = kmers.size();
     std::vector<KeyIdx> ki(nk);
-    for (size_t t = 0; t < nk; ++t) {
+    // the 2-bit key is only memcmp-equivalent for uppercase ACGT
+    // (base_code folds case and maps U/other to 4, which overflows the
+    // slot); any other character falls back to the memcmp comparator
+    bool plain_acgt = true;
+    for (size_t t = 0; t < nk && plain_acgt; ++t) {
       const Km& km = kmers[t];
       u128 key = 0;
-      for (int32_t p = 0; p < km.len; ++p)
-        key |= (u128)(uint8_t)base_code(km.seq[p]) << (120 - 2 * p);
+      for (int32_t p = 0; p < km.len; ++p) {
+        char c = km.seq[p];
+        if (c != 'A' && c != 'C' && c != 'G' && c != 'T') {
+          plain_acgt = false;
+          break;
+        }
+        key |= (u128)(uint8_t)base_code(c) << (120 - 2 * p);
+      }
       // low 38 bits: len (6) then original index (32) for stability
       key |= (u128)(uint32_t)km.len << 32;
       key |= (u128)(uint32_t)t;
       ki[t].key = key;
     }
-    std::sort(ki.begin(), ki.end(),
-              [](const KeyIdx& a, const KeyIdx& b) { return a.key < b.key; });
-    // apply the permutation in place (sorted[j] = old[idx_j]); marking
-    // consumed slots avoids a second ~GB-scale Km buffer
-    std::vector<uint32_t> idx(nk);
-    for (size_t t = 0; t < nk; ++t) idx[t] = (uint32_t)(ki[t].key & 0xffffffffu);
-    ki.clear(); ki.shrink_to_fit();
-    const uint32_t DONE = 0xffffffffu;
-    for (size_t i = 0; i < nk; ++i) {
-      if (idx[i] == DONE || idx[i] == i) { idx[i] = DONE; continue; }
-      size_t j = i;
-      Km tmp = kmers[i];
-      while (true) {
-        size_t src = idx[j];
-        idx[j] = DONE;
-        if (src == i) { kmers[j] = tmp; break; }
-        kmers[j] = kmers[src];
-        j = src;
+    if (!plain_acgt) {
+      ki.clear(); ki.shrink_to_fit();
+      std::stable_sort(kmers.begin(), kmers.end(),
+                       [](const Km& a, const Km& b) {
+        int c = std::memcmp(a.seq, b.seq, std::min(a.len, b.len));
+        if (c != 0) return c < 0;
+        return a.len < b.len;
+      });
+    } else {
+      std::sort(ki.begin(), ki.end(),
+                [](const KeyIdx& a, const KeyIdx& b) { return a.key < b.key; });
+      // apply the permutation in place (sorted[j] = old[idx_j]); marking
+      // consumed slots avoids a second ~GB-scale Km buffer
+      std::vector<uint32_t> idx(nk);
+      for (size_t t = 0; t < nk; ++t)
+        idx[t] = (uint32_t)(ki[t].key & 0xffffffffu);
+      ki.clear(); ki.shrink_to_fit();
+      const uint32_t DONE = 0xffffffffu;
+      for (size_t i = 0; i < nk; ++i) {
+        if (idx[i] == DONE || idx[i] == i) { idx[i] = DONE; continue; }
+        size_t j = i;
+        Km tmp = kmers[i];
+        while (true) {
+          size_t src = idx[j];
+          idx[j] = DONE;
+          if (src == i) { kmers[j] = tmp; break; }
+          kmers[j] = kmers[src];
+          j = src;
+        }
       }
     }
   }
