@@ -375,3 +375,30 @@ def test_wire3_kernel_matches_packed():
     real = nv > 0
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r)[real], np.asarray(g)[real])
+
+
+@pytest.mark.parametrize("wire_env", [None, "v1", "v2"])
+def test_dispatch_wire_versions_agree(monkeypatch, wire_env):
+    """kernel_dispatch must produce identical results through the
+    row-packed wire (default), dense-plane wire2, and dense-int16 wire1
+    escape hatches."""
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.ops.poa import align_global_host
+    from vgaligner_tpu.ops.poa_device import align_global_batch, wire_bitcast_supported
+
+    if not wire_bitcast_supported():
+        pytest.skip("wire bitcast unsupported on this backend")
+    if wire_env is None:
+        monkeypatch.delenv("VGALIGNER_POA_WIRE", raising=False)
+    else:
+        monkeypatch.setenv("VGALIGNER_POA_WIRE", wire_env)
+    problems = [
+        (["A", "CT", "GA", "GCA"], [(0, 1), (0, 2), (1, 3), (2, 3)], "ACTGCA"),
+        (["ACGTAC"], [], "ACGGAC"),
+    ]
+    for prob, res in zip(problems, align_global_batch(problems)):
+        ref = align_global_host(*prob)
+        assert res.best_score == ref.best_score
+        assert res.cigar == ref.cigar
+        assert res.node_path == ref.node_path
