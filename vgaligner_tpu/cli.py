@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 
@@ -217,13 +218,29 @@ def map_main(args) -> None:
         if keep_alns:
             alignments.extend(batch_alns)
 
-    stream_map_align(
-        mapper, pending_queries, aligner,
-        batch_size=DEFAULT_BATCH,
-        align_best_n=args.align_best_n,
-        on_chains=_on_chains,
-        on_alignments=_on_alignments if aligner else None,
-    )
+    # opt-in device tracing (the SURVEY §5 analog of the reference's
+    # RUST_LOG phase logging): VGALIGNER_TRACE=<dir> wraps the run in a
+    # jax profiler trace for xprof/tensorboard; best-effort, some
+    # transports do not support profiling
+    import contextlib
+
+    trace_dir = os.environ.get("VGALIGNER_TRACE")
+    trace_cm = contextlib.nullcontext()
+    if trace_dir:
+        try:
+            import jax
+
+            trace_cm = jax.profiler.trace(trace_dir)
+        except Exception as exc:  # pragma: no cover - backend-dependent
+            log.warning("jax profiler trace unavailable: %s", exc)
+    with trace_cm:
+        stream_map_align(
+            mapper, pending_queries, aligner,
+            batch_size=DEFAULT_BATCH,
+            align_best_n=args.align_best_n,
+            on_chains=_on_chains,
+            on_alignments=_on_alignments if aligner else None,
+        )
     writer.close(done=True)
     log.info("Chaining%s took: %d ms",
              " + alignment" if aligner else "", (time.monotonic() - t0) * 1000)
