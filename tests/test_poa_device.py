@@ -309,14 +309,14 @@ def test_kernel_launch_wires_groups_by_cap(monkeypatch):
         wire = pd.pack_chunk_wire2(vcodes_p, dplane, nv, q, nq, exc_idx, exc_pred)
         dims = (B, V, P, L, len(exc_idx))
         rest = (vcodes, None, None, q, V, B, B, [None] * B)
-        return wire, dims, rest
+        return wire, "v2", dims, rest
 
     prepared = [mk_prepared(2, 16, 2, 8, s) for s in range(5)]
     # force multiple flush groups
     monkeypatch.setattr(pd, "_WIRE_MEGA_CAP", 2 * len(prepared[0][0]) + 1)
     got = pd.kernel_launch_wires(prepared)
     assert len(got) == 5
-    for (wire, dims, rest), pending in zip(prepared, got):
+    for (wire, _version, dims, rest), pending in zip(prepared, got):
         ref = pd.poa_global_kernel_wire2(jnp.asarray(wire), *dims)
         for r, g in zip(ref, pending[0]):
             np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
@@ -377,7 +377,7 @@ def test_wire3_kernel_matches_packed():
         np.testing.assert_array_equal(np.asarray(r)[real], np.asarray(g)[real])
 
 
-@pytest.mark.parametrize("wire_env", [None, "v1", "v2"])
+@pytest.mark.parametrize("wire_env", [None, "v1", "v2", "v3"])
 def test_dispatch_wire_versions_agree(monkeypatch, wire_env):
     """kernel_dispatch must produce identical results through the
     row-packed wire (default), dense-plane wire2, and dense-int16 wire1
@@ -402,3 +402,59 @@ def test_dispatch_wire_versions_agree(monkeypatch, wire_env):
         assert res.best_score == ref.best_score
         assert res.cigar == ref.cigar
         assert res.node_path == ref.node_path
+
+
+def test_wire4_kernel_matches_packed_with_escaped_deltas():
+    """Nibble-plane wire (v4): slot-0 deltas above 14 must ride the
+    exception list; outputs bit-identical to the packed kernel."""
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.ops.poa_device import (
+        _ladder_bytes,
+        encode_pred_deltas,
+        nibble_fold,
+        pack_chunk_wire4,
+        pack_rows,
+        poa_global_kernel_packed,
+        poa_global_kernel_wire4,
+        wire_bitcast_supported,
+    )
+
+    if not wire_bitcast_supported():
+        pytest.skip("wire bitcast unsupported on this backend")
+    rng = np.random.default_rng(23)
+    B, V, P, L = 4, 80, 2, 12
+    nv = np.array([80, 61, 5, 80], dtype=np.int32)
+    vpred = np.full((B, V, P), -1, dtype=np.int32)
+    is_sink = np.zeros((B, V), dtype=np.int8)
+    for b in range(B):
+        vpred[b, 1 : nv[b], 0] = np.arange(nv[b] - 1)
+        is_sink[b, nv[b] - 1] = 1
+        vpred[b, nv[b] :, :] = 0
+    vpred[0, 60, 0] = 2   # delta 58 > 14 -> escaped to exceptions
+    vpred[3, 79, 0] = 1   # delta 78 > 14
+    vpred[1, 40, 1] = 10  # fan-in 2
+    vcodes = rng.integers(0, 4, size=(B, V)).astype(np.int8)
+    vcodes_p = (vcodes | (is_sink << 5)).astype(np.int8)
+    q = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    nq = np.array([12, 9, 4, 12], dtype=np.int32)
+
+    ref = poa_global_kernel_packed(
+        jnp.asarray(vcodes_p), jnp.asarray(vpred.astype(np.int16)),
+        jnp.asarray(nv), jnp.asarray(q), jnp.asarray(nq),
+    )
+    dplane, exc_idx, exc_pred = encode_pred_deltas(vpred, nv, max_delta=14)
+    assert (dplane <= 14).all()
+    assert dplane[0, 60] == 0 and dplane[3, 79] == 0
+    vf, df = pack_rows(vcodes_p, nv), pack_rows(dplane, nv)
+    t_pad = _ladder_bytes(len(vf))
+    vf = np.concatenate([vf, np.zeros(t_pad - len(vf), np.int8)])
+    df = np.concatenate([df, np.zeros(t_pad - len(df), np.uint8)])
+    vnib = nibble_fold((vf & 7) | (((vf >> 5) & 1) << 3))
+    dnib = nibble_fold(df)
+    wire = pack_chunk_wire4(vnib, dnib, nv, q, nq, exc_idx, exc_pred)
+    got = poa_global_kernel_wire4(
+        jnp.asarray(wire), B, V, P, L, len(exc_idx), t_pad
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

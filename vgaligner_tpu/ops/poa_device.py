@@ -434,7 +434,7 @@ def poa_global_kernel_wire(wire, B, V, P, L):
     return poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq)
 
 
-def encode_pred_deltas(vpred, nv):
+def encode_pred_deltas(vpred, nv, max_delta: int = 255):
     """Delta-compress the dense predecessor table for the wire.
 
     The dense [B,V,P] int16 table is ~85% of a POA chunk's upload bytes,
@@ -445,7 +445,7 @@ def encode_pred_deltas(vpred, nv):
 
       * dplane uint8 [B,V]: slot-0 delta (pred = v - dplane), 0 = none;
       * a COO exception list for every other live slot (fan-in >= 2, or
-        a slot-0 delta that does not fit 1..255): flat indices into the
+        a slot-0 delta that does not fit 1..max_delta): flat indices into the
         [B*V*P] table plus the predecessor ids, padded to a pow2 ladder
         (pad entries point one past the table; the decoder scatters
         into a +1 scratch slot).
@@ -460,7 +460,7 @@ def encode_pred_deltas(vpred, nv):
     pred = vpred.astype(np.int32)
     live = (pred >= 0) & real[:, :, None]
     delta0 = np.where(live[:, :, 0], v_idx - pred[:, :, 0], 0)
-    simple0 = (delta0 >= 1) & (delta0 <= 255)
+    simple0 = (delta0 >= 1) & (delta0 <= max_delta)
     dplane = np.where(simple0, delta0, 0).astype(np.uint8)
     exc_mask = live
     exc_mask[:, :, 0] &= ~simple0
@@ -638,13 +638,91 @@ def _decode_wire3(wire, B, V, P, L, E, T):
 
 
 def poa_global_kernel_wire3(wire, B, V, P, L, E, T):
-    """Row-packed delta wire (the production TPU entry point): wire2
-    with the two [B,V] planes (vertex codes + delta plane) shipped as
-    row-packed entries — batch/V ladder padding is 60-90% of those
-    planes' slots on real drains, so dropping it cuts the dominant
-    remaining upload bytes.  Decode (cheap, per-ladder signature) and
-    the DP (compiled once per (B,V,P,L)) stay separate executables."""
+    """Row-packed delta wire: wire2 with the two [B,V] planes (vertex
+    codes + delta plane) shipped as row-packed entries — batch/V ladder
+    padding is 60-90% of those planes' slots on real drains, so
+    dropping it cuts the dominant remaining upload bytes.  Decode
+    (cheap, per-ladder signature) and the DP (compiled once per
+    (B,V,P,L)) stay separate executables."""
     return poa_global_kernel_packed(*_decode_wire3(wire, B, V, P, L, E, T))
+
+
+def nibble_fold(arr: np.ndarray) -> np.ndarray:
+    """Fold an even-length array of 4-bit values into bytes (even entry
+    low nibble)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    return (a[0::2] & 15) | ((a[1::2] & 15) << 4)
+
+
+def pack_chunk_wire4(vnib, dnib, nv, q_pad, nq, exc_idx, exc_pred):
+    """pack_wire layout for poa_global_kernel_wire4 (nibble planes)."""
+    return pack_wire(
+        (
+            (nv, np.int32),
+            (q_pad, np.int8),
+            (nq, np.int32),
+            (exc_idx, np.int32),
+            (exc_pred, np.int32),
+            (vnib, np.uint8),
+            (dnib, np.uint8),
+        )
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _decode_wire4(wire, B, V, P, L, E, T):
+    """Unpack the nibble-plane wire (see poa_global_kernel_wire4);
+    separate jit from the DP as in _decode_wire2/_decode_wire3."""
+    o = 0
+    nv = jax.lax.bitcast_convert_type(
+        wire[o : o + B * 4].reshape(B, 4), jnp.int32
+    )
+    o += B * 4
+    q = jax.lax.bitcast_convert_type(wire[o : o + B * L], jnp.int8).reshape(B, L)
+    o += B * L
+    nq = jax.lax.bitcast_convert_type(
+        wire[o : o + B * 4].reshape(B, 4), jnp.int32
+    )
+    o += B * 4
+    exc_idx = jax.lax.bitcast_convert_type(
+        wire[o : o + E * 4].reshape(E, 4), jnp.int32
+    )
+    o += E * 4
+    exc_pred = jax.lax.bitcast_convert_type(
+        wire[o : o + E * 4].reshape(E, 4), jnp.int32
+    )
+    o += E * 4
+
+    def expand(nib):  # [T//2] bytes -> [T] 4-bit values
+        return jnp.stack([nib & 15, nib >> 4], axis=1).reshape(-1)
+
+    vq = expand(wire[o : o + T // 2])
+    o += T // 2
+    dp_f = expand(wire[o : o + T // 2])
+    # 4-bit vertex value: code in bits 0-2, sink in bit 3 -> rebuild the
+    # packed-kernel layout (sink in bit 5)
+    vcodes_f = ((vq & 7) | ((vq >> 3) << 5)).astype(jnp.int8)
+    vcodes_p = _unpack_rows(vcodes_f, nv, B, V)
+    dplane = _unpack_rows(dp_f, nv, B, V)
+    v_iota = jnp.arange(V, dtype=jnp.int32)[None, :]
+    slot0 = jnp.where(dplane > 0, v_iota - dplane.astype(jnp.int32), -1)
+    vpred = jnp.full((B, V, P), -1, dtype=jnp.int32)
+    vpred = vpred.at[:, :, 0].set(slot0)
+    flat = jnp.concatenate(
+        [vpred.reshape(-1), jnp.full((1,), -1, jnp.int32)]
+    )
+    flat = flat.at[exc_idx].set(exc_pred, mode="promise_in_bounds")
+    vpred16 = flat[:-1].reshape(B, V, P).astype(jnp.int16)
+    return vcodes_p, vpred16, nv, q, nq
+
+
+def poa_global_kernel_wire4(wire, B, V, P, L, E, T):
+    """Nibble-plane wire (the production TPU entry point): wire3 with
+    both row-packed planes at 4 bits per vertex — the vertex value is
+    code (3b) + sink (1b) exactly, and slot-0 deltas are capped at 14
+    (larger ones ride the exception list; measured 92% of live deltas
+    are 1).  Halves the plane bytes again on an upload-bound link."""
+    return poa_global_kernel_packed(*_decode_wire4(wire, B, V, P, L, E, T))
 
 
 def pack_wire(parts) -> np.ndarray:
@@ -1235,13 +1313,19 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
     with timer.phase("d_pack"):
         vcodes_p = (vcodes | (is_sink.astype(np.int8) << 5)).astype(np.int8)
         vpred_s = _slice_preds(vpred, n_real)
-        dplane, exc_idx, exc_pred = encode_pred_deltas(vpred_s, nv)
-        if os.environ.get("VGALIGNER_POA_WIRE") == "v2":
+        version = os.environ.get("VGALIGNER_POA_WIRE", "v4")
+        if version not in ("v2", "v3"):
+            version = "v4"
+        max_delta = 14 if version == "v4" else 255
+        dplane, exc_idx, exc_pred = encode_pred_deltas(
+            vpred_s, nv, max_delta=max_delta
+        )
+        V, P = vcodes.shape[1], vpred_s.shape[-1]
+        if version == "v2":
             wire = pack_chunk_wire2(
                 vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred
             )
-            dims = (b_pad, vcodes.shape[1], vpred_s.shape[-1], l_pad,
-                    len(exc_idx))
+            dims = (b_pad, V, P, l_pad, len(exc_idx))
         else:
             vcodes_f = pack_rows(vcodes_p, nv)
             dplane_f = pack_rows(dplane, nv)
@@ -1254,13 +1338,22 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
                 dplane_f = np.concatenate(
                     [dplane_f, np.zeros(pad, np.uint8)]
                 )
-            wire = pack_chunk_wire3(
-                vcodes_f, dplane_f, nv, q_pad, nq, exc_idx, exc_pred
-            )
-            dims = (b_pad, vcodes.shape[1], vpred_s.shape[-1], l_pad,
-                    len(exc_idx), t_pad)
+            dims = (b_pad, V, P, l_pad, len(exc_idx), t_pad)
+            if version == "v3":
+                wire = pack_chunk_wire3(
+                    vcodes_f, dplane_f, nv, q_pad, nq, exc_idx, exc_pred
+                )
+            else:
+                # 4-bit vertex values: code (3b) + sink bit moved 5 -> 3
+                vnib = nibble_fold(
+                    (vcodes_f & 7) | (((vcodes_f >> 5) & 1) << 3)
+                )
+                dnib = nibble_fold(dplane_f)
+                wire = pack_chunk_wire4(
+                    vnib, dnib, nv, q_pad, nq, exc_idx, exc_pred
+                )
     rest = (vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
-    return wire, dims, rest
+    return wire, version, dims, rest
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -1293,29 +1386,31 @@ def kernel_launch_wires(prepared):
     group: list = []
     gbytes = 0
 
+    kerns = {
+        "v2": poa_global_kernel_wire2,
+        "v3": poa_global_kernel_wire3,
+        "v4": poa_global_kernel_wire4,
+    }
+
     def flush():
         nonlocal group, gbytes
         if not group:
             return
         with timer.phase("d_launch"):
             if len(group) == 1:
-                wire, dims, rest = group[0]
-                kern = (poa_global_kernel_wire3 if len(dims) == 6
-                        else poa_global_kernel_wire2)
-                out_d = kern(jnp.asarray(wire), *dims)
+                wire, version, dims, rest = group[0]
+                out_d = kerns[version](jnp.asarray(wire), *dims)
                 pendings.append((out_d,) + rest)
             else:
-                sizes = [len(w) for w, _, _ in group]
+                sizes = [len(g[0]) for g in group]
                 offs = np.concatenate([[0], np.cumsum(sizes)])
                 mega = np.zeros(_ladder_bytes(int(offs[-1])), np.uint8)
-                for (w, _, _), o in zip(group, offs[:-1]):
+                for (w, _, _, _), o in zip(group, offs[:-1]):
                     mega[o : o + len(w)] = w
                 mega_d = jnp.asarray(mega)
-                for (w, dims, rest), o in zip(group, offs[:-1]):
+                for (w, version, dims, rest), o in zip(group, offs[:-1]):
                     wire_d = _slice_wire(mega_d, int(o), len(w))
-                    kern = (poa_global_kernel_wire3 if len(dims) == 6
-                            else poa_global_kernel_wire2)
-                    out_d = kern(wire_d, *dims)
+                    out_d = kerns[version](wire_d, *dims)
                     pendings.append((out_d,) + rest)
         group, gbytes = [], 0
 
