@@ -412,6 +412,7 @@ def test_wire4_kernel_matches_packed_with_escaped_deltas():
     from vgaligner_tpu.ops.poa_device import (
         _ladder_bytes,
         encode_pred_deltas,
+        exception_pred_deltas,
         nibble_fold,
         pack_chunk_wire4,
         pack_rows,
@@ -452,9 +453,56 @@ def test_wire4_kernel_matches_packed_with_escaped_deltas():
     df = np.concatenate([df, np.zeros(t_pad - len(df), np.uint8)])
     vnib = nibble_fold((vf & 7) | (((vf >> 5) & 1) << 3))
     dnib = nibble_fold(df)
-    wire = pack_chunk_wire4(vnib, dnib, nv, q, nq, exc_idx, exc_pred)
+    exc_pd16, ok = exception_pred_deltas(exc_idx, exc_pred, B, V, P)
+    assert ok
+    wire = pack_chunk_wire4(
+        vnib, dnib, nv, nibble_fold(q), nq, exc_idx, exc_pd16
+    )
     got = poa_global_kernel_wire4(
         jnp.asarray(wire), B, V, P, L, len(exc_idx), t_pad
     )
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_exception_pred_delta_overflow_falls_back_to_wire3(monkeypatch):
+    """A forward-pointing predecessor (delta < 1) cannot ride the uint16
+    delta wire; kernel_prepare must route that chunk to wire3 and still
+    produce packed-kernel-identical outputs."""
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.ops import poa_device as pd
+
+    if not pd.wire_bitcast_supported():
+        pytest.skip("wire bitcast unsupported on this backend")
+    rng = np.random.default_rng(7)
+    B, V, P, L = 2, 16, 2, 8
+    nv = np.array([16, 11], dtype=np.int32)
+    vpred = np.full((B, V, P), -1, dtype=np.int32)
+    is_sink = np.zeros((B, V), dtype=np.int8)
+    for b in range(B):
+        vpred[b, 1 : nv[b], 0] = np.arange(nv[b] - 1)
+        is_sink[b, nv[b] - 1] = 1
+        vpred[b, nv[b] :, :] = 0
+    vpred[0, 3, 1] = 5  # fan-in slot with pred AFTER its vertex
+    vcodes = rng.integers(0, 4, size=(B, V)).astype(np.int8)
+    qs = [rng.integers(0, 4, size=n).astype(np.int8) for n in (8, 5)]
+
+    deltas, ok = pd.exception_pred_deltas(
+        *pd.encode_pred_deltas(vpred, nv)[1:], B, V, P
+    )
+    assert not ok
+
+    built = (vcodes, vpred.astype(np.int16), is_sink, nv,
+             [None] * B, [None] * B)
+    monkeypatch.delenv("VGALIGNER_POA_WIRE", raising=False)
+    wire, version, dims, rest = pd.kernel_prepare(built, qs, V, L)
+    assert version == "v3"
+    ref = pd.poa_global_kernel_packed(
+        jnp.asarray((vcodes | (is_sink << 5)).astype(np.int8)),
+        jnp.asarray(vpred.astype(np.int16)), jnp.asarray(nv),
+        *map(jnp.asarray, pd._pad_queries(qs, B, L)),
+    )
+    got = pd.poa_global_kernel_wire3(jnp.asarray(wire), *dims)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

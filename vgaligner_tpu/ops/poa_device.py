@@ -648,21 +648,46 @@ def poa_global_kernel_wire3(wire, B, V, P, L, E, T):
 
 
 def nibble_fold(arr: np.ndarray) -> np.ndarray:
-    """Fold an even-length array of 4-bit values into bytes (even entry
-    low nibble)."""
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    """Fold an array of 4-bit values (flattened, even total length)
+    into bytes (even entry = low nibble)."""
+    a = np.ascontiguousarray(arr).astype(np.uint8, copy=False).reshape(-1)
     return (a[0::2] & 15) | ((a[1::2] & 15) << 4)
 
 
-def pack_chunk_wire4(vnib, dnib, nv, q_pad, nq, exc_idx, exc_pred):
-    """pack_wire layout for poa_global_kernel_wire4 (nibble planes)."""
+def exception_pred_deltas(exc_idx, exc_pred, B: int, V: int, P: int):
+    """uint16 vertex-relative encoding of the exception predecessors.
+
+    Real entries store ``delta = v - pred`` where ``v = (idx // P) % V``
+    is the entry's own vertex (subgraph vertices are rank-ordered and
+    the id-order edge filter makes every predecessor strictly earlier,
+    align.rs:717-721, so delta >= 1 in practice); pad entries (idx one
+    past the [B*V*P] table) scatter into the decoder's dropped scratch
+    slot, so their stored value is free (0).  Returns (deltas_u16, ok);
+    ok is False when V exceeds uint16 or any real delta falls outside
+    [1, 65535] — callers then fall back to the int32-pred wire3.
+    """
+    idx = np.asarray(exc_idx, dtype=np.int64)
+    pred = np.asarray(exc_pred, dtype=np.int64)
+    real = idx < B * V * P
+    v = (idx // P) % V
+    delta = np.where(real, v - pred, 0)
+    ok = bool(
+        V <= 0xFFFF
+        and (not real.any() or ((delta[real] >= 1) & (delta[real] <= 0xFFFF)).all())
+    )
+    return delta.astype(np.uint16), ok
+
+
+def pack_chunk_wire4(vnib, dnib, nv, qnib, nq, exc_idx, exc_pd16):
+    """pack_wire layout for poa_global_kernel_wire4 (nibble planes,
+    nibble query codes, uint16 exception pred-deltas)."""
     return pack_wire(
         (
             (nv, np.int32),
-            (q_pad, np.int8),
+            (qnib, np.uint8),
             (nq, np.int32),
             (exc_idx, np.int32),
-            (exc_pred, np.int32),
+            (exc_pd16, np.uint16),
             (vnib, np.uint8),
             (dnib, np.uint8),
         )
@@ -678,8 +703,12 @@ def _decode_wire4(wire, B, V, P, L, E, T):
         wire[o : o + B * 4].reshape(B, 4), jnp.int32
     )
     o += B * 4
-    q = jax.lax.bitcast_convert_type(wire[o : o + B * L], jnp.int8).reshape(B, L)
-    o += B * L
+
+    def expand(nib):  # [n] bytes -> [2n] 4-bit values
+        return jnp.stack([nib & 15, nib >> 4], axis=1).reshape(-1)
+
+    q = expand(wire[o : o + B * L // 2]).astype(jnp.int8).reshape(B, L)
+    o += B * L // 2
     nq = jax.lax.bitcast_convert_type(
         wire[o : o + B * 4].reshape(B, 4), jnp.int32
     )
@@ -688,13 +717,10 @@ def _decode_wire4(wire, B, V, P, L, E, T):
         wire[o : o + E * 4].reshape(E, 4), jnp.int32
     )
     o += E * 4
-    exc_pred = jax.lax.bitcast_convert_type(
-        wire[o : o + E * 4].reshape(E, 4), jnp.int32
-    )
-    o += E * 4
-
-    def expand(nib):  # [T//2] bytes -> [T] 4-bit values
-        return jnp.stack([nib & 15, nib >> 4], axis=1).reshape(-1)
+    exc_pd = jax.lax.bitcast_convert_type(
+        wire[o : o + E * 2].reshape(E, 2), jnp.int16
+    ).astype(jnp.int32) & 0xFFFF
+    o += E * 2
 
     vq = expand(wire[o : o + T // 2])
     o += T // 2
@@ -708,6 +734,9 @@ def _decode_wire4(wire, B, V, P, L, E, T):
     slot0 = jnp.where(dplane > 0, v_iota - dplane.astype(jnp.int32), -1)
     vpred = jnp.full((B, V, P), -1, dtype=jnp.int32)
     vpred = vpred.at[:, :, 0].set(slot0)
+    # exception pred = own vertex - uint16 delta (pad entries land in
+    # the dropped scratch slot, their value is irrelevant)
+    exc_pred = (exc_idx // P) % V - exc_pd
     flat = jnp.concatenate(
         [vpred.reshape(-1), jnp.full((1,), -1, jnp.int32)]
     )
@@ -1301,10 +1330,11 @@ def _pad_queries(qs, b_pad: int, l_pad: int):
 
 def kernel_prepare(built, qs, v_pad: int, l_pad: int):
     """Pad + delta-pack ONE chunk's wire buffer WITHOUT uploading or
-    launching.  Returns (wire, dims, rest) for kernel_launch_wires,
-    which uploads many prepared chunks in a single device_put.  dims
-    selects the kernel: 6 entries = row-packed wire3 (production),
-    5 = dense-plane wire2 (VGALIGNER_POA_WIRE=v2 escape hatch)."""
+    launching.  Returns (wire, version, dims, rest) for
+    kernel_launch_wires, which uploads many prepared chunks in a single
+    device_put.  version selects the kernel: "v4" nibble planes
+    (production), "v3" row-packed int32-pred (escape hatch + per-chunk
+    overflow fallback), "v2" dense planes."""
     vcodes, vpred, is_sink, nv, node_of, off_in = built
     n_real = len(qs)
     b_pad = vcodes.shape[0]
@@ -1344,14 +1374,27 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
                     vcodes_f, dplane_f, nv, q_pad, nq, exc_idx, exc_pred
                 )
             else:
-                # 4-bit vertex values: code (3b) + sink bit moved 5 -> 3
-                vnib = nibble_fold(
-                    (vcodes_f & 7) | (((vcodes_f >> 5) & 1) << 3)
+                exc_pd16, ok = exception_pred_deltas(
+                    exc_idx, exc_pred, b_pad, V, P
                 )
-                dnib = nibble_fold(dplane_f)
-                wire = pack_chunk_wire4(
-                    vnib, dnib, nv, q_pad, nq, exc_idx, exc_pred
-                )
+                if not ok or (b_pad * l_pad) % 2:
+                    # a pred-delta outside uint16 (or an odd query
+                    # plane): this chunk rides the int32-pred wire3
+                    version = "v3"
+                    wire = pack_chunk_wire3(
+                        vcodes_f, dplane_f, nv, q_pad, nq, exc_idx,
+                        exc_pred,
+                    )
+                else:
+                    # 4-bit vertex values: code (3b) + sink bit 5 -> 3
+                    vnib = nibble_fold(
+                        (vcodes_f & 7) | (((vcodes_f >> 5) & 1) << 3)
+                    )
+                    dnib = nibble_fold(dplane_f)
+                    wire = pack_chunk_wire4(
+                        vnib, dnib, nv, nibble_fold(q_pad), nq,
+                        exc_idx, exc_pd16,
+                    )
     rest = (vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
     return wire, version, dims, rest
 
