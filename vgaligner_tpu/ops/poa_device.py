@@ -1439,18 +1439,22 @@ def kernel_launch_wires(prepared):
         nonlocal group, gbytes
         if not group:
             return
-        with timer.phase("d_launch"):
-            if len(group) == 1:
-                wire, version, dims, rest = group[0]
-                out_d = kerns[version](jnp.asarray(wire), *dims)
-                pendings.append((out_d,) + rest)
-            else:
-                sizes = [len(g[0]) for g in group]
-                offs = np.concatenate([[0], np.cumsum(sizes)])
-                mega = np.zeros(_ladder_bytes(int(offs[-1])), np.uint8)
-                for (w, _, _, _), o in zip(group, offs[:-1]):
-                    mega[o : o + len(w)] = w
+        if len(group) == 1:
+            wire, version, dims, rest = group[0]
+            with timer.phase("d_upload"):
+                wire_d = jnp.asarray(wire)
+            with timer.phase("d_launch"):
+                out_d = kerns[version](wire_d, *dims)
+            pendings.append((out_d,) + rest)
+        else:
+            sizes = [len(g[0]) for g in group]
+            offs = np.concatenate([[0], np.cumsum(sizes)])
+            mega = np.zeros(_ladder_bytes(int(offs[-1])), np.uint8)
+            for (w, _, _, _), o in zip(group, offs[:-1]):
+                mega[o : o + len(w)] = w
+            with timer.phase("d_upload"):
                 mega_d = jnp.asarray(mega)
+            with timer.phase("d_launch"):
                 for (w, version, dims, rest), o in zip(group, offs[:-1]):
                     wire_d = _slice_wire(mega_d, int(o), len(w))
                     out_d = kerns[version](wire_d, *dims)
