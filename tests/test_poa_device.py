@@ -506,3 +506,28 @@ def test_exception_pred_delta_overflow_falls_back_to_wire3(monkeypatch):
     got = pd.poa_global_kernel_wire3(jnp.asarray(wire), *dims)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_single_trip_fetch_overflow_refetch(monkeypatch):
+    """kernel_finish_all fetches tapes sliced to a static guess in ONE
+    round trip; a traceback longer than the guess (deletion-heavy global
+    path) must transparently refetch and still decode correctly.  A
+    200-base linear graph vs a 24-base query forces ~180 deletions; with
+    slack pushed negative the guess floors at 64 columns < tlen."""
+    from vgaligner_tpu.ops.poa import align_global_host
+    from vgaligner_tpu.ops.poa_device import align_global_batch
+
+    rng = np.random.default_rng(7)
+    alpha = "ACGT"
+    seq = "".join(alpha[i] for i in rng.integers(0, 4, size=200))
+    nodes = [seq[i : i + 50] for i in range(0, 200, 50)]
+    edges = [(i, i + 1) for i in range(3)]
+    query = seq[30:54]
+
+    monkeypatch.setenv("VGALIGNER_POA_TAPE_SLACK", "-100000")
+    got = align_global_batch([(nodes, edges, query)])[0]
+    monkeypatch.delenv("VGALIGNER_POA_TAPE_SLACK")
+    ref = align_global_host(nodes, edges, query)
+    assert got.best_score == ref.best_score
+    assert got.cigar == ref.cigar
+    assert got.node_path == ref.node_path

@@ -1596,36 +1596,61 @@ def _slice_tape(tape, t_used):
     return tape[:, :t_used]
 
 
+def _tape_guess_cols(t_cap: int, max_q: int) -> int:
+    """Static column guess for the single-trip tape fetch: a global
+    alignment's traceback walks nq matches/insertions plus one step per
+    deletion, so ~query length + slack covers all but pathological
+    deletion-heavy paths (those refetch, see kernel_finish_all)."""
+    slack = int(os.environ.get("VGALIGNER_POA_TAPE_SLACK", "64"))
+    return min(t_cap, max(64, 1 << max(0, max_q + slack - 1).bit_length()))
+
+
 def kernel_finish_all(pendings):
     """Fetch MANY dispatched chunks with a minimal number of link
-    transfers, then decode.  Two grouped fetch passes (fetch_grouped —
-    one flat buffer per dtype per pass):
-
-      1. scores + tlens (tiny);
-      2. the tapes, column-sliced ON DEVICE to a pow2 ladder of each
-         chunk's real max traceback length.
+    transfers, then decode.  ONE grouped fetch pass (fetch_grouped —
+    one flat buffer per dtype) carrying scores, tlens, and the tapes
+    column-sliced ON DEVICE to a static guess of each chunk's traceback
+    length (~max query length + slack, pow2-laddered).
 
     The tape buffer is sized worst-case (T = V + nq + 1, every vertex
-    visited) but a global alignment walks ~query-length steps, so big-V
-    chunks fetch 10-20x fewer bytes this way; on a link that charges
-    bytes/bandwidth plus a round trip per fetch, one extra round trip
-    buys back most of the tape transfer.  Returns the concatenated
-    per-chunk result lists, in order."""
+    visited) but a global alignment walks ~query-length steps, so the
+    guess fetches 10-20x fewer bytes on big-V chunks while keeping the
+    drain at a single round trip — on this link, latency (not bytes)
+    is the dominant charge.  A chunk whose real max traceback exceeds
+    the guess (deletion-heavy path; requires > slack deletions) pays a
+    rare second fetch of its full-length tape.  Returns the
+    concatenated per-chunk result lists, in order."""
     outs = [p[0] for p in pendings]
-    with timer.phase("f_fetch"):
-        small = fetch_grouped([a for o in outs for a in (o[0], o[2])])
-    scores_l, tlens_l = small[0::2], small[1::2]
-    tape_parts = []
-    for o, tlens, p in zip(outs, tlens_l, pendings):
-        n_real = p[7]
+    guesses = []
+    parts = []
+    for o, p in zip(outs, pendings):
         t_cap = o[1].shape[1]
-        used = int(tlens[:n_real].max()) if n_real else 1
-        t_used = min(t_cap, max(64, 1 << max(0, used - 1).bit_length()))
-        tape_parts.append(
-            _slice_tape(o[1], t_used) if t_used < t_cap else o[1]
+        max_q = max((len(q) for q in p[8]), default=1)
+        t_guess = _tape_guess_cols(t_cap, max_q)
+        guesses.append(t_guess)
+        parts.extend(
+            (o[0], o[2], _slice_tape(o[1], t_guess) if t_guess < t_cap else o[1])
         )
     with timer.phase("f_fetch"):
-        tapes_l = fetch_grouped(tape_parts)
+        fetched = fetch_grouped(parts)
+    scores_l, tlens_l, tapes_l = fetched[0::3], fetched[1::3], fetched[2::3]
+    # rare overflow pass: refetch any chunk whose real traceback ran past
+    # the guess, sliced to the real max this time
+    refetch = []
+    for i, (o, tlens, p) in enumerate(zip(outs, tlens_l, pendings)):
+        n_real = p[7]
+        used = int(tlens[:n_real].max()) if n_real else 1
+        if used > guesses[i]:
+            t_cap = o[1].shape[1]
+            t_used = min(t_cap, max(64, 1 << max(0, used - 1).bit_length()))
+            refetch.append(
+                (i, _slice_tape(o[1], t_used) if t_used < t_cap else o[1])
+            )
+    if refetch:
+        with timer.phase("f_fetch"):
+            full = fetch_grouped([t for _i, t in refetch])
+        for (i, _t), tape in zip(refetch, full):
+            tapes_l[i] = tape
     out: List = []
     for i, pending in enumerate(pendings):
         out.extend(
