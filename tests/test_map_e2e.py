@@ -59,16 +59,68 @@ def test_map_fwd_linearization_gaf_structure():
 
 
 def test_map_multiple_reads_golden():
-    """Snapshot the multi-read chains GAF (self-golden regression)."""
+    """Snapshot the multi-read chains GAF (self-golden regression; these
+    reads have no 11-mer hits on test.gfa so both rows are placeholders —
+    the real-chain coverage lives in the path-window goldens below)."""
     gaf, _ = _map_fixture("multiple-read-test.fa", chain_min_n_anchors=2)
     text = "".join(a.to_string() for a in gaf)
     golden_path = os.path.join(GOLDEN_DIR, "multiple-read-chains.gaf")
-    if not os.path.exists(golden_path):
-        os.makedirs(GOLDEN_DIR, exist_ok=True)
-        with open(golden_path, "w") as fh:
-            fh.write(text)
     with open(golden_path) as fh:
         assert fh.read() == text
+
+
+def _map_path_window_fixture():
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    mapper = Mapper(index, bandwidth=50, max_gap=1000, chain_min_n_anchors=2)
+    queries = read_seqs_from_file(os.path.join(GOLDEN_DIR, "path-window-reads.fa"))
+    chains = mapper.map_reads(queries)
+    return g, index, mapper, queries, chains
+
+
+def test_map_path_window_chains_golden():
+    """Real multi-anchor chain rows over test.gfa path windows, pinned
+    byte-for-byte (golden committed; regenerate explicitly if semantics
+    change, never silently)."""
+    _, _, mapper, _, chains = _map_path_window_fixture()
+    text = "".join(a.to_string() for a in mapper.chains_to_gaf(chains))
+    with open(os.path.join(GOLDEN_DIR, "path-window-chains.gaf")) as fh:
+        golden = fh.read()
+    assert golden == text
+    # the golden itself must contain real chain rows, not placeholders
+    assert "ta:Z:chain,n_anchors: 40" in golden
+
+
+def test_map_path_window_alignments_golden():
+    """--also-align POA rows over the same reads, pinned byte-for-byte."""
+    from vgaligner_tpu.models.poa_aligner import PoaAligner, PoaEngine
+
+    _, index, _, _, chains = _map_path_window_fixture()
+    aligner = PoaAligner(index, PoaEngine.ABPOA)
+    aligns = aligner.best_alignments_for_queries(chains, align_best_n=1)
+    text = "".join(a.to_string() for a in aligns)
+    with open(os.path.join(GOLDEN_DIR, "path-window-alignments.gaf")) as fh:
+        assert fh.read() == text
+
+
+def test_poa_full_reads_recover_gfa_paths():
+    """External-truth pin: a read that IS path x/y/z of test.gfa must POA-
+    align to exactly that path's node sequence (the P-lines of the GFA),
+    with a perfect-match CIGAR."""
+    from vgaligner_tpu.graph.handlegraph import handle_id
+    from vgaligner_tpu.models.poa_aligner import PoaAligner, PoaEngine
+
+    g, index, _, queries, chains = _map_path_window_fixture()
+    aligner = PoaAligner(index, PoaEngine.ABPOA)
+    aligns = aligner.best_alignments_for_queries(chains, align_best_n=1)
+    by_name = {q.name: a for q, a in zip(queries, aligns)}
+    for pid in g.paths_iter():
+        p = g.get_path(pid)
+        expected = "".join(f">{handle_id(h)}" for h in p.nodes)
+        row = by_name[f"path-{p.name}-full"].to_string().split("\t")
+        assert row[5] == expected
+        # exact CIGAR: full-length match (row[1] is the query length column)
+        assert f"cg:Z:{row[1]}M" in row[12]
 
 
 def test_map_query_is_graph_path():
