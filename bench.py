@@ -12,10 +12,15 @@ read model as the reference's `vg sim` protocol, Snakefile:25-32).
 
 vs_baseline: the reference is a single-threaded CPU program (rayon
 compiled out, SURVEY.md §1) and no Rust toolchain exists in this image,
-so the baseline is this framework's own scalar single-threaded host
-pipeline (models/host_pipeline.py — a literal restatement of the
-reference's per-read loop) timed on the same machine over a subsample.
-vs_baseline = device reads/s ÷ host-scalar reads/s.
+so the baseline is a single-threaded NATIVE C++ restatement of the
+reference's per-read loop (native/host_kernels.cpp
+vg_baseline_map_align: anchoring + chaining DP + subgraph POA,
+map.rs:56-111 + align.rs:58-145), compiled -O3 -march=native and timed
+on the same machine over BASELINE_READS reads.  It is deliberately
+generous to the reference (binary-search lookup instead of the
+reference's O(n_kmers) membership scan, searchsorted rank/select
+instead of its O(seq_len) loops).
+vs_baseline = device map+align reads/s ÷ native-baseline reads/s.
 """
 
 import json
@@ -33,7 +38,7 @@ K = 11
 READ_LEN = 100
 N_READS = 4096
 N_BATCHES = 3
-HOST_BASELINE_READS = 24
+BASELINE_READS = 512
 N_ALIGN = 4096
 
 
@@ -115,7 +120,6 @@ def main():
     from vgaligner_tpu.graph import graph_from_gfa
     from vgaligner_tpu.index import Index
     from vgaligner_tpu.io.fastx import QuerySequence
-    from vgaligner_tpu.models.host_pipeline import map_read_host
     from vgaligner_tpu.models.mapper import Mapper
 
     graph_path = GRAPH if os.path.exists(GRAPH) else FALLBACK_GRAPH
@@ -145,17 +149,18 @@ def main():
     device_s = min(batch_times)
     device_rps = len(queries) / device_s
 
-    # single-threaded host-scalar baseline proxy on a subsample;
-    # median of per-read times (the mean is noisy under co-tenancy)
-    sub = reads[:HOST_BASELINE_READS]
-    for s in sub[:4]:
-        map_read_host(index, s)  # warm caches
-    per_read = []
-    for s in sub:
+    # single-threaded NATIVE baseline (C++ restatement of the reference
+    # per-read loop) over BASELINE_READS reads; best-of-2 (co-tenancy)
+    from vgaligner_tpu.native import baseline_map_align_native
+
+    sub = reads[:BASELINE_READS]
+    baseline_map_align_native(index, sub[:8], also_align=False)  # warm
+    host_map_s = float("inf")
+    for _ in range(2):
         t0 = time.monotonic()
-        map_read_host(index, s)
-        per_read.append(time.monotonic() - t0)
-    host_rps = 1.0 / float(np.median(per_read))
+        base_chains, _ = baseline_map_align_native(index, sub, also_align=False)
+        host_map_s = min(host_map_s, time.monotonic() - t0)
+    host_rps = len(sub) / host_map_s
 
     # ---- headline: map + --also-align (abPOA engine, device POA) -------
     from vgaligner_tpu.models.poa_aligner import PoaAligner, PoaEngine
@@ -174,26 +179,14 @@ def main():
     # full pipeline rate: map (device_s prorated) + align
     map_align_rps = n_align / (align_s + device_s * n_align / len(queries))
 
-    # host baseline for map+align
-    from vgaligner_tpu.io.fastx import QuerySequence as _QS
-    from vgaligner_tpu.ops.poa import align_global_host
-    from vgaligner_tpu.models.poa_aligner import (
-        extend_range_chain, find_nodes_edges, find_range_chain,
-    )
-
-    t0 = time.monotonic()
-    n_host_align = 0
-    for s in sub:
-        _, _, _ = map_read_host(index, s)
-    for ch_list in chains_sub[: len(sub)]:
-        ch = ch_list[0]
-        if ch.is_placeholder:
-            continue
-        rng = extend_range_chain(index, ch, find_range_chain(index, ch))
-        nodes, edges = find_nodes_edges(index, rng)
-        align_global_host(nodes, edges, ch.query.seq)
-        n_host_align += 1
-    host_ma_rps = len(sub) / (time.monotonic() - t0)
+    # native baseline for map + --also-align over the same reads
+    baseline_map_align_native(index, sub[:4], also_align=True)  # warm
+    host_ma_s = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        _, base_tapes = baseline_map_align_native(index, sub, also_align=True)
+        host_ma_s = min(host_ma_s, time.monotonic() - t0)
+    host_ma_rps = len(sub) / host_ma_s
 
     # ---- production path: pipelined streaming over 3 batches ----------
     # (the CLI streams map+align; batch N+1's host mapping overlaps

@@ -417,3 +417,30 @@ def test_kmer_index_non_acgt_fallback_matches_python(label):
     np.testing.assert_array_equal(po, no)
     np.testing.assert_array_equal(pn, nn)
     np.testing.assert_array_equal(pp, npos)
+
+
+def test_baseline_map_align_matches_host_pipeline():
+    """vg_baseline_map_align (the bench.py CPU baseline) must find exactly
+    the chains the scalar Python restatement finds (same chain counts per
+    read) and produce a POA tape for every aligned read."""
+    from vgaligner_tpu.index import Index
+    from vgaligner_tpu.models.host_pipeline import map_read_host
+    from vgaligner_tpu.native import available, baseline_map_align_native
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    g = graph_from_gfa("/root/reference/test/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    reads = []
+    for pid in g.paths_iter():
+        seq = "".join(g.sequence(h) for h in g.get_path(pid).nodes)
+        for st in range(0, len(seq) - 30, 7):
+            reads.append(seq[st : st + 30])
+    # include a read with no hits -> 0 chains, no tape
+    reads.append("GGGGGGGGGGGGGGGGGGGG")
+    nc, tl = baseline_map_align_native(index, reads, min_anchors=3, also_align=True)
+    for i, s in enumerate(reads):
+        chains, _, _ = map_read_host(index, s, 50, 1000, 3)
+        assert nc[i] == len(chains), s
+        assert (tl[i] > 0) == (len(chains) > 0)
+    assert nc[-1] == 0 and tl[-1] == 0

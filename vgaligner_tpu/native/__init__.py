@@ -147,6 +147,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _i64p,
         ]
         lib.vg_poa_global_host.restype = ctypes.c_int64
+        lib.vg_baseline_map_align.argtypes = [
+            ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
+            _charp, _charp, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64, _i64p, _i64p, _i64p,
+            _i64p, _i64p,
+            ctypes.c_int64, _charp, _i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32,
+            _i64p, _i64p,
+        ]
+        lib.vg_baseline_map_align.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -605,3 +616,44 @@ def finish_tapes_native(ops: np.ndarray, vids: np.ndarray, tlens: np.ndarray,
     node_paths = [np_buf[p, : np_len[p]].tolist() for p in range(B)]
     path_vertices = [pv_buf[p, : pv_len[p]].tolist() for p in range(B)]
     return cigars, css, node_paths, path_vertices, scalars
+
+
+def baseline_map_align_native(index, seqs, bandwidth: int = 50,
+                              max_gap: int = 1000, min_anchors: int = 3,
+                              also_align: bool = True):
+    """Single-threaded native CPU baseline: the reference's per-read loop
+    (map.rs:56-111 + align.rs:58-145) restated in C++ (host_kernels.cpp
+    vg_baseline_map_align).  bench.py times this as the measured stand-in
+    for the Rust reference.  Returns (n_chains [n], tape_len [n])."""
+    lib = get_lib()
+    assert lib is not None
+    n = len(seqs)
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        seq_off[i + 1] = seq_off[i] + len(s)
+    blob = "".join(seqs).encode("ascii")
+    ns = np.ascontiguousarray(index.node_starts, dtype=np.int64)
+    edg = np.ascontiguousarray(index.edges, dtype=np.int64)
+    eidx = np.ascontiguousarray(index.edge_idx, dtype=np.int64)
+    etn = np.ascontiguousarray(index.edges_to_node, dtype=np.int64)
+    codes_c = np.ascontiguousarray(index.kmer_codes, dtype=np.int64)
+    counts_c = np.ascontiguousarray(index.fo_counts, dtype=np.int64)
+    offsets_c = np.ascontiguousarray(index.fo_offsets, dtype=np.int64)
+    start_c, end_c = index.fo_columns()
+    start_c = np.ascontiguousarray(start_c, dtype=np.int64)
+    end_c = np.ascontiguousarray(end_c, dtype=np.int64)
+    n_chains = np.zeros(n, dtype=np.int64)
+    tape_len = np.zeros(n, dtype=np.int64)
+    rc = lib.vg_baseline_map_align(
+        index.n_nodes, _p64(ns), _p64(edg), _p64(eidx), _p64(etn),
+        index.seq_fwd.encode("ascii"), index.seq_rev.encode("ascii"),
+        index.seq_length,
+        index.kmer_length, len(codes_c), _p64(codes_c),
+        _p64(counts_c), _p64(offsets_c), _p64(start_c), _p64(end_c),
+        n, blob, _p64(seq_off),
+        bandwidth, max_gap, min_anchors,
+        1 if also_align else 0,
+        _p64(n_chains), _p64(tape_len),
+    )
+    assert rc == 0
+    return n_chains, tape_len

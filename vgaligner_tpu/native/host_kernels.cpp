@@ -26,6 +26,7 @@
 
 #include <algorithm>
 #include <chrono>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -1459,6 +1460,201 @@ int64_t vg_backtrack(
       sizeof(int32_t) * std::max<size_t>(positions.size(), 1));
   std::memcpy(*out_positions, positions.data(), sizeof(int32_t) * positions.size());
   return (int64_t)(chain_off.size() - 1);
+}
+
+// ---------------------------------------------------------------------------
+// Single-threaded CPU baseline: a native restatement of the reference's
+// per-read loop (map.rs:56-111 + align.rs:58-145), used by bench.py as the
+// measured stand-in for the Rust reference (no Rust toolchain in-image).
+// Deliberately GENEROUS to the reference: lookup is O(log n) binary search
+// over the sorted code table (the reference does an O(n_kmers) membership
+// scan per query k-mer, index.rs:319) and rank/select are binary searches
+// (the reference loops O(seq_len), index.rs:427-480).
+// ---------------------------------------------------------------------------
+
+static inline double baseline_score_anchor(
+    int64_t aqb, int64_t aqe, int64_t ate_, double af, int64_t atb,
+    int64_t bqb, int64_t bqe, int64_t btb, int64_t bte,
+    int64_t k, int64_t max_gap) {
+  // score_anchor (chain.rs:274-368), forward-only orients
+  const double NEGMAX = -std::numeric_limits<double>::max();
+  if (aqe >= bqe || ate_ >= bte) return NEGMAX;
+  int64_t ql = std::min(bqb - aqb, bqe - aqe);
+  int64_t tbd = btb > atb ? btb - atb : atb - btb;
+  int64_t ted = bte > ate_ ? bte - ate_ : ate_ - bte;
+  int64_t tl = std::min(tbd, ted);
+  int64_t gap = ql > tl ? ql - tl : tl - ql;
+  if (gap > max_gap) return NEGMAX;
+  double gcost = gap == 0
+      ? 0.0
+      : 0.01 * (double)k * (double)gap + 0.5 * std::log2((double)gap);
+  double mlen = (double)std::min(std::min(ql, tl), k);
+  // f64::round == round-half-away-from-zero (chain.rs:361-363)
+  return std::round((af + mlen - gcost) * 1000.0) / 1000.0;
+}
+
+int64_t vg_baseline_map_align(
+    // index arrays (IndexView layout)
+    int64_t n_nodes, const int64_t* node_starts, const int64_t* edges,
+    const int64_t* edge_idx, const int64_t* edges_to_node,
+    const char* seq_fwd, const char* seq_rev, int64_t seq_len,
+    // sorted k-mer code table + forward-only position sub-table
+    int32_t k, int64_t n_kmers, const int64_t* kmer_codes,
+    const int64_t* fo_counts, const int64_t* fo_offsets,
+    const int64_t* fo_start, const int64_t* fo_end,
+    // reads (concatenated ASCII)
+    int64_t n_reads, const char* seqs, const int64_t* seq_off,
+    // chaining parameters (map_main.rs:100-117 defaults)
+    int64_t bandwidth, int64_t max_gap, int64_t min_anchors,
+    int32_t also_align,
+    // outputs [n_reads]: chains found; POA tape length (0 = placeholder)
+    int64_t* out_n_chains, int64_t* out_tape_len) {
+  const double NEGMAX = -std::numeric_limits<double>::max();
+  struct BAnchor {
+    int64_t qb, qe, tb, te;
+  };
+  std::vector<BAnchor> anc;
+  std::vector<double> f;
+  std::vector<int64_t> pred;
+  std::vector<int64_t> order, walk, best_chain;
+
+  for (int64_t rix = 0; rix < n_reads; ++rix) {
+    const char* s = seqs + seq_off[rix];
+    const int64_t len = seq_off[rix + 1] - seq_off[rix];
+    out_n_chains[rix] = 0;
+    out_tape_len[rix] = 0;
+
+    // ---- anchors_for_query, forward-only (chain.rs:134-173, map.rs:62)
+    anc.clear();
+    if (len >= k) {
+      uint64_t code = 0;
+      const uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+      int32_t run = 0;
+      for (int64_t i = 0; i < len; ++i) {
+        int8_t c = base_code(s[i]);
+        if (c >= 4) {
+          run = 0;
+          code = 0;
+          continue;
+        }
+        code = ((code << 2) | (uint64_t)c) & mask;
+        if (++run >= k) {
+          const int64_t* it =
+              std::lower_bound(kmer_codes, kmer_codes + n_kmers, (int64_t)code);
+          if (it != kmer_codes + n_kmers && *it == (int64_t)code) {
+            const int64_t idx = it - kmer_codes;
+            for (int64_t p = 0; p < fo_counts[idx]; ++p) {
+              const int64_t row = fo_offsets[idx] + p;
+              anc.push_back({i - k + 1, i + 1, fo_start[row], fo_end[row]});
+            }
+          }
+        }
+      }
+    }
+
+    // ---- chain_anchors (chain.rs:370-655): stable sort by target_end,
+    // banded f64 DP, global-max backtrack with predecessor nulling
+    const int64_t n = (int64_t)anc.size();
+    order.resize(n);
+    for (int64_t j = 0; j < n; ++j) order[j] = j;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return anc[a].te < anc[b].te; });
+    f.assign(n, (double)k);
+    pred.assign(n, -1);
+    double curr_max = 0.0;
+    for (int64_t i = 1; i < n; ++i) {
+      const BAnchor& bi = anc[order[i]];
+      const int64_t min_j = bandwidth > i ? 0 : i - bandwidth;
+      for (int64_t j = i - 1; j >= min_j; --j) {
+        const BAnchor& aj = anc[order[j]];
+        double prop = baseline_score_anchor(
+            aj.qb, aj.qe, aj.te, f[j], aj.tb,
+            bi.qb, bi.qe, bi.tb, bi.te, k, max_gap);
+        if (prop > f[i]) {
+          f[i] = prop;
+          pred[i] = j;
+        }
+        if (prop > curr_max) curr_max = prop;
+      }
+    }
+    int64_t n_chains = 0;
+    best_chain.clear();
+    for (int64_t i = n - 1; i >= 0; --i) {
+      if (pred[i] == -1 || f[i] != curr_max) continue;
+      walk.clear();
+      int64_t cur = i;
+      while (pred[cur] != -1) {
+        int64_t p = pred[cur];
+        pred[cur] = -1;
+        walk.push_back(cur);
+        cur = p;
+      }
+      walk.push_back(cur);
+      if ((int64_t)walk.size() >= min_anchors) {
+        ++n_chains;
+        if (best_chain.empty()) {  // first chain == reference emit order
+          best_chain.assign(walk.rbegin(), walk.rend());
+        }
+      }
+    }
+    out_n_chains[rix] = n_chains;
+
+    // ---- --also-align on the best chain (align_best_n=1 default):
+    // obtain_base_level_alignment (align.rs:58-145)
+    if (also_align && !best_chain.empty()) {
+      const int64_t na = (int64_t)best_chain.size();
+      std::vector<int64_t> aqb(na), atb(na), ate(na);
+      for (int64_t j = 0; j < na; ++j) {
+        const BAnchor& a = anc[order[best_chain[j]]];
+        aqb[j] = a.qb;
+        atb[j] = a.tb;
+        ate[j] = a.te;
+      }
+      int64_t anchor_off[2] = {0, na};
+      int64_t qlen[1] = {len};
+      int64_t* h_off = nullptr;
+      int64_t* handles = nullptr;
+      int64_t* l_off = nullptr;
+      char* labels = nullptr;
+      int64_t* e_off = nullptr;
+      int64_t* sub_edges = nullptr;
+      uint8_t* status = nullptr;
+      vg_extract_subgraphs(
+          n_nodes, node_starts, edges, edge_idx, edges_to_node,
+          seq_fwd, seq_rev, seq_len, 1, anchor_off, aqb.data(), atb.data(),
+          ate.data(), nullptr, nullptr, qlen, k, 0,
+          &h_off, &handles, &l_off, &labels, &e_off, &sub_edges, &status);
+      if (status && status[0] == 0 && h_off && h_off[1] > 0) {
+        std::vector<int8_t> q(len);
+        for (int64_t i = 0; i < len; ++i) q[i] = base_code(s[i]);
+        int8_t* o_ops = nullptr;
+        int32_t* o_vids = nullptr;
+        int64_t o_t = 0;
+        int8_t* o_vc = nullptr;
+        int32_t* o_no = nullptr;
+        int32_t* o_oi = nullptr;
+        int64_t o_v = 0;
+        vg_poa_global_host(labels, l_off, h_off[1],
+                           sub_edges ? sub_edges + 2 * e_off[0] : nullptr,
+                           e_off[1] - e_off[0], q.data(), len,
+                           &o_ops, &o_vids, &o_t, &o_vc, &o_no, &o_oi, &o_v);
+        out_tape_len[rix] = o_t;
+        std::free(o_ops);
+        std::free(o_vids);
+        std::free(o_vc);
+        std::free(o_no);
+        std::free(o_oi);
+      }
+      std::free(h_off);
+      std::free(handles);
+      std::free(l_off);
+      std::free(labels);
+      std::free(e_off);
+      std::free(sub_edges);
+      std::free(status);
+    }
+  }
+  return 0;
 }
 
 }  // extern "C"
