@@ -141,3 +141,26 @@ def test_cli_write_console(tmp_path, monkeypatch, capsys):
     assert file_rows
     for row in file_rows:
         assert row in printed
+
+
+def test_cli_precision_flag(tmp_path, monkeypatch):
+    """--precision exact|fast is a framework knob (the reference has no
+    analog); both modes must run end-to-end and default is exact."""
+    monkeypatch.chdir(tmp_path)
+    prefix = str(tmp_path / "tg")
+    main(["index", "-i", f"{REFERENCE_TEST_DIR}/test.gfa", "-k", "11", "-o", prefix])
+    outs = {}
+    for mode in ("exact", "fast"):
+        out = str(tmp_path / f"reads-{mode}")
+        main([
+            "map", "-i", prefix, "-f", f"{REFERENCE_TEST_DIR}/single-read-test.fa",
+            "-o", out, "-p", "abpoa", "-t", "1", "--precision", mode,
+        ])
+        outs[mode] = open(out + "-chains.gaf").read()
+    # this fixture has no score ties, so the two modes agree exactly
+    assert outs["exact"] == outs["fast"]
+    from vgaligner_tpu.cli import _build_parser
+
+    args = _build_parser().parse_args(
+        ["map", "-i", "x", "-f", "y", "-p", "abpoa"])
+    assert args.precision == "exact"

@@ -82,3 +82,42 @@ def test_device_mapper_matches_host_on_random_graphs(seed):
             np.testing.assert_array_equal(dc.aqb, exp[:, 0], err_msg=str((seed, seq)))
             np.testing.assert_array_equal(dc.atb, exp[:, 1])
             np.testing.assert_array_equal(dc.ate, exp[:, 2])
+
+
+def test_anchor_overflow_read_maps_exactly():
+    """Adversarial repeat read: every k-mer hits a tandem repeat, so the
+    anchor count exceeds the device bucket cap.  Such reads must NOT be
+    truncated — they are routed to the exact unbounded host chainer and
+    must match the scalar oracle exactly (reference semantics: unbounded
+    anchor list, chain.rs:134-173)."""
+    from vgaligner_tpu.graph.handlegraph import HashGraph
+    from vgaligner_tpu.index import Index
+    from vgaligner_tpu.io.fastx import QuerySequence
+    from vgaligner_tpu.models.host_pipeline import map_read_host
+    from vgaligner_tpu.models.mapper import Mapper
+
+    g = HashGraph()
+    g.create_handle("ACG" * 60, 1)  # 180 bp tandem repeat
+    index = Index.build(g, 3, 100, 100)
+    read = "ACG" * 20  # 60 bp, 58 windows x ~60 hits >> cap
+    q = QuerySequence.from_name_and_string("repeat", read)
+
+    mapper = Mapper(index, chain_min_n_anchors=3, max_anchors_cap=256)
+    totals = mapper._anchor_totals([read])
+    assert totals[0] > 256  # the read really does overflow the cap
+
+    chains = mapper.map_reads([q])[0]
+    oracle_chains, _, oracle_anchors = map_read_host(index, read, 50, 1000, 3)
+    assert len(chains) == len(oracle_chains)
+    by_id = {a.id: a for a in oracle_anchors}
+    for got, ids in zip(chains, oracle_chains):
+        mem = [by_id[i] for i in ids]
+        assert got.aqb.tolist() == [a.qb for a in mem]
+        assert got.atb.tolist() == [a.tb for a in mem]
+        assert got.ate.tolist() == [a.te for a in mem]
+
+    # a mixed batch: overflow read + normal reads must all come back
+    normal = QuerySequence.from_name_and_string("n", "ACGACGTTTTTT")
+    res = mapper.map_reads([normal, q, normal])
+    assert len(res) == 3
+    assert len(res[1]) == len(oracle_chains)

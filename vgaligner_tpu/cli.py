@@ -82,6 +82,13 @@ def _build_parser() -> argparse.ArgumentParser:
                          "recorded in <out>.progress.json are skipped and "
                          "output GAFs are appended to (extension beyond the "
                          "reference)")
+    mp.add_argument("--precision", choices=["exact", "fast"], default="exact",
+                    help="chaining DP arithmetic (framework knob; the "
+                         "reference has no analog): 'exact' reproduces the "
+                         "reference's f64 scores bit-for-bit (emulated f64 "
+                         "on TPU, ~4-8x slower); 'fast' is the scaled-int32 "
+                         "f32 DP — identical chains except for ties within "
+                         "1e-3 of each other (see ARCHITECTURE.md)")
     return p
 
 
@@ -148,6 +155,7 @@ def map_main(args) -> None:
         chain_min_n_anchors=args.chain_min_anchors,
         mesh=mesh,
         mapq=args.mapq,
+        precision=args.precision,
     )
 
     aligner = None

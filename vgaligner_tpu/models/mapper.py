@@ -436,15 +436,39 @@ class Mapper:
         with self.timer.phase("count"):
             totals = self._anchor_totals([queries[i].seq for i in mappable])
 
+        # reads whose anchor count exceeds the device bucket cap are mapped
+        # on host with the exact unbounded native chainer — reference
+        # semantics (unbounded anchor list) with no truncation
+        overflow = [
+            (local, qi)
+            for local, qi in enumerate(mappable)
+            if totals[local] > self.max_anchors_cap
+        ]
+        if overflow:
+            log.info(
+                "%d reads exceed the %d-anchor device cap; mapping them "
+                "host-side (exact, unbounded)",
+                len(overflow), self.max_anchors_cap,
+            )
+            ov_set = set(local for local, _ in overflow)
+            for _, qi in overflow:
+                out[qi] = self._map_read_overflow(queries[qi])
+            mappable = [qi for local, qi in enumerate(mappable) if local not in ov_set]
+            totals = np.asarray(
+                [t for local, t in enumerate(totals) if local not in ov_set],
+                dtype=totals.dtype,
+            )
+            if not mappable:
+                if self.mapq:
+                    for chains in out:
+                        assign_mapq(chains)
+                return out
+
         # two buckets: the common case (<=256 anchors, ~98% of short reads)
         # and one sized for the largest outlier — every extra bucket costs
         # host-link round trips, which dominate on this transport
         buckets: dict = {}
         big = int(totals.max())
-        if big > self.max_anchors_cap:
-            log.warning(
-                "read with %d anchors truncated to cap %d", big, self.max_anchors_cap
-            )
         big_a_max = min(max(_next_pow2(max(big, 1)), 256), self.max_anchors_cap)
         for local, qi in enumerate(mappable):
             a_max = 256 if totals[local] <= 256 else big_a_max
@@ -468,6 +492,47 @@ class Mapper:
             for chains in out:
                 assign_mapq(chains)
         return out
+
+    def _map_read_overflow(self, query: QuerySequence) -> List[Chain]:
+        """Exact unbounded host mapping for a read whose anchor count
+        exceeds the device bucket cap (reference semantics: the anchor
+        list is unbounded, chain.rs:134-173).  Native when available,
+        scalar Python otherwise."""
+        from ..native import available as _native_ok
+
+        if _native_ok():
+            from ..native import map_read_chains_native
+
+            triples = map_read_chains_native(
+                self.index, query.seq, self.bandwidth, self.max_gap,
+                self.chain_min_n_anchors,
+            )
+            chains = [
+                Chain(query=query, aqb=qb, atb=tb, ate=te,
+                      k=self.index.kmer_length)
+                for qb, tb, te in triples
+            ]
+        else:
+            from .host_pipeline import map_read_host
+
+            id_chains, _, anchors = map_read_host(
+                self.index, query.seq, self.bandwidth, self.max_gap,
+                self.chain_min_n_anchors,
+            )
+            by_id = {a.id: a for a in anchors}
+            chains = []
+            for ids in id_chains:
+                mem = [by_id[i] for i in ids]
+                chains.append(Chain(
+                    query=query,
+                    aqb=np.asarray([a.qb for a in mem], dtype=np.int64),
+                    atb=np.asarray([a.tb for a in mem], dtype=np.int64),
+                    ate=np.asarray([a.te for a in mem], dtype=np.int64),
+                    k=self.index.kmer_length,
+                ))
+        if not chains:
+            return [Chain(query=query, is_placeholder=True)]
+        return chains
 
     def _dispatch_bucket(self, queries, qidx: List[int], a_max: int):
         k = self.index.kmer_length

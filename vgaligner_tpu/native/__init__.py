@@ -158,6 +158,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _i64p, _i64p,
         ]
         lib.vg_baseline_map_align.restype = ctypes.c_int64
+        lib.vg_map_read_chains.argtypes = [
+            _charp, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+            _i64p, _i64p, _i64p, _i64p, _i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
+            ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
+        ]
+        lib.vg_map_read_chains.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -657,3 +665,42 @@ def baseline_map_align_native(index, seqs, bandwidth: int = 50,
     )
     assert rc == 0
     return n_chains, tape_len
+
+
+def map_read_chains_native(index, seq: str, bandwidth: int = 50,
+                           max_gap: int = 1000, min_anchors: int = 3):
+    """Exact unbounded single-read chaining on host (host_kernels.cpp
+    vg_map_read_chains).  Fallback for reads whose anchor count exceeds
+    the device bucket cap — reference semantics with no truncation.
+    Returns a list of (qb, tb, te) int64 array triples, one per chain,
+    in reference emit order."""
+    lib = get_lib()
+    assert lib is not None
+    blob = seq.encode("ascii")
+    codes_c = np.ascontiguousarray(index.kmer_codes, dtype=np.int64)
+    counts_c = np.ascontiguousarray(index.fo_counts, dtype=np.int64)
+    offsets_c = np.ascontiguousarray(index.fo_offsets, dtype=np.int64)
+    start_c, end_c = index.fo_columns()
+    start_c = np.ascontiguousarray(start_c, dtype=np.int64)
+    end_c = np.ascontiguousarray(end_c, dtype=np.int64)
+    o_off, o_qb, o_tb, o_te = _i64p(), _i64p(), _i64p(), _i64p()
+    n_chains = lib.vg_map_read_chains(
+        blob, len(blob), index.kmer_length, len(codes_c), _p64(codes_c),
+        _p64(counts_c), _p64(offsets_c), _p64(start_c), _p64(end_c),
+        bandwidth, max_gap, min_anchors,
+        ctypes.byref(o_off), ctypes.byref(o_qb), ctypes.byref(o_tb),
+        ctypes.byref(o_te),
+    )
+    try:
+        off = np.ctypeslib.as_array(o_off, shape=(n_chains + 1,)).copy()
+        total = int(off[-1]) if n_chains else 0
+        qb = np.ctypeslib.as_array(o_qb, shape=(max(total, 1),))[:total].copy()
+        tb = np.ctypeslib.as_array(o_tb, shape=(max(total, 1),))[:total].copy()
+        te = np.ctypeslib.as_array(o_te, shape=(max(total, 1),))[:total].copy()
+    finally:
+        for p in (o_off, o_qb, o_tb, o_te):
+            lib.vg_free(p)
+    return [
+        (qb[off[c]:off[c + 1]], tb[off[c]:off[c + 1]], te[off[c]:off[c + 1]])
+        for c in range(n_chains)
+    ]

@@ -1493,6 +1493,132 @@ static inline double baseline_score_anchor(
   return std::round((af + mlen - gcost) * 1000.0) / 1000.0;
 }
 
+namespace {
+
+struct BAnchor {
+  int64_t qb, qe, tb, te;
+};
+
+// Per-read anchoring + chaining, shared by vg_baseline_map_align and
+// vg_map_read_chains.  Fills `chains` with anchor lists in reference emit
+// order (descending backtrack start, members ascending; chain.rs:455-558).
+void baseline_map_one_read(
+    const char* s, int64_t len, int32_t k, int64_t n_kmers,
+    const int64_t* kmer_codes, const int64_t* fo_counts,
+    const int64_t* fo_offsets, const int64_t* fo_start, const int64_t* fo_end,
+    int64_t bandwidth, int64_t max_gap, int64_t min_anchors,
+    std::vector<std::vector<BAnchor>>& chains) {
+  chains.clear();
+  // ---- anchors_for_query, forward-only (chain.rs:134-173, map.rs:62)
+  std::vector<BAnchor> anc;
+  if (len >= k) {
+    uint64_t code = 0;
+    const uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    int32_t run = 0;
+    for (int64_t i = 0; i < len; ++i) {
+      int8_t c = base_code(s[i]);
+      if (c >= 4) {
+        run = 0;
+        code = 0;
+        continue;
+      }
+      code = ((code << 2) | (uint64_t)c) & mask;
+      if (++run >= k) {
+        const int64_t* it =
+            std::lower_bound(kmer_codes, kmer_codes + n_kmers, (int64_t)code);
+        if (it != kmer_codes + n_kmers && *it == (int64_t)code) {
+          const int64_t idx = it - kmer_codes;
+          for (int64_t p = 0; p < fo_counts[idx]; ++p) {
+            const int64_t row = fo_offsets[idx] + p;
+            anc.push_back({i - k + 1, i + 1, fo_start[row], fo_end[row]});
+          }
+        }
+      }
+    }
+  }
+
+  // ---- chain_anchors (chain.rs:370-655): stable sort by target_end,
+  // banded f64 DP, global-max backtrack with predecessor nulling
+  const int64_t n = (int64_t)anc.size();
+  std::vector<int64_t> order(n);
+  for (int64_t j = 0; j < n; ++j) order[j] = j;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t a, int64_t b) { return anc[a].te < anc[b].te; });
+  std::vector<double> f(n, (double)k);
+  std::vector<int64_t> pred(n, -1);
+  double curr_max = 0.0;
+  for (int64_t i = 1; i < n; ++i) {
+    const BAnchor& bi = anc[order[i]];
+    const int64_t min_j = bandwidth > i ? 0 : i - bandwidth;
+    for (int64_t j = i - 1; j >= min_j; --j) {
+      const BAnchor& aj = anc[order[j]];
+      double prop = baseline_score_anchor(
+          aj.qb, aj.qe, aj.te, f[j], aj.tb,
+          bi.qb, bi.qe, bi.tb, bi.te, k, max_gap);
+      if (prop > f[i]) {
+        f[i] = prop;
+        pred[i] = j;
+      }
+      if (prop > curr_max) curr_max = prop;
+    }
+  }
+  std::vector<int64_t> walk;
+  for (int64_t i = n - 1; i >= 0; --i) {
+    if (pred[i] == -1 || f[i] != curr_max) continue;
+    walk.clear();
+    int64_t cur = i;
+    while (pred[cur] != -1) {
+      int64_t p = pred[cur];
+      pred[cur] = -1;
+      walk.push_back(cur);
+      cur = p;
+    }
+    walk.push_back(cur);
+    if ((int64_t)walk.size() >= min_anchors) {
+      chains.emplace_back();
+      auto& c = chains.back();
+      for (auto it = walk.rbegin(); it != walk.rend(); ++it)
+        c.push_back(anc[order[*it]]);
+    }
+  }
+}
+
+}  // namespace
+
+// Exact unbounded single-read chaining (native host fallback for reads
+// whose anchor count exceeds the device bucket cap).  Outputs malloc'd:
+// chain_off [n_chains+1] and flattened member coordinate triples.
+int64_t vg_map_read_chains(
+    const char* s, int64_t len, int32_t k, int64_t n_kmers,
+    const int64_t* kmer_codes, const int64_t* fo_counts,
+    const int64_t* fo_offsets, const int64_t* fo_start, const int64_t* fo_end,
+    int64_t bandwidth, int64_t max_gap, int64_t min_anchors,
+    int64_t** out_chain_off, int64_t** out_qb, int64_t** out_tb,
+    int64_t** out_te) {
+  std::vector<std::vector<BAnchor>> chains;
+  baseline_map_one_read(s, len, k, n_kmers, kmer_codes, fo_counts,
+                        fo_offsets, fo_start, fo_end, bandwidth, max_gap,
+                        min_anchors, chains);
+  int64_t total = 0;
+  for (auto& c : chains) total += (int64_t)c.size();
+  *out_chain_off = (int64_t*)std::malloc(sizeof(int64_t) * (chains.size() + 1));
+  *out_qb = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(total, 1));
+  *out_tb = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(total, 1));
+  *out_te = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(total, 1));
+  int64_t off = 0;
+  (*out_chain_off)[0] = 0;
+  for (size_t ci = 0; ci < chains.size(); ++ci) {
+    for (const BAnchor& a : chains[ci]) {
+      (*out_qb)[off] = a.qb;
+      (*out_tb)[off] = a.tb;
+      (*out_te)[off] = a.te;
+      ++off;
+    }
+    (*out_chain_off)[ci + 1] = off;
+  }
+  return (int64_t)chains.size();
+}
+
 int64_t vg_baseline_map_align(
     // index arrays (IndexView layout)
     int64_t n_nodes, const int64_t* node_starts, const int64_t* edges,
@@ -1509,103 +1635,25 @@ int64_t vg_baseline_map_align(
     int32_t also_align,
     // outputs [n_reads]: chains found; POA tape length (0 = placeholder)
     int64_t* out_n_chains, int64_t* out_tape_len) {
-  const double NEGMAX = -std::numeric_limits<double>::max();
-  struct BAnchor {
-    int64_t qb, qe, tb, te;
-  };
-  std::vector<BAnchor> anc;
-  std::vector<double> f;
-  std::vector<int64_t> pred;
-  std::vector<int64_t> order, walk, best_chain;
+  std::vector<std::vector<BAnchor>> chains;
 
   for (int64_t rix = 0; rix < n_reads; ++rix) {
     const char* s = seqs + seq_off[rix];
     const int64_t len = seq_off[rix + 1] - seq_off[rix];
-    out_n_chains[rix] = 0;
+    baseline_map_one_read(s, len, k, n_kmers, kmer_codes, fo_counts,
+                          fo_offsets, fo_start, fo_end, bandwidth, max_gap,
+                          min_anchors, chains);
+    out_n_chains[rix] = (int64_t)chains.size();
     out_tape_len[rix] = 0;
-
-    // ---- anchors_for_query, forward-only (chain.rs:134-173, map.rs:62)
-    anc.clear();
-    if (len >= k) {
-      uint64_t code = 0;
-      const uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
-      int32_t run = 0;
-      for (int64_t i = 0; i < len; ++i) {
-        int8_t c = base_code(s[i]);
-        if (c >= 4) {
-          run = 0;
-          code = 0;
-          continue;
-        }
-        code = ((code << 2) | (uint64_t)c) & mask;
-        if (++run >= k) {
-          const int64_t* it =
-              std::lower_bound(kmer_codes, kmer_codes + n_kmers, (int64_t)code);
-          if (it != kmer_codes + n_kmers && *it == (int64_t)code) {
-            const int64_t idx = it - kmer_codes;
-            for (int64_t p = 0; p < fo_counts[idx]; ++p) {
-              const int64_t row = fo_offsets[idx] + p;
-              anc.push_back({i - k + 1, i + 1, fo_start[row], fo_end[row]});
-            }
-          }
-        }
-      }
-    }
-
-    // ---- chain_anchors (chain.rs:370-655): stable sort by target_end,
-    // banded f64 DP, global-max backtrack with predecessor nulling
-    const int64_t n = (int64_t)anc.size();
-    order.resize(n);
-    for (int64_t j = 0; j < n; ++j) order[j] = j;
-    std::stable_sort(order.begin(), order.end(),
-                     [&](int64_t a, int64_t b) { return anc[a].te < anc[b].te; });
-    f.assign(n, (double)k);
-    pred.assign(n, -1);
-    double curr_max = 0.0;
-    for (int64_t i = 1; i < n; ++i) {
-      const BAnchor& bi = anc[order[i]];
-      const int64_t min_j = bandwidth > i ? 0 : i - bandwidth;
-      for (int64_t j = i - 1; j >= min_j; --j) {
-        const BAnchor& aj = anc[order[j]];
-        double prop = baseline_score_anchor(
-            aj.qb, aj.qe, aj.te, f[j], aj.tb,
-            bi.qb, bi.qe, bi.tb, bi.te, k, max_gap);
-        if (prop > f[i]) {
-          f[i] = prop;
-          pred[i] = j;
-        }
-        if (prop > curr_max) curr_max = prop;
-      }
-    }
-    int64_t n_chains = 0;
-    best_chain.clear();
-    for (int64_t i = n - 1; i >= 0; --i) {
-      if (pred[i] == -1 || f[i] != curr_max) continue;
-      walk.clear();
-      int64_t cur = i;
-      while (pred[cur] != -1) {
-        int64_t p = pred[cur];
-        pred[cur] = -1;
-        walk.push_back(cur);
-        cur = p;
-      }
-      walk.push_back(cur);
-      if ((int64_t)walk.size() >= min_anchors) {
-        ++n_chains;
-        if (best_chain.empty()) {  // first chain == reference emit order
-          best_chain.assign(walk.rbegin(), walk.rend());
-        }
-      }
-    }
-    out_n_chains[rix] = n_chains;
 
     // ---- --also-align on the best chain (align_best_n=1 default):
     // obtain_base_level_alignment (align.rs:58-145)
-    if (also_align && !best_chain.empty()) {
+    if (also_align && !chains.empty()) {
+      const std::vector<BAnchor>& best_chain = chains[0];
       const int64_t na = (int64_t)best_chain.size();
       std::vector<int64_t> aqb(na), atb(na), ate(na);
       for (int64_t j = 0; j < na; ++j) {
-        const BAnchor& a = anc[order[best_chain[j]]];
+        const BAnchor& a = best_chain[j];
         aqb[j] = a.qb;
         atb[j] = a.tb;
         ate[j] = a.te;
