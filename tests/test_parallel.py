@@ -1,5 +1,7 @@
 """Multi-device data-parallel mapping on the virtual 8-device CPU mesh."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -90,3 +92,53 @@ def test_read_seqs_sharded_and_merge(tmp_path):
     merged = merge_gaf_shards(recs, str(out), process_index=0, process_count=1)
     assert len(merged) == 4
     assert out.read_text().count("\n") == 4
+
+
+def test_two_process_merge(tmp_path):
+    """Real 2-process jax.distributed run on CPU: each process maps its
+    shard of the path-window reads, merge_gaf_shards allgathers rows to
+    process 0, and the merged GAF must equal the committed single-process
+    golden byte-for-byte (covering the multi-process branch that round 1
+    never executed)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "_dist_merge_worker.py")
+    out = str(tmp_path / "merged.gaf")
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(pid), out],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        so, se = p.communicate(timeout=240)
+        outs.append((p.returncode, so, se))
+    assert all(rc == 0 for rc, _, _ in outs), outs
+    assert "MERGED" in outs[0][1], outs
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "path-window-chains.gaf")
+    assert open(out).read() == open(golden).read()
+
+
+def test_gaf_from_string_roundtrip():
+    """from_string is the exact inverse of to_string on every golden row
+    (chain rows, POA rows, placeholder rows)."""
+    from vgaligner_tpu.io.gaf import GAFAlignment
+
+    gdir = os.path.join(os.path.dirname(__file__), "golden")
+    rows = []
+    for name in ("path-window-chains.gaf", "path-window-alignments.gaf",
+                 "multiple-read-chains.gaf"):
+        rows += open(os.path.join(gdir, name)).read().splitlines()
+    assert rows
+    for line in rows:
+        assert GAFAlignment.from_string(line + "\n").to_string() == line + "\n"

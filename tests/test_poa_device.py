@@ -531,3 +531,45 @@ def test_single_trip_fetch_overflow_refetch(monkeypatch):
     assert got.best_score == ref.best_score
     assert got.cigar == ref.cigar
     assert got.node_path == ref.node_path
+
+
+def test_mesh_wire_dispatch_matches_host():
+    """The wire-packed POA path stays enabled under a mesh: chunks split
+    into per-device wire buffers, each launched on its own device, results
+    identical to the scalar oracle.  (Round 1 bypassed the wire path when
+    a mesh was set, so the sharded run exercised non-wire code only.)"""
+    import jax
+
+    from vgaligner_tpu.native import available, build_poa_batch_native
+    from vgaligner_tpu.ops.poa_device import (
+        P_MAX, kernel_dispatch_chunked, kernel_finish_all, padded_rows,
+        wire2_path_available,
+    )
+    from vgaligner_tpu.parallel.mesh import make_mesh
+    from vgaligner_tpu.utils.dna import encode_seq
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    assert wire2_path_available()  # CPU backend supports the wire path
+
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(11)
+    problems = []
+    for _ in range(13):  # odd count: exercises padding rows
+        q = "".join(rng.choice(list("ACGT"), size=int(rng.integers(5, 30))))
+        problems.append((DIAMOND_NODES, DIAMOND_EDGES, q))
+    qs = [encode_seq(q) for _, _, q in problems]
+    v_pad, l_pad = 256, 128
+    built = build_poa_batch_native(
+        [(n, e) for n, e, _ in problems], v_pad, P_MAX,
+        rows=padded_rows(len(problems), v_pad, l_pad),
+    )
+    assert built is not None
+    pendings = kernel_dispatch_chunked(built, qs, v_pad, l_pad, mesh=mesh)
+    # the chunk really was split across devices
+    devs = {next(iter(p[0][0].devices())) for p in pendings}
+    assert len(devs) > 1, "wire dispatch did not spread across the mesh"
+    results = kernel_finish_all(pendings)
+    assert len(results) == len(problems)
+    for prob, res_d in zip(problems, results):
+        _assert_same(res_d, align_global_host(*prob))

@@ -52,6 +52,36 @@ class GAFAlignment:
 
     # ---- constructors --------------------------------------------------
 
+    _INT_COLS = frozenset(
+        {"query_length", "query_start", "query_end", "path_length",
+         "path_start", "path_end", "residue", "alignment_block_length",
+         "mapping_quality"}
+    )
+
+    @classmethod
+    def from_string(cls, line: str) -> "GAFAlignment":
+        """Inverse of to_string: parse one GAF row back into a record
+        ('*' -> None; round-trips byte-exactly).  Used by the multi-host
+        merge, which gathers rows as strings over DCN."""
+        cols = line.rstrip("\n").split("\t")
+        names = [
+            "query_name", "query_length", "query_start", "query_end",
+            "strand", "path_matching", "path_length", "path_start",
+            "path_end", "residue", "alignment_block_length",
+            "mapping_quality", "notes",
+        ]
+        if len(cols) != len(names):
+            raise ValueError(f"expected 13 GAF columns, got {len(cols)}")
+        kw = {}
+        for name, val in zip(names, cols):
+            if val == "*":
+                kw[name] = None
+            elif name in cls._INT_COLS:
+                kw[name] = int(val)
+            else:
+                kw[name] = val
+        return cls(**kw)
+
     @classmethod
     def from_chain(cls, chain, index) -> "GAFAlignment":
         """align.rs:762-911 — chains GAF row.

@@ -1275,11 +1275,56 @@ def _iter_chunks(built, qs, v_pad: int, l_pad: int):
 
 def kernel_dispatch_chunked(built, qs, v_pad: int, l_pad: int, mesh=None):
     """Dispatch a bucket as ladder-sized chunks (see _iter_chunks).
-    Returns pending states for kernel_finish."""
+    Returns pending states for kernel_finish.
+
+    Under a mesh the wire-packed path stays enabled: each chunk is split
+    into per-device subchunks, each packed into its own wire buffer and
+    launched on its device (problems are independent — no collectives;
+    the row-packed wire has no uniform per-problem stride, so batch-dim
+    sharding of ONE buffer cannot express it)."""
+    if mesh is not None and wire2_path_available():
+        devices = list(mesh.devices.flat)
+        pendings = []
+        for chunk, cqs in _iter_chunks(built, qs, v_pad, l_pad):
+            pendings.extend(
+                _dispatch_wire_per_device(chunk, cqs, v_pad, l_pad, devices)
+            )
+        return pendings
     return [
         kernel_dispatch(chunk, cqs, v_pad, l_pad, mesh=mesh)
         for chunk, cqs in _iter_chunks(built, qs, v_pad, l_pad)
     ]
+
+
+def _dispatch_wire_per_device(chunk, cqs, v_pad: int, l_pad: int, devices):
+    """Split one ladder chunk across devices and launch each slice's wire
+    kernel on its own device.  Slices whose rows are all batch padding
+    are skipped (nothing real to decode)."""
+    b_pad = chunk[0].shape[0]
+    ndev = max(1, min(len(devices), b_pad))
+    while b_pad % ndev:
+        ndev -= 1
+    per = b_pad // ndev
+    n_real = len(cqs)
+    kerns = {
+        "v2": poa_global_kernel_wire2,
+        "v3": poa_global_kernel_wire3,
+        "v4": poa_global_kernel_wire4,
+    }
+    pendings = []
+    for d in range(ndev):
+        s = d * per
+        if s >= n_real:
+            break  # all remaining rows are padding
+        sub = tuple(a[s : s + per] for a in chunk)
+        sub_qs = cqs[s : min(s + per, n_real)]
+        wire, version, dims, rest = kernel_prepare(sub, sub_qs, v_pad, l_pad)
+        with timer.phase("d_upload"):
+            wire_d = jax.device_put(wire, devices[d])
+        with timer.phase("d_launch"):
+            out_d = kerns[version](wire_d, *dims)
+        pendings.append((out_d,) + rest)
+    return pendings
 
 
 def kernel_prepare_chunked(built, qs, v_pad: int, l_pad: int):
@@ -1572,22 +1617,40 @@ def fetch_grouped(arrays):
     arrays = list(arrays)
     if len(arrays) <= 1 or not all(_on_one_device(a) for a in arrays):
         return list(jax.device_get(arrays))
-    groups: dict = {}  # dtype -> list of device arrays
-    offset: dict = {}  # dtype -> running flat offset
-    plan = []  # (dtype, start, shape) per input, in order
+
+    def _dev_of(a):
+        try:
+            return next(iter(a.devices()))
+        except Exception:
+            return None
+
+    # group by (device, dtype): per-device wire dispatch (mesh path)
+    # leaves chunk outputs on different single devices, and a concat jit
+    # cannot mix them — each device gets its own flat buffer per dtype,
+    # still drained in one device_get
+    groups: dict = {}  # (device, dtype) -> list of device arrays
+    offset: dict = {}  # (device, dtype) -> running flat offset
+    plan = []  # (key, start, shape) per input, in order
     for a in arrays:
-        dt = np.dtype(a.dtype)
-        g = groups.setdefault(dt, [])
-        plan.append((dt, offset.get(dt, 0), a.shape))
-        offset[dt] = offset.get(dt, 0) + int(np.prod(a.shape))
+        key = (_dev_of(a), np.dtype(a.dtype))
+        g = groups.setdefault(key, [])
+        plan.append((key, offset.get(key, 0), a.shape))
+        offset[key] = offset.get(key, 0) + int(np.prod(a.shape))
         g.append(a)
-    cats = jax.device_get(
-        _concat_dtype_groups(tuple(tuple(g) for g in groups.values()))
-    )
+    n_devices = len({key[0] for key in groups})
+    if n_devices == 1:  # common path: one jit call covering all dtypes
+        cats = list(
+            _concat_dtype_groups(tuple(tuple(g) for g in groups.values()))
+        )
+    else:
+        cats = []
+        for g in groups.values():
+            cats.extend(_concat_dtype_groups((tuple(g),)))
+    cats = jax.device_get(cats)
     bufs = dict(zip(groups.keys(), cats))
     return [
-        bufs[dt][start : start + int(np.prod(shape))].reshape(shape)
-        for dt, start, shape in plan
+        bufs[key][start : start + int(np.prod(shape))].reshape(shape)
+        for key, start, shape in plan
     ]
 
 

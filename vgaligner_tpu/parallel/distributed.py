@@ -83,27 +83,44 @@ def merge_gaf_shards(records: Sequence, out_path: Optional[str] = None,
     """
     import jax
 
+    from ..io.gaf import GAFAlignment
+
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     if pc == 1:
         merged = list(records)
-    else:  # pragma: no cover - requires a real multi-host job
+    else:
+        # rows cross DCN as one uint8 blob per host (allgather needs
+        # uniform shapes, so lengths are gathered first and blobs are
+        # padded to the max).  GAF records are newline-terminated and
+        # newline-free inside, so splitlines recovers exactly the rows.
+        # Records are re-parsed so BOTH branches return GAFAlignment
+        # objects (callers must not care how many hosts ran).
+        import numpy as np
         from jax.experimental import multihost_utils
 
-        blob = "\n".join(r.to_string() for r in records)
-        all_blobs = multihost_utils.process_allgather(blob)
+        blob = "".join(r.to_string() for r in records).encode("utf-8")
+        data = np.frombuffer(blob, dtype=np.uint8)
+        lens = multihost_utils.process_allgather(
+            np.asarray([len(data)], dtype=np.int64)
+        ).reshape(-1)
+        padded = np.zeros(int(lens.max()) if len(lens) else 0, dtype=np.uint8)
+        padded[: len(data)] = data
+        gathered = np.asarray(multihost_utils.process_allgather(padded))
         if pi != 0:
             return None
-        merged = [line for b in all_blobs for line in str(b).splitlines() if line]
+        merged = [
+            GAFAlignment.from_string(line)
+            for p in range(pc)
+            for line in bytes(gathered[p, : int(lens[p])])
+            .decode("utf-8")
+            .splitlines()
+            if line
+        ]
 
     if out_path is not None and pi == 0:
         from ..io.gaf import write_gaf_to_file
 
-        if merged and hasattr(merged[0], "to_string"):
-            write_gaf_to_file(merged, out_path)
-        else:
-            with open(out_path, "w") as fh:
-                for line in merged:
-                    fh.write(line + "\n")
+        write_gaf_to_file(merged, out_path)
         log.info("merged GAF written to %s", out_path)
     return merged
