@@ -82,6 +82,12 @@ def _build_parser() -> argparse.ArgumentParser:
                          "recorded in <out>.progress.json are skipped and "
                          "output GAFs are appended to (extension beyond the "
                          "reference)")
+    mp.add_argument("--both-strands", action="store_true",
+                    help="extension (default off = reference parity, "
+                         "map.rs:62 is forward-only): also map each "
+                         "read's reverse complement and keep the "
+                         "better-scoring strand; reverse hits are "
+                         "reported on the original read with strand '-'")
     mp.add_argument("--precision", choices=["exact", "fast"], default="exact",
                     help="chaining DP arithmetic (framework knob; the "
                          "reference has no analog): 'exact' reproduces the "
@@ -156,6 +162,7 @@ def map_main(args) -> None:
         mesh=mesh,
         mapq=args.mapq,
         precision=args.precision,
+        both_strands=args.both_strands,
     )
 
     aligner = None

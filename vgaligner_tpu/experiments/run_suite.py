@@ -116,6 +116,7 @@ def run_dataset(
     precision: str,
     poa_engine: str = "abpoa",
     sim_orient: str = "forward",
+    both_strands: bool = False,
 ) -> DatasetReport:
     from ..graph import graph_from_gfa
     from ..index import Index
@@ -132,7 +133,8 @@ def run_dataset(
     reads, truth = simulate_reads(graph, n_reads, read_len, orient=sim_orient)
     queries = [QuerySequence.from_name_and_string(n, s) for n, s in reads]
 
-    mapper = Mapper(index, chain_min_n_anchors=3, precision=precision)
+    mapper = Mapper(index, chain_min_n_anchors=3, precision=precision,
+                    both_strands=both_strands)
     aligner = PoaAligner(index, PoaEngine(poa_engine))
     # full-shape warm-up so the timings below are steady-state (compiled
     # executables are cached per padded shape)
@@ -189,6 +191,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--sim-orient", default="forward",
                     choices=("forward", "as-path"),
                     help="read orientation model (as-path = strict vg-sim protocol)")
+    ap.add_argument("--both-strands", action="store_true",
+                    help="map each read's revcomp too and keep the better "
+                         "strand (pair with --sim-orient as-path)")
     ap.add_argument("--poa", default="abpoa", choices=("abpoa", "rspoa"))
     ap.add_argument("--out", default=None, help="write JSON report here")
     args = ap.parse_args(argv)
@@ -210,7 +215,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         try:
             r = run_dataset(gfa, name, args.n_reads, args.read_len,
                             args.kmer_length, args.precision, args.poa,
-                            args.sim_orient)
+                            args.sim_orient, args.both_strands)
         except Exception as exc:  # keep going like snakemake -k
             print(f"{name:<22} FAILED: {exc}")
             continue

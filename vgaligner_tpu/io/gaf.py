@@ -91,6 +91,13 @@ class GAFAlignment:
         "<node:offset" derived from AnchorPosOnGraph (chain.rs:89-128).
         The chain's mapping_quality is the f64::MIN sentinel which the
         reference saturating-casts to 0 (align.rs:904).
+
+        Reverse-strand chains (the both-strands extension — the
+        reference never produces them, map.rs:62) report the ORIGINAL
+        read: strand "-", query interval flipped back from revcomp
+        coordinates, and the anchor tuples emitted back-to-front with
+        each position re-expressed on the opposite node orientation
+        (sign flipped, offset mirrored within the node).
         """
         assert not chain.is_placeholder
         import numpy as np
@@ -102,19 +109,41 @@ class GAFAlignment:
         else:
             orients = np.concatenate([chain.aso, chain.aeo])
         ids, offs = _graph_pos_vectorized(index, orients, pos)
+        rev = getattr(chain, "strand", "+") == "-"
+        if rev:
+            # mirror every anchor position onto the opposite orientation
+            node_len = (
+                index.node_starts[ids] - index.node_starts[ids - 1]
+            )
+            offs = node_len - 1 - offs
+            orients = np.where(orients == FORWARD, REVERSE, FORWARD).astype(
+                np.int8
+            )
+        signs = [">" if o == FORWARD else "<" for o in orients]
         parts: List[str] = []
         for i in range(n):
-            s_sign = ">" if orients[i] == FORWARD else "<"
-            e_sign = ">" if orients[n + i] == FORWARD else "<"
-            parts.append(
-                f"({s_sign}{ids[i]}:{offs[i]},{e_sign}{ids[n + i]}:{offs[n + i]}),"
-            )
+            if rev:
+                # traverse back-to-front, each anchor end-first
+                j = n - 1 - i
+                parts.append(
+                    f"({signs[n + j]}{ids[n + j]}:{offs[n + j]},"
+                    f"{signs[j]}{ids[j]}:{offs[j]}),"
+                )
+            else:
+                parts.append(
+                    f"({signs[i]}{ids[i]}:{offs[i]},"
+                    f"{signs[n + i]}{ids[n + i]}:{offs[n + i]}),"
+                )
+        qlen = len(chain.query.seq)
+        qs, qe = int(chain.aqb[0]), int(chain.aqb[-1]) + chain.k
+        if rev:
+            qs, qe = qlen - qe, qlen - qs
         return cls(
             query_name=chain.query.name,
-            query_length=len(chain.query.seq),
-            query_start=int(chain.aqb[0]),
-            query_end=int(chain.aqb[-1]) + chain.k,
-            strand="+",
+            query_length=qlen,
+            query_start=qs,
+            query_end=qe,
+            strand="-" if rev else "+",
             path_matching="".join(parts),
             path_length=0,
             path_start=0,
@@ -132,54 +161,66 @@ class GAFAlignment:
         """align.rs:1096-1168 (generate_alignment) — base-level GAF from
         the global POA result.  The subgraph node path is mapped back to
         original handles via the range handle list; notes carry
-        'as:i:-30 <cs>,cg:Z:<cigar>' and mapq is 255."""
-        from ..graph.handlegraph import handle_id, handle_is_reverse
+        'as:i:-30 <cs>,cg:Z:<cigar>' and mapq is 255.
 
-        parts = []
-        for node_idx in res.node_path:
-            h = range_handles[node_idx]
-            sign = "<" if handle_is_reverse(h) else ">"
-            parts.append(f"{sign}{handle_id(h)}")
+        For a reverse-strand chain (both-strands extension) the POA ran
+        on the read's revcomp; the row reports the original read:
+        strand "-", the node path reversed with orientations flipped,
+        path offsets mirrored within the path, cigar run order
+        reversed.  The cs string stays as computed on the revcomp
+        (documented in ARCHITECTURE.md)."""
+        rev = getattr(chain, "strand", "+") == "-"
+        path_len = len(res.path_vertices)
+        qs, qe = res.query_start, res.query_end
+        ps, pe = res.aln_start_offset, res.aln_end_offset
+        if rev:
+            qlen = len(chain.query.seq)
+            qs, qe = qlen - res.query_end, qlen - res.query_start
+            ps, pe = path_len - res.aln_end_offset, path_len - res.aln_start_offset
         return cls(
             query_name=chain.query.name,
             query_length=res.query_end - res.query_start,
-            query_start=res.query_start,
-            query_end=res.query_end,
-            strand="+",
-            path_matching="".join(parts),
-            path_length=len(res.path_vertices),
-            path_start=res.aln_start_offset,
-            path_end=res.aln_end_offset,
+            query_start=qs,
+            query_end=qe,
+            strand="-" if rev else "+",
+            path_matching=_path_str(res.node_path, range_handles, rev),
+            path_length=path_len,
+            path_start=ps,
+            path_end=pe,
             residue=0,
             alignment_block_length=res.n_aligned,
             mapping_quality=255,
-            notes="as:i:-30 " + res.cs + ",cg:Z:" + res.cigar,
+            notes="as:i:-30 " + res.cs + ",cg:Z:"
+            + (_rev_cigar(res.cigar) if rev else res.cigar),
         )
 
     @classmethod
     def from_rspoa_result(cls, res, chain, range_handles) -> "GAFAlignment":
-        """align.rs:932-969 (from_rspoa_alignment) — local no-gap GAF."""
-        from ..graph.handlegraph import handle_id, handle_is_reverse
-
-        parts = []
-        for node_idx in res.node_path:
-            h = range_handles[node_idx]
-            sign = "<" if handle_is_reverse(h) else ">"
-            parts.append(f"{sign}{handle_id(h)}")
+        """align.rs:932-969 (from_rspoa_alignment) — local no-gap GAF.
+        Reverse-strand chains are flipped as in from_abpoa_result."""
+        rev = getattr(chain, "strand", "+") == "-"
+        qlen = len(chain.query.seq)
+        qs, qe = res.query_start, res.query_end
+        path_len = len(res.path_vertices)
+        ps, pe = res.path_start_offset, res.path_end_offset
+        if rev:
+            qs, qe = qlen - res.query_end, qlen - res.query_start
+            ps, pe = path_len - res.path_end_offset, path_len - res.path_start_offset
         return cls(
             query_name=chain.query.name,
-            query_length=len(chain.query.seq),
-            query_start=res.query_start,
-            query_end=res.query_end,
-            strand="+",
-            path_matching="".join(parts),
-            path_length=len(res.path_vertices),
-            path_start=res.path_start_offset,
-            path_end=res.path_end_offset,
+            query_length=qlen,
+            query_start=qs,
+            query_end=qe,
+            strand="-" if rev else "+",
+            path_matching=_path_str(res.node_path, range_handles, rev),
+            path_length=path_len,
+            path_start=ps,
+            path_end=pe,
             residue=res.residue_matches,
             alignment_block_length=0,
             mapping_quality=255,
-            notes=res.cs + ",cg:Z:" + res.cigar,
+            notes=res.cs + ",cg:Z:"
+            + (_rev_cigar(res.cigar) if rev else res.cigar),
         )
 
     @classmethod
@@ -196,6 +237,30 @@ class GAFAlignment:
 def _graph_pos_vectorized(index, orients, pos):
     """Vectorized AnchorPosOnGraph::new (chain.rs:89-128)."""
     return index.node_ids_from_seqpos_vec(orients, pos)
+
+
+def _path_str(node_path, range_handles, rev: bool = False) -> str:
+    """GAF path column from a POA node path (align.rs:1145-1167); with
+    rev, the traversal is reported in the opposite direction (reversed
+    order, each step's orientation flipped)."""
+    from ..graph.handlegraph import handle_id, handle_is_reverse
+
+    parts = []
+    for node_idx in node_path:
+        h = range_handles[node_idx]
+        fwd = handle_is_reverse(h) == rev  # flipped when rev
+        parts.append(f"{'>' if fwd else '<'}{handle_id(h)}")
+    if rev:
+        parts.reverse()
+    return "".join(parts)
+
+
+def _rev_cigar(cigar: str) -> str:
+    """Reverse a CIGAR's run order (op lengths unchanged) — the cigar of
+    the same alignment read in the opposite direction."""
+    import re
+
+    return "".join(re.findall(r"\d+[A-Z=]", cigar)[::-1])
 
 
 def write_gaf_to_file(alignments: List[GAFAlignment], file_name: str) -> None:

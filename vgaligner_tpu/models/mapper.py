@@ -142,6 +142,10 @@ class Chain:
     mapping_quality: float = F64_MIN
     is_secondary: bool = False
     is_placeholder: bool = False
+    # "+" = query as given; "-" = chain maps the reverse complement
+    # (both-strands extension; `query.seq` then holds the revcomp the
+    # anchors refer to, and GAF emission flips coordinates back)
+    strand: str = "+"
 
     @classmethod
     def from_anchor_list(cls, query, anchors: List[ChainAnchor]) -> "Chain":
@@ -182,6 +186,31 @@ def _next_pow2(x: int) -> int:
     while p < x:
         p <<= 1
     return p
+
+
+def chain_dp_score(chain: "Chain", max_gap: int) -> float:
+    """Recompute a chain's final DP score from its member anchors.
+
+    Walking the backtracked path re-applies score_anchor (chain.rs:
+    274-368) link by link, so for an UNTRUNCATED chain (the first one
+    discovered per read — later chains may stop early at consumed
+    anchors) this equals the read's global best score `curr_max`
+    exactly, in f64, regardless of which device/host path produced the
+    chain.  Used by the both-strands extension to pick the better
+    strand without shipping scores off device."""
+    if chain.is_placeholder or chain.n_anchors == 0:
+        return -np.inf
+    from .host_pipeline import HAnchor, score_anchor
+
+    k = chain.k
+    f = float(k)
+    for i in range(1, chain.n_anchors):
+        a = HAnchor(id=0, qb=int(chain.aqb[i - 1]), qe=int(chain.aqb[i - 1]) + k,
+                    tb=int(chain.atb[i - 1]), te=int(chain.ate[i - 1]), f=f)
+        b = HAnchor(id=1, qb=int(chain.aqb[i]), qe=int(chain.aqb[i]) + k,
+                    tb=int(chain.atb[i]), te=int(chain.ate[i]))
+        f = score_anchor(a, b, k, max_gap)
+    return f
 
 
 def anchors_for_query_host(
@@ -286,6 +315,7 @@ class Mapper:
         mesh=None,
         precision: str = "exact",
         mapq: bool = False,
+        both_strands: bool = False,
     ) -> None:
         self.index = index
         self.bandwidth = bandwidth
@@ -295,6 +325,7 @@ class Mapper:
         self.mesh = mesh
         self.precision = precision
         self.mapq = mapq
+        self.both_strands = both_strands
         self.dindex = index.device()
         if mesh is not None:
             from ..parallel.mesh import replicate
@@ -420,7 +451,50 @@ class Mapper:
         return np.where(found, self.index.fo_counts[gc], 0).sum(axis=1)
 
     def map_reads(self, queries: Sequence[QuerySequence]) -> List[List[Chain]]:
-        """Chains per query, in input order (map.rs:56-111)."""
+        """Chains per query, in input order (map.rs:56-111).
+
+        With both_strands (extension — the reference's production path
+        is forward-only, map.rs:62): each read and its reverse
+        complement are mapped in ONE combined device pass; per read the
+        strand whose (untruncated) best chain has the higher recomputed
+        DP score wins, ties and all-placeholder going to forward so
+        forward-strand reads behave exactly as without the flag.
+        Winning reverse chains are marked strand="-" (GAF emission
+        flips coordinates back to the original read)."""
+        if not self.both_strands:
+            out = self._map_oriented(queries)
+        else:
+            from ..utils.dna import reverse_complement
+
+            rc = [
+                QuerySequence(name=q.name, seq=reverse_complement(q.seq))
+                for q in queries
+            ]
+            both = self._map_oriented(list(queries) + rc)
+            n = len(queries)
+            out = []
+            for i in range(n):
+                fwd, rev = both[i], both[n + i]
+                f_real = not fwd[0].is_placeholder
+                r_real = not rev[0].is_placeholder
+                take_rev = r_real and (
+                    not f_real
+                    or chain_dp_score(rev[0], self.max_gap)
+                    > chain_dp_score(fwd[0], self.max_gap)
+                )
+                if take_rev:
+                    for c in rev:
+                        c.strand = "-"
+                    out.append(rev)
+                else:
+                    out.append(fwd)
+        if self.mapq:
+            for chains in out:
+                assign_mapq(chains)
+        return out
+
+    def _map_oriented(self, queries: Sequence[QuerySequence]) -> List[List[Chain]]:
+        """One mapping pass over the given query orientations."""
         log.info("Found %d reads!", len(queries))
         k = self.index.kmer_length
         out: List[List[Chain]] = [None] * len(queries)  # type: ignore
@@ -459,9 +533,6 @@ class Mapper:
                 dtype=totals.dtype,
             )
             if not mappable:
-                if self.mapq:
-                    for chains in out:
-                        assign_mapq(chains)
                 return out
 
         # two buckets: the common case (<=256 anchors, ~98% of short reads)
@@ -488,9 +559,6 @@ class Mapper:
             for d, pc in zip(dispatched, fetched)
         ]
         self._finalize_chains(queries, pending, out)
-        if self.mapq:
-            for chains in out:
-                assign_mapq(chains)
         return out
 
     def _map_read_overflow(self, query: QuerySequence) -> List[Chain]:
