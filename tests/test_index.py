@@ -263,3 +263,50 @@ def test_merge_kmer_tables_edges():
         [0, 5, 0, 16], [0, 10, 0, 21], [0, 10, 0, 21],
         [0, 40, 0, 51],
     ]
+
+
+def test_n_policy_drop_kmer_vs_drop_handle():
+    """N policy (build extension): the reference's production DFS drops
+    EVERY k-mer of a handle whose enumeration meets an N
+    (kmer.rs:400-403); its path-guided generator only skips the
+    N-containing k-mer (kmer.rs:161-163).  Index.build exposes both,
+    defaulting to drop-kmer, which keeps the N-free flanks of
+    N-containing nodes indexed (without it, HLA-zoo 4-A3105 loses 93%
+    of its sequence: two ~53 kb nodes with interior N runs)."""
+    g = HashGraph()
+    h1 = g.create_handle("ACGT", 1)
+    # 4 N-free kmer starts at offsets 0-3, then an N, then 6 more at 9-14
+    h2 = g.create_handle("ACGTACGTANCCGGCCAAGGTTAA", 2)
+    h3 = g.create_handle("TGCA", 3)
+    g.create_edge(h1, h2)
+    g.create_edge(h2, h3)
+
+    strict = Index.build(g, 11, 100, 100, n_policy="drop-handle")
+    lenient = Index.build(g, 11, 100, 100)  # default drop-kmer
+
+    def fwd_starts_in(index, lo, hi):
+        pos = index.fo_positions
+        return int(((pos[:, 0] >= lo) & (pos[:, 0] < hi)).sum())
+
+    start2 = strict.get_bv_select(2)
+    # drop-handle: no k-mer starting inside node 2 at all
+    assert fwd_starts_in(strict, start2, start2 + 24) == 0
+    # drop-kmer: every N-free window starting in node 2 is indexed
+    # (24 starts, minus 11 windows covering the N at offset 9, minus
+    # dedup of identical full records — count positions, not kmers)
+    n_lenient = fwd_starts_in(lenient, start2, start2 + 24)
+    assert n_lenient > 0
+    # exact: starts 0..24 except those whose window [s, s+11) crosses
+    # offset 9 within the node or runs past the graph end
+    seq = "ACGTACGTANCCGGCCAAGGTTAA" + "TGCA"
+    expected = sum(
+        1
+        for s in range(24)
+        if "N" not in seq[s : s + 11] and s + 11 <= len(seq)
+    )
+    assert n_lenient == expected
+    # the k-mers themselves resolve to the right positions
+    km = seq[12:23]
+    hits = lenient.find_positions_for_query_kmer(km)
+    assert any(p[0] == 0 and p[1] == start2 + 12 for p in hits)
+    assert strict.find_positions_for_query_kmer(km) == []

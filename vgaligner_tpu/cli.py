@@ -48,6 +48,13 @@ def _build_parser() -> argparse.ArgumentParser:
     ip.add_argument("-g", "--generate-mappings", action="store_true")
     ip.add_argument("-p", "--mappings-path", metavar="FILE")
     ip.add_argument("-t", "--threads", type=int, default=0, metavar="INTEGER")
+    ip.add_argument("--n-policy", choices=["drop-kmer", "drop-handle"],
+                    default="drop-kmer",
+                    help="N handling in DFS k-mer enumeration: drop-kmer "
+                         "(default) skips only N-containing k-mers "
+                         "(kmer.rs:161-163); drop-handle reproduces the "
+                         "reference DFS quirk of dropping every k-mer of "
+                         "an N-containing handle (kmer.rs:400-403)")
 
     mp = sub.add_parser("map", help="map sequences to a graph")
     mp.add_argument("-i", "--index", required=True, metavar="FILE")
@@ -120,6 +127,7 @@ def index_main(args) -> None:
         sampling_rate=args.sampling_rate,
         generate_mappings=args.generate_mappings,
         mappings_path=args.mappings_path,
+        n_policy=args.n_policy,
     )
 
 

@@ -257,8 +257,20 @@ class Index:
         generate_mappings: bool = False,
         mappings_path: Optional[str] = None,
         state_cap: int = 500_000,
+        n_policy: str = "drop-kmer",
     ) -> "Index":
-        """Build the index (Index::build, index.rs:109-281)."""
+        """Build the index (Index::build, index.rs:109-281).
+
+        n_policy controls N handling in the DFS k-mer generator:
+        "drop-kmer" (default) skips only k-mers that contain an N —
+        the policy of the reference's own path-guided generator
+        (kmer.rs:161-163) — while "drop-handle" reproduces the
+        reference's production DFS quirk of aborting the WHOLE
+        handle+orientation on the first N-containing k-mer
+        (kmer.rs:400-403), which leaves every k-mer of an
+        N-containing node unindexed (on HLA-zoo 4-A3105 that is 93%
+        of the graph: two ~53 kb nodes with interior N runs).
+        """
         n_nodes = graph.n_nodes
         lin = find_forward_sequence(graph)
         seq_length = lin.seq_len
@@ -280,6 +292,10 @@ class Index:
             )
             log.info("Mappings correctly stored in %s!", mappings_path or "mappings.json")
 
+        if n_policy not in ("drop-kmer", "drop-handle"):
+            raise ValueError(f"unknown n_policy {n_policy!r}")
+        drop_handle_on_n = n_policy == "drop-handle"
+
         from ..native import available as native_available
 
         if native_available():
@@ -289,6 +305,7 @@ class Index:
             codes, offsets, counts, positions, n_capped = kmer_index_native(
                 graph, kmer_length, max_furcations, max_degree,
                 sampling_rate, lin.node_starts, seq_length,
+                drop_handle_on_n=drop_handle_on_n,
                 state_cap=state_cap,
             )
             log.info(
@@ -306,6 +323,7 @@ class Index:
                 edge_max=max_furcations,
                 degree_max=max_degree,
                 sampling_rate=sampling_rate,
+                drop_handle_on_n=drop_handle_on_n,
                 state_cap=state_cap,
             )
             n_capped = len(_kg._CAP_HITS) - cap_hits_before
