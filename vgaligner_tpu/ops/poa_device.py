@@ -1473,14 +1473,131 @@ def _ladder_bytes(n: int) -> int:
 _WIRE_MEGA_CAP = 32 << 20  # flush mega-uploads in <=32 MB groups
 
 
+class _FusedOut(NamedTuple):
+    """Shared device handle for one fused-drain launch (see
+    kernel_launch_fused): concatenated outputs plus the static split
+    plan, referenced by every chunk's pending state."""
+
+    scores: object  # f32 [sum b_pad]
+    tapes: object  # u16 [sum b_pad * t_guess_i] (flattened, per-chunk slices)
+    tlens: object  # i32 [sum b_pad]
+    fulls: tuple  # per-chunk full [b_pad, T] tapes (device, fetched only on overflow)
+    plan: tuple  # per-chunk (b_pad, t_guess)
+
+
+_FUSED_CACHE: dict = {}
+
+
+def _fused_drain_fn(layout):
+    """One jitted executable running EVERY chunk of a drain: per chunk,
+    slice its wire from the mega buffer (static offsets), decode, DP,
+    traceback, and column-slice the tape to its static guess; concatenate
+    the per-chunk scores/tapes/tlens so the host drains THREE buffers in
+    one device_get.  On a transport that charges a fixed round trip per
+    executable execution (measured ~30 ms on the axon tunnel), collapsing
+    the ~4-executable-deep chains of N chunks into ONE execution is the
+    difference between N*4 round trips and 1.
+
+    layout: tuple of (version, dims, t_guess, wsize) per chunk — all
+    ladder-quantized upstream so executables repeat across drains.
+    Traced with x64 off (pure i32/f32 kernel; the package enables x64
+    globally for the exact chain DP, which would widen every iota/new
+    literal here to emulated i64)."""
+    fn = _FUSED_CACHE.get(layout)
+    if fn is not None:
+        return fn
+    kerns = {
+        "v2": poa_global_kernel_wire2,
+        "v3": poa_global_kernel_wire3,
+        "v4": poa_global_kernel_wire4,
+    }
+
+    def fused(mega):
+        scores, tapes, tlens, fulls = [], [], [], []
+        off = 0
+        for version, dims, t_guess, wsize in layout:
+            wire = mega[off : off + wsize]
+            off += wsize
+            score, tape, tlen = kerns[version](wire, *dims)
+            scores.append(score)
+            tlens.append(tlen)
+            t_cap = tape.shape[1]
+            cut = tape[:, :t_guess] if t_guess < t_cap else tape
+            tapes.append(cut.reshape(-1))
+            fulls.append(tape)
+        return (
+            jnp.concatenate(scores),
+            jnp.concatenate(tapes),
+            jnp.concatenate(tlens),
+            tuple(fulls),
+        )
+
+    jf = jax.jit(fused)
+
+    def call(mega_d):
+        with jax.enable_x64(False):
+            return jf(mega_d)
+
+    _FUSED_CACHE[layout] = call
+    return call
+
+
+def kernel_launch_fused(prepared):
+    """Launch a whole drain of prepared chunks as ONE upload + ONE
+    executable (see _fused_drain_fn).  Per-chunk wire buffers are packed
+    back-to-back at ladder-quantized offsets into one mega buffer so the
+    (layout -> executable) cache hits across drains.  Returns pending
+    states in kernel_finish layout, with each out_d a (_FusedOut, i)
+    pair that kernel_finish_all recognizes."""
+    pendings = []
+    group: list = []
+    gbytes = 0
+
+    def flush():
+        nonlocal group, gbytes
+        if not group:
+            return
+        sizes = [_ladder_bytes(len(g[0])) for g in group]
+        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        layout = []
+        plan = []
+        with timer.phase("d_pad"):
+            mega = np.zeros(_ladder_bytes(int(offs[-1])), np.uint8)
+            for (w, version, dims, rest), o, sz in zip(group, offs[:-1], sizes):
+                mega[o : o + len(w)] = w
+                t_cap = dims[1] + dims[3] + 2  # tape cols: V + (L+1) + 1
+                qlens = [len(q) for q in rest[7] if q is not None]
+                t_guess = _tape_guess_cols(t_cap, max(qlens)) if qlens else t_cap
+                layout.append((version, dims, t_guess, sz))
+                plan.append((rest[5], t_guess))  # (b_pad, t_guess)
+        fn = _fused_drain_fn(tuple(layout))
+        with timer.phase("d_upload"):
+            mega_d = jnp.asarray(mega)
+        with timer.phase("d_launch"):
+            scores, tapes, tlens, fulls = fn(mega_d)
+        shared = _FusedOut(scores, tapes, tlens, fulls, tuple(plan))
+        for i, (w, version, dims, rest) in enumerate(group):
+            pendings.append(((shared, i),) + rest)
+        group, gbytes = [], 0
+
+    for item in prepared:
+        if group and _ladder_bytes(gbytes + _ladder_bytes(len(item[0]))) > _WIRE_MEGA_CAP:
+            flush()
+        group.append(item)
+        gbytes += _ladder_bytes(len(item[0]))
+    flush()
+    return pendings
+
+
 def kernel_launch_wires(prepared):
     """Upload MANY prepared chunks' wire buffers in ONE device_put and
-    launch each chunk's kernel on a device-side dynamic slice.  The
-    host link charges a fixed round trip per device_put on top of
-    bytes/bandwidth, so one mega-buffer per drain beats one buffer per
-    chunk; the per-chunk DP executables are unchanged (the tiny slice
-    kernel is jitted per (mega-ladder-size, wire-size) pair).  Returns
-    pending states (kernel_finish layout), in input order."""
+    launch them.  Default: the fused single-executable drain
+    (kernel_launch_fused); VGALIGNER_POA_FUSED=0 falls back to one
+    executable chain per chunk on device-side dynamic slices of the
+    mega buffer.  Returns pending states (kernel_finish layout), in
+    input order."""
+    if os.environ.get("VGALIGNER_POA_FUSED", "1") != "0":
+        return kernel_launch_fused(prepared)
     pendings = []
     group: list = []
     gbytes = 0
@@ -1668,10 +1785,79 @@ def _tape_guess_cols(t_cap: int, max_q: int) -> int:
     return min(t_cap, max(64, 1 << max(0, max_q + slack - 1).bit_length()))
 
 
+def _finish_fused(pendings):
+    """Drain fused-launch pendings: ONE device_get of the drain's three
+    concatenated buffers, host-side split by the static plan, rare
+    per-chunk full-tape refetch on traceback overflow, then decode."""
+    # group by shared _FusedOut (usually one per drain)
+    shared_ids: dict = {}
+    for p in pendings:
+        shared, _ci = p[0]
+        shared_ids.setdefault(id(shared), shared)
+    fetched: dict = {}
+    with timer.phase("f_fetch"):
+        got = jax.device_get(
+            [(s.scores, s.tapes, s.tlens) for s in shared_ids.values()]
+        )
+    for key, (scores, tapes, tlens) in zip(shared_ids, got):
+        fetched[key] = (scores, tapes, tlens)
+    out: List = []
+    refetch = []  # (pending, out_index_start, t_used)
+    decoded: List = []
+    for p in pendings:
+        shared, ci = p[0]
+        scores_cat, tapes_cat, tlens_cat = fetched[id(shared)]
+        b0 = sum(b for b, _t in shared.plan[:ci])
+        t0 = sum(b * t for b, t in shared.plan[:ci])
+        b_pad, t_guess = shared.plan[ci]
+        scores = scores_cat[b0 : b0 + b_pad]
+        tlens = tlens_cat[b0 : b0 + b_pad]
+        tape = tapes_cat[t0 : t0 + b_pad * t_guess].reshape(b_pad, t_guess)
+        n_real = p[7]
+        used = int(tlens[:n_real].max()) if n_real else 1
+        if used > t_guess:
+            # rare deletion-heavy chunk: refetch its full tape, sliced
+            t_cap = shared.fulls[ci].shape[1]
+            t_used = min(t_cap, max(64, 1 << max(0, used - 1).bit_length()))
+            with timer.phase("f_fetch"):
+                tape = jax.device_get(
+                    _slice_tape(shared.fulls[ci], t_used)
+                    if t_used < t_cap
+                    else shared.fulls[ci]
+                )
+        decoded.append((p, (scores, tape, tlens)))
+    for p, f in decoded:
+        out.extend(_decode_finished(p, f))
+    return out
+
+
+def _is_fused_pending(p) -> bool:
+    return isinstance(p[0], tuple) and isinstance(p[0][0], _FusedOut)
+
+
+def pending_outputs(p):
+    """Per-chunk (score [b_pad], tape [b_pad, t], tlen [b_pad]) device
+    arrays of one pending state, for either launch path (test/debug
+    utility; the fused path slices the shared buffers on device)."""
+    if not _is_fused_pending(p):
+        return p[0]
+    shared, ci = p[0]
+    b0 = sum(b for b, _t in shared.plan[:ci])
+    t0 = sum(b * t for b, t in shared.plan[:ci])
+    b_pad, t_guess = shared.plan[ci]
+    return (
+        shared.scores[b0 : b0 + b_pad],
+        shared.tapes[t0 : t0 + b_pad * t_guess].reshape(b_pad, t_guess),
+        shared.tlens[b0 : b0 + b_pad],
+    )
+
+
 def kernel_finish_all(pendings):
     """Fetch MANY dispatched chunks with a minimal number of link
-    transfers, then decode.  ONE grouped fetch pass (fetch_grouped —
-    one flat buffer per dtype) carrying scores, tlens, and the tapes
+    transfers, then decode.  Fused-launch pendings (kernel_launch_fused)
+    drain via ONE device_get of pre-concatenated buffers; per-chunk
+    pendings go through a grouped fetch pass (fetch_grouped — one flat
+    buffer per dtype) carrying scores, tlens, and the tapes
     column-sliced ON DEVICE to a static guess of each chunk's traceback
     length (~max query length + slack, pow2-laddered).
 
@@ -1683,6 +1869,28 @@ def kernel_finish_all(pendings):
     the guess (deletion-heavy path; requires > slack deletions) pays a
     rare second fetch of its full-length tape.  Returns the
     concatenated per-chunk result lists, in order."""
+    if pendings and any(_is_fused_pending(p) for p in pendings):
+        if all(_is_fused_pending(p) for p in pendings):
+            return _finish_fused(pendings)
+        # mixed drain (e.g. wire chunks + mesh chunks): finish each kind
+        # with its own path, then restore input order
+        order = [(i, p) for i, p in enumerate(pendings)]
+        fused = [(i, p) for i, p in order if _is_fused_pending(p)]
+        plain = [(i, p) for i, p in order if not _is_fused_pending(p)]
+        res: dict = {}
+        for (group, finisher) in ((fused, _finish_fused), (plain, kernel_finish_all)):
+            if not group:
+                continue
+            got = finisher([p for _i, p in group])
+            pos = 0
+            for i, p in group:
+                n_real = p[7]
+                res[i] = got[pos : pos + n_real]
+                pos += n_real
+        out: List = []
+        for i in range(len(pendings)):
+            out.extend(res[i])
+        return out
     outs = [p[0] for p in pendings]
     guesses = []
     parts = []
