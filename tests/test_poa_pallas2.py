@@ -1,0 +1,134 @@
+"""v2 Pallas POA DP kernel vs the XLA scan path (exact equality).
+
+The v2 kernel (ops/poa_pallas2.py) is the production TPU DP: VMEM ring
+state, TB problems per sublane tile, 2-D (problem-block, vertex-block)
+grid.  On CPU it runs in interpreter mode; scores, sink choices, the
+traceback bits of every REAL vertex row, and the full traceback tapes
+must all match poa_dp_xla bit-for-bit.  Randomized DAG batches cover N
+codes, no-predecessor restarts, multi-sink graphs, cross-node edges
+(deltas spanning many ranks), and varied nv/nq.
+"""
+
+import numpy as np
+import pytest
+
+from vgaligner_tpu.ops import poa_device as PD
+from vgaligner_tpu.ops.poa import build_base_graph, gap_cost
+from vgaligner_tpu.utils.dna import encode_seq
+
+from tests.test_poa_pallas import _problem_batch
+
+
+def _padded_arrays(problems, v_pad, l_pad):
+    probs = [
+        PD.prepare_problem(build_base_graph(n, e), encode_seq(q), v_pad, l_pad)
+        for n, e, q in problems
+    ]
+    init_row = np.empty(l_pad + 1, dtype=np.float32)
+    init_row[0] = 0.0
+    for j in range(1, l_pad + 1):
+        init_row[j] = -gap_cost(j)
+    vpred = np.stack([p.vpred for p in probs])
+    nv = np.asarray([p.nv for p in probs], np.int32)
+    vpred = PD._slice_preds(vpred, len(probs))
+    return (
+        np.stack([p.vcodes for p in probs]),
+        vpred,
+        np.stack([p.is_sink for p in probs]),
+        nv,
+        np.stack([p.q for p in probs]),
+        np.asarray([p.nq for p in probs], np.int32),
+        init_row,
+    )
+
+
+@pytest.mark.parametrize("seed,TB", [(0, 8), (1, 16), (2, 8)])
+def test_pallas2_matches_xla(seed, TB):
+    import jax
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.ops.poa_pallas2 import poa_dp_pallas2
+
+    B, v_pad, l_pad = 16, 64, 127
+    problems = _problem_batch(seed, B=B)
+    if seed == 0:
+        # exercise N codes in the query (code 4 never matches)
+        n, e, q = problems[3]
+        problems[3] = (n, e, q[:10] + "N" + q[10:])
+    arrs = _padded_arrays(problems, v_pad, l_pad)
+    args = [jnp.asarray(a) for a in arrs]
+
+    sx, kx, tbx = jax.device_get(PD.poa_dp_xla(*args))
+    sp, kp, tbp = jax.device_get(
+        poa_dp_pallas2(*args, R=64, TB=TB, VB=v_pad, interpret=True)
+    )
+    np.testing.assert_array_equal(sx, sp)
+    np.testing.assert_array_equal(kx, kp)
+    nv = arrs[3]
+    for b in range(B):
+        np.testing.assert_array_equal(tbx[b, : nv[b]], tbp[b, : nv[b]])
+
+    # full traceback tapes agree (walks only real rows)
+    tapex, tlx = jax.device_get(
+        PD.traceback_batch(jnp.asarray(tbx), args[1], jnp.asarray(kx), args[5])
+    )
+    tapep, tlp = jax.device_get(
+        PD.traceback_batch(jnp.asarray(tbp), args[1], jnp.asarray(kp), args[5])
+    )
+    np.testing.assert_array_equal(tlx, tlp)
+    for b in range(B):
+        np.testing.assert_array_equal(tapex[b, : tlx[b]], tapep[b, : tlx[b]])
+
+
+def test_pallas2_small_ring():
+    """R smaller than V: only sound when all deltas fit — build chain
+    graphs (delta 1 everywhere) and check R=16 reproduces XLA."""
+    import jax
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.ops.poa_pallas2 import poa_dp_pallas2
+
+    rng = np.random.default_rng(7)
+    problems = []
+    for _ in range(16):
+        nodes = [
+            "".join("ACGT"[c] for c in rng.integers(0, 4, 3)) for _ in range(6)
+        ]
+        edges = [(i, i + 1) for i in range(5)]
+        q = "".join(nodes)[2:14]
+        problems.append((nodes, edges, q))
+    arrs = _padded_arrays(problems, 64, 127)
+    args = [jnp.asarray(a) for a in arrs]
+    sx, kx, _ = jax.device_get(PD.poa_dp_xla(*args))
+    sp, kp, _ = jax.device_get(
+        poa_dp_pallas2(*args, R=16, TB=16, VB=64, interpret=True)
+    )
+    np.testing.assert_array_equal(sx, sp)
+    np.testing.assert_array_equal(kx, kp)
+
+
+def test_ring_for_chunk_routing(monkeypatch):
+    """Host-side R selection: ladder quantization, geometry gating, and
+    the env opt-out."""
+    B, V, P = 16, 256, 2
+    nv = np.full(B, 40, np.int32)
+    vpred = np.full((B, V, P), -1, np.int32)
+    for v in range(1, 40):
+        vpred[:, v, 0] = v - 1
+    assert PD._ring_for_chunk(vpred, nv, B, V, 127) == 16
+
+    vpred[0, 39, 1] = 0  # delta 39 -> next ladder step
+    assert PD._ring_for_chunk(vpred, nv, B, V, 127) == 64
+
+    # pad rows beyond nv must not count (calloc'd zeros decode to dead)
+    vpred[5, 200, 0] = 0
+    nv[5] = 40
+    assert PD._ring_for_chunk(vpred, nv, B, V, 127) == 64
+
+    # W not a lane tile -> no pallas geometry -> XLA route
+    assert PD._ring_for_chunk(vpred, nv, B, V, 100) == 0
+    # batch not a sublane multiple
+    assert PD._ring_for_chunk(vpred[:3], nv[:3], 3, V, 127) == 0
+
+    monkeypatch.setenv("VGALIGNER_POA_PALLAS2", "0")
+    assert PD._ring_for_chunk(vpred, nv, B, V, 127) == 0

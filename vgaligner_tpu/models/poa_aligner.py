@@ -467,7 +467,7 @@ class PoaAligner:
         import numpy as np
 
         from ..native import build_poa_batch_arrays, extract_subgraphs_native
-        from ..ops.poa_device import P_MAX, _next_pow2
+        from ..ops.poa_device import P_MAX, _l_pad_for, _next_pow2
         from ..utils.dna import encode_seq
 
         n = len(chains)
@@ -539,7 +539,7 @@ class PoaAligner:
                 continue
             key = (
                 _next_pow2(max(int(v_per[i]), 256)),
-                _next_pow2(max(len(qs[i]), 128)),
+                _l_pad_for(len(qs[i])),
             )
             buckets.setdefault(key, []).append(i)
         for idxs in buckets.values():

@@ -535,7 +535,7 @@ def _decode_wire2(wire, B, V, P, L, E):
     return vcodes_p, vpred16, nv, q, nq
 
 
-def poa_global_kernel_wire2(wire, B, V, P, L, E):
+def poa_global_kernel_wire2(wire, B, V, P, L, E, R=0):
     """Delta-compressed single-buffer wire variant (the production TPU
     entry point): like poa_global_kernel_wire, but the predecessor
     table travels as a uint8 delta plane + COO exceptions (see
@@ -546,7 +546,7 @@ def poa_global_kernel_wire2(wire, B, V, P, L, E):
     exceptions scattered into a one-slot-extended scratch buffer), then
     the unchanged DP executable — compiled once per (B,V,P,L) — runs on
     the device-resident unpacked arrays."""
-    return poa_global_kernel_packed(*_decode_wire2(wire, B, V, P, L, E))
+    return poa_global_kernel_packed(*_decode_wire2(wire, B, V, P, L, E), R)
 
 
 def pack_chunk_wire2(vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred):
@@ -648,14 +648,14 @@ def _decode_wire3(wire, B, V, P, L, E, T):
     return vcodes_p, vpred16, nv, q, nq
 
 
-def poa_global_kernel_wire3(wire, B, V, P, L, E, T):
+def poa_global_kernel_wire3(wire, B, V, P, L, E, T, R=0):
     """Row-packed delta wire: wire2 with the two [B,V] planes (vertex
     codes + delta plane) shipped as row-packed entries — batch/V ladder
     padding is 60-90% of those planes' slots on real drains, so
     dropping it cuts the dominant remaining upload bytes.  Decode
     (cheap, per-ladder signature) and the DP (compiled once per
     (B,V,P,L)) stay separate executables."""
-    return poa_global_kernel_packed(*_decode_wire3(wire, B, V, P, L, E, T))
+    return poa_global_kernel_packed(*_decode_wire3(wire, B, V, P, L, E, T), R)
 
 
 def nibble_fold(arr: np.ndarray) -> np.ndarray:
@@ -756,13 +756,13 @@ def _decode_wire4(wire, B, V, P, L, E, T):
     return vcodes_p, vpred16, nv, q, nq
 
 
-def poa_global_kernel_wire4(wire, B, V, P, L, E, T):
+def poa_global_kernel_wire4(wire, B, V, P, L, E, T, R=0):
     """Nibble-plane wire (the production TPU entry point): wire3 with
     both row-packed planes at 4 bits per vertex — the vertex value is
     code (3b) + sink (1b) exactly, and slot-0 deltas are capped at 14
     (larger ones ride the exception list; measured 92% of live deltas
     are 1).  Halves the plane bytes again on an upload-bound link."""
-    return poa_global_kernel_packed(*_decode_wire4(wire, B, V, P, L, E, T))
+    return poa_global_kernel_packed(*_decode_wire4(wire, B, V, P, L, E, T), R)
 
 
 def pack_wire(parts) -> np.ndarray:
@@ -833,8 +833,37 @@ def wire_bitcast_supported() -> bool:
     return _WIRE_BITCAST_OK[key]
 
 
-@jax.jit
-def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq):
+def _pallas2_geometry(B: int, V: int, L: int, R: int = 16):
+    """(TB, VB) for the v2 Pallas DP on this chunk shape with ring
+    depth R, or None when the shape cannot ride it.
+
+    TB (problems per grid row, the sublane batching) is the kernel's
+    main throughput lever — measured per-chunk DP time on v5e at
+    B=1024, V=256, W=128: TB=16 ~16 ms, TB=32 ~10 ms, TB=64 ~5 ms
+    (the per-vertex fixed overhead amortizes over the sublane batch).
+    TB=128 trips a Mosaic 'dynamic load with unaligned indices' limit,
+    so 64 is the ceiling.  Constraints: W = L+1 a whole 128-lane tile,
+    B % TB == 0, the S ring (R+2)*TB*3W f32 within ~6 MB of VMEM, and
+    the tbits out tile VB*TB*W i32 within ~2 MB (VB shrinks as TB
+    grows; larger R forces smaller TB)."""
+    W = L + 1
+    if W % 128:
+        return None
+    for TB in (64, 32, 16, 8):
+        if B % TB:
+            continue
+        if (R + 2) * TB * 3 * W * 4 > (6 << 20):
+            continue
+        vb_cap = max(8, (2 << 20) // (TB * W * 4))
+        VB = min(V, 1 << (vb_cap.bit_length() - 1))
+        if V % VB:
+            continue
+        return TB, VB
+    return None
+
+
+@partial(jax.jit, static_argnums=(5,))
+def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq, R: int = 0):
     """Wire-format variant of poa_global_kernel: ONE device launch per
     chunk for DP + traceback, with the dispatch payload shrunk for the
     host link (measured ~33 ms fixed round trip + ~50 MB/s):
@@ -846,7 +875,13 @@ def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq):
       * the leading-insertion cost row is a closed-form formula, so it
         is computed on device rather than shipped (one fewer transfer
         per launch on a per-buffer-latency link).
+
+    R > 0 routes the DP to the v2 Pallas kernel (ops/poa_pallas2.py)
+    with a ring of R rows — the host proved every predecessor delta of
+    the chunk fits R (kernel_prepare).  R == 0, CPU backends, or
+    shapes outside the kernel's geometry use the XLA scan.
     """
+    B, V = vcodes_p.shape
     L = q.shape[1]
     j = jnp.arange(1, L + 1, dtype=jnp.float32)
     costs = jnp.minimum(
@@ -857,9 +892,19 @@ def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq):
     vcodes = (vcodes_p & 7).astype(jnp.int8)
     is_sink = (vcodes_p >> 5) != 0
     vpred = vpred16.astype(jnp.int32)
-    score, best_sink, tbits = poa_dp_xla(
-        vcodes, vpred, is_sink, nv, q, nq, init_row
-    )
+    geo = _pallas2_geometry(B, V, L, R) if R else None
+    if geo and jax.default_backend() != "cpu":
+        from .poa_pallas2 import poa_dp_pallas2
+
+        TB, VB = geo
+        score, best_sink, tbits = poa_dp_pallas2(
+            vcodes, vpred, is_sink, nv, q, nq, init_row,
+            R=R, TB=TB, VB=VB,
+        )
+    else:
+        score, best_sink, tbits = poa_dp_xla(
+            vcodes, vpred, is_sink, nv, q, nq, init_row
+        )
     tape, tlen = traceback_batch(tbits, vpred, best_sink, nq)
     return score, tape, tlen
 
@@ -922,6 +967,16 @@ def _next_pow2(x: int) -> int:
     while p < x:
         p <<= 1
     return p
+
+
+def _l_pad_for(n: int) -> int:
+    """Query-length pad ladder 127/255/511/...: W = l_pad+1 is then a
+    whole number of 128-lane tiles, which the v2 Pallas DP requires and
+    which keeps every [.., W] row exactly lane-aligned."""
+    p = 128
+    while p - 1 < n:
+        p <<= 1
+    return p - 1
 
 
 # ---------------------------------------------------------------------------
@@ -1054,7 +1109,7 @@ def align_local_batch(
             continue
         key = (
             _next_pow2(max(len(bg.codes), 256)),
-            _next_pow2(max(len(q), 128)),
+            _l_pad_for(len(q)),
         )
         buckets.setdefault(key, []).append(i)
 
@@ -1143,7 +1198,7 @@ def align_global_batch(
             if v > 8192:  # outlier shapes: native host DP beats a one-off compile
                 out[i] = poa_global_host_native(*problems[i])
                 continue
-            key = (_next_pow2(max(v, 256)), _next_pow2(max(len(q), 128)))
+            key = (_next_pow2(max(v, 256)), _l_pad_for(len(q)))
             buckets.setdefault(key, []).append(i)
         for (v_pad, l_pad), idxs in sorted(buckets.items()):
             res = _align_bucket_native(
@@ -1170,7 +1225,7 @@ def align_global_batch(
             continue
         key = (
             _next_pow2(max(len(bg.codes), 256)),
-            _next_pow2(max(len(q), 128)),
+            _l_pad_for(len(q)),
         )
         buckets.setdefault(key, []).append(i)
 
@@ -1384,6 +1439,35 @@ def _pad_queries(qs, b_pad: int, l_pad: int):
     return q_pad, nq
 
 
+def _ring_for_chunk(vpred_s, nv, b_pad: int, V: int, l_pad: int) -> int:
+    """Ring depth R for the v2 Pallas DP on this chunk, or 0 to route
+    the DP to the XLA scan.
+
+    The v2 kernel (ops/poa_pallas2.py) keeps only the last R vertex rows
+    of DP state in a VMEM ring, so it is sound exactly when every live
+    predecessor of every REAL vertex is within R topological ranks of
+    its successor (slot = pred & (R-1); delta == R still reads the
+    not-yet-overwritten slot).  Base graphs are near-linear chains —
+    measured max delta on DRB1 chunks is <= 16 — so this almost always
+    holds with a tiny ring.  R is quantized to a {16,64,...} ladder so
+    the expensive DP executable compiles once per (B,V,P,L,R) instead
+    of per exact delta, and capped by the kernel's VMEM geometry."""
+    if os.environ.get("VGALIGNER_POA_PALLAS2", "1") == "0":
+        return 0
+    v_iota = np.arange(V, dtype=np.int64)[None, :, None]
+    live = (vpred_s >= 0) & (
+        v_iota[:, :, 0] < np.asarray(nv, np.int64).reshape(-1, 1)
+    )[:, :, None]
+    if live.any():
+        d = int((np.where(live, v_iota - vpred_s.astype(np.int64), 0)).max())
+    else:
+        d = 1
+    r = 16
+    while r < d:
+        r <<= 2
+    return r if _pallas2_geometry(b_pad, V, l_pad, r) else 0
+
+
 def kernel_prepare(built, qs, v_pad: int, l_pad: int):
     """Pad + delta-pack ONE chunk's wire buffer WITHOUT uploading or
     launching.  Returns (wire, version, dims, rest) for
@@ -1407,11 +1491,12 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
             vpred_s, nv, max_delta=max_delta
         )
         V, P = vcodes.shape[1], vpred_s.shape[-1]
+        R = _ring_for_chunk(vpred_s, nv, b_pad, V, l_pad)
         if version == "v2":
             wire = pack_chunk_wire2(
                 vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred
             )
-            dims = (b_pad, V, P, l_pad, len(exc_idx))
+            dims = (b_pad, V, P, l_pad, len(exc_idx), R)
         else:
             vcodes_f = pack_rows(vcodes_p, nv)
             dplane_f = pack_rows(dplane, nv)
@@ -1424,7 +1509,7 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
                 dplane_f = np.concatenate(
                     [dplane_f, np.zeros(pad, np.uint8)]
                 )
-            dims = (b_pad, V, P, l_pad, len(exc_idx), t_pad)
+            dims = (b_pad, V, P, l_pad, len(exc_idx), t_pad, R)
             if version == "v3":
                 wire = pack_chunk_wire3(
                     vcodes_f, dplane_f, nv, q_pad, nq, exc_idx, exc_pred
