@@ -1,0 +1,144 @@
+"""Topology-aware corridor range (accuracy extension; VERDICT r2 task 3).
+
+The reference's contiguous-id range (align.rs:267-402) + id-order edge
+filter (align.rs:717-721) lose bubble alt-alleles and blow subgraphs up
+to the whole backbone on graphs whose alt-node ids sit far from their
+flanks.  The corridor intersects budgeted walks from the chain's first
+and last anchor nodes instead.  Measured on the HLA-zoo suite (512
+reads, seed 77): 9-G-3135 0.88->1.00, 8-C3107 0.81->0.97,
+5-B3106 0.85->0.97 path Jaccard, with p90 subgraph sizes dropping
+~10-20x.
+"""
+
+import numpy as np
+
+from vgaligner_tpu.graph.handlegraph import HashGraph
+from vgaligner_tpu.index import Index
+from vgaligner_tpu.io.fastx import QuerySequence
+from vgaligner_tpu.models.mapper import Mapper
+from vgaligner_tpu.models import poa_aligner as PA
+
+
+def _chain_for(index, read):
+    q = QuerySequence.from_name_and_string("r", read)
+    mapper = Mapper(index, chain_min_n_anchors=3)
+    chains = mapper.map_reads([q])[0]
+    assert not chains[0].is_placeholder
+    return chains[0]
+
+
+def _bubble_graph():
+    g = HashGraph()
+    h1 = g.create_handle("CCAGGACAGCCAGGCCAGCA", 1)
+    h2 = g.create_handle("T", 2)  # ref allele
+    h3 = g.create_handle("GATGGGGATGGTGGGCTGGG", 3)
+    h4 = g.create_handle("TTACGGATTCAGGCAACTGA", 4)
+    # junk region AFTER node 4 with ids INSIDE the would-be id range
+    h5 = g.create_handle("ACGTACGTACGTACGTACGTACGT", 5)
+    h6 = g.create_handle("GGCATCGTAGCTAGCTACGA", 6)
+    h7 = g.create_handle("C", 7)  # alt allele, id outside the chain range
+    g.create_edge(h1, h2)
+    g.create_edge(h1, h7)
+    g.create_edge(h2, h3)
+    g.create_edge(h7, h3)
+    g.create_edge(h3, h4)
+    g.create_edge(h4, h5)
+    g.create_edge(h5, h6)
+    return g
+
+
+def test_corridor_includes_alt_and_orders_topologically():
+    g = _bubble_graph()
+    index = Index.build(g, 11, 100, 100)
+    read = "CCAGGACAGCCAGGCCAGCA" + "C" + "GATGGGGATGGTGGGCTGGG" + "TTACGGATTCAGGCAACTGA"
+    chain = _chain_for(index, read)
+    rng = PA.find_range_chain_corridor(index, chain)
+    ids = [h >> 1 for h in rng.handles]
+    assert 7 in ids  # alt allele recovered
+    # topological placement: alt 9 sits between its flanks 1 and 3
+    assert ids.index(1) < ids.index(7) < ids.index(3)
+    # both alleles' edges survive the position filter
+    nodes, edges = PA.find_nodes_edges(index, rng)
+    pos = {i: p for p, i in enumerate(ids)}
+    assert (pos[1], pos[7]) in edges and (pos[7], pos[3]) in edges
+    assert (pos[1], pos[2]) in edges and (pos[2], pos[3]) in edges
+
+
+def test_corridor_excludes_downstream_junk():
+    """Nodes beyond the chain's last anchor (plus budget) are excluded
+    even when their ids fall inside the reference's id range."""
+    g = _bubble_graph()
+    index = Index.build(g, 11, 100, 100)
+    read = "CCAGGACAGCCAGGCCAGCA" + "C" + "GATGGGGATGGTGGGCTGGG"
+    chain = _chain_for(index, read)
+    rng = PA.find_range_chain_corridor(index, chain)
+    ids = {h >> 1 for h in rng.handles}
+    assert 7 in ids and 3 in ids
+    assert 6 not in ids  # beyond the suffix budget
+    # with an anchor on alt node 7 the reference id range is 1..7 and
+    # drags the junk nodes 5, 6 in
+    id_rng = PA.find_range_chain(index, chain)
+    id_ids = {h >> 1 for h in id_rng.handles}
+    if max(id_ids) >= 7:
+        assert {5, 6} <= id_ids
+
+
+def test_corridor_trims_huge_flank_node():
+    """An anchor deep inside a multi-kb node must not expand the POA
+    problem to the whole node: the flank label is trimmed to the
+    anchored window +- budget."""
+    rng_ = np.random.default_rng(3)
+    big = "".join("ACGT"[c] for c in rng_.integers(0, 4, 3000))
+    g = HashGraph()
+    hbig = g.create_handle(big, 1)
+    h2 = g.create_handle("TTACGGATTCAGGCAACTGA", 2)
+    g.create_edge(hbig, h2)
+    index = Index.build(g, 11, 100, 100)
+    read = big[1500:1560]
+    chain = _chain_for(index, read)
+    rng = PA.find_range_chain_corridor(index, chain)
+    assert rng.label_trims  # the 3 kb node got trimmed
+    nodes, _edges = PA.find_nodes_edges(index, rng)
+    total = sum(len(n) for n in nodes)
+    # window = read span + one budget (qlen + 128 slack) each side
+    assert total <= 3 * len(read) + 2 * 128 + 64, total
+    assert total < 1000  # far below the 3020-base untrimmed subgraph
+
+
+def test_native_corridor_matches_python():
+    """The C++ extractor's corridor (host_kernels.cpp) must produce the
+    same handles, same order, and same (trimmed) labels as the Python
+    implementation."""
+    from vgaligner_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    for read_fn in (
+        lambda: "CCAGGACAGCCAGGCCAGCA" + "C" + "GATGGGGATGGTGGGCTGGG"
+        + "TTACGGATTCAGGCAACTGA",
+    ):
+        g = _bubble_graph()
+        index = Index.build(g, 11, 100, 100)
+        chain = _chain_for(index, read_fn())
+        rng = PA.find_range_chain_corridor(index, chain)
+        py_nodes, _ = PA.find_nodes_edges(index, rng)
+
+        anchor_off = np.asarray([0, chain.n_anchors], np.int64)
+        handle_off, handles, label_off, labels, _eo, _e, status = (
+            native.extract_subgraphs_native(
+                index, anchor_off, chain.aqb, chain.atb, chain.ate,
+                None, None,
+                np.asarray([len(chain.query.seq)], np.int64),
+                chain.k, range_mode="corridor",
+            )
+        )
+        assert not status.any()
+        got = handles[handle_off[0] : handle_off[1]].tolist()
+        assert got == rng.handles
+        got_labels = [
+            labels[label_off[i] : label_off[i + 1]].decode()
+            for i in range(handle_off[0], handle_off[1])
+        ]
+        assert got_labels == py_nodes

@@ -92,15 +92,22 @@ def test_map_path_window_chains_golden():
 
 
 def test_map_path_window_alignments_golden():
-    """--also-align POA rows over the same reads, pinned byte-for-byte."""
+    """--also-align POA rows over the same reads, pinned byte-for-byte —
+    once per range mode: "id" is the reference's contiguous-id range
+    (align.rs:267-402 parity), "corridor" the topology-aware default
+    (the two differ only in path-coordinate columns on this graph)."""
     from vgaligner_tpu.models.poa_aligner import PoaAligner, PoaEngine
 
     _, index, _, _, chains = _map_path_window_fixture()
-    aligner = PoaAligner(index, PoaEngine.ABPOA)
-    aligns = aligner.best_alignments_for_queries(chains, align_best_n=1)
-    text = "".join(a.to_string() for a in aligns)
-    with open(os.path.join(GOLDEN_DIR, "path-window-alignments.gaf")) as fh:
-        assert fh.read() == text
+    for mode, golden_name in (
+        ("id", "path-window-alignments.gaf"),
+        ("corridor", "path-window-alignments-corridor.gaf"),
+    ):
+        aligner = PoaAligner(index, PoaEngine.ABPOA, range_mode=mode)
+        aligns = aligner.best_alignments_for_queries(chains, align_best_n=1)
+        text = "".join(a.to_string() for a in aligns)
+        with open(os.path.join(GOLDEN_DIR, golden_name)) as fh:
+            assert fh.read() == text, f"range_mode={mode}"
 
 
 def test_poa_full_reads_recover_gfa_paths():

@@ -225,7 +225,13 @@ def test_bubble_closure_recovers_distant_alt_allele():
     assert aln.path_matching == ">1>5>3>4", aln.path_matching
     assert "cg:Z:61M" in (aln.notes or ""), aln.notes
 
-    parity = PoaAligner(index, PoaEngine.ABPOA, bubble_closure=False)
+    # the corridor range (default) recovers the alt allele too
+    corridor = PoaAligner(index, PoaEngine.ABPOA, range_mode="corridor")
+    aln_c = corridor.best_alignments_for_queries(chains)[0]
+    assert aln_c.path_matching == ">1>5>3>4", aln_c.path_matching
+    assert "cg:Z:61M" in (aln_c.notes or ""), aln_c.notes
+
+    parity = PoaAligner(index, PoaEngine.ABPOA, range_mode="id")
     aln_p = parity.best_alignments_for_queries(chains)[0]
     # reference-parity subgraph misses node 5 -> substitution via node 2
     assert ">5" not in (aln_p.path_matching or ""), aln_p.path_matching

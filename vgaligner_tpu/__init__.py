@@ -32,6 +32,14 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Honor JAX_PLATFORMS=cpu via jax.config as well: on this image the
+# env var ALONE wedges backend init (sitecustomize registers the TPU
+# transport regardless; see utils/platform.py) — the config route is
+# what actually pins the process.
+_envp = _os.environ.get("JAX_PLATFORMS", "")
+if _envp.split(",")[0] == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the target TPU transport compiles
 # remotely (minutes per new executable shape), so fresh processes
 # (CLI runs, bench, the suite) must reuse compiled executables.

@@ -79,6 +79,15 @@ def _build_parser() -> argparse.ArgumentParser:
                          "chain rows): primary/secondary chain identification "
                          "per the reference's disabled logic — unambiguous "
                          "chains get mapq 60, query-overlap-ambiguous get 0")
+    mp.add_argument("--range-mode", default=None,
+                    choices=("corridor", "id"),
+                    help="chain->POA subgraph strategy: 'corridor' "
+                         "(default) is the topology-aware range between "
+                         "the chain's first and last anchors — an "
+                         "accuracy extension that keeps every bubble "
+                         "branch and drops unrelated backbone; 'id' is "
+                         "the reference's contiguous node-id range "
+                         "(align.rs:267-402, strict parity)")
     mp.add_argument("--bubble-closure", action="store_true",
                     help="splice out-of-range bubble alt-alleles into the "
                          "chain-implied POA subgraph (extension beyond the "
@@ -182,7 +191,8 @@ def map_main(args) -> None:
         graph = graph_from_gfa(args.input_graph)
         engine = PoaEngine.ABPOA if args.poa_aligner == "abpoa" else PoaEngine.RSPOA
         aligner = PoaAligner(index, engine, export_subgraphs=True, graph=graph,
-                             bubble_closure=args.bubble_closure, mesh=mesh)
+                             bubble_closure=args.bubble_closure, mesh=mesh,
+                             range_mode=args.range_mode)
 
     # large read sets stream through a two-stage software pipeline
     # (device POA for batch N overlaps host mapping of batch N+1);

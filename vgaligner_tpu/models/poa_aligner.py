@@ -47,6 +47,9 @@ class RangeOrient(Enum):
 class OrientedGraphRange:
     orient: RangeOrient
     handles: List[int]
+    # corridor-mode flank-node label trims: handle -> (from, to) within
+    # the node label (None = whole labels; see find_range_chain_corridor)
+    label_trims: Optional[dict] = None
 
     @property
     def first_handle(self) -> int:
@@ -176,6 +179,156 @@ def extend_range_chain(index: Index, chain: Chain, old_range: OrientedGraphRange
     return OrientedGraphRange(orient=old_range.orient, handles=handles)
 
 
+def _bfs_budget(index: Index, start_handle: int, budget: int, incoming: bool) -> dict:
+    """Budgeted orientation-preserving walk from start_handle; returns
+    {handle: best remaining budget at entry}.  Budget is measured in
+    sequence bases consumed; the frontier dedupes per handle keeping the
+    max remaining (a larger budget reaches a superset)."""
+    best: dict = {}
+    orient_bit = start_handle & 1
+    frontier = [(budget, start_handle)]
+    while frontier:
+        nxt = []
+        for rem, h in frontier:
+            if best.get(h, -1) >= rem:
+                continue
+            best[h] = rem
+            rem2 = rem - len(index.seq_from_handle(h))
+            if rem2 > 0:
+                nbrs = (
+                    index.incoming_edges_from_handle(h)
+                    if incoming
+                    else index.outgoing_edges_from_handle(h)
+                )
+                nxt.extend((rem2, t) for t in nbrs if (t & 1) == orient_bit)
+        frontier = nxt
+    return best
+
+
+def _topo_order(index: Index, members: set) -> List[int]:
+    """Kahn topological order of the subgraph induced by `members`
+    (successors = same-orientation outgoing edges), smallest handle
+    first on ties; any cyclic remainder is appended in id order with
+    its unresolved in-edges implicitly dropped by the position filter
+    (mirrors build_base_graph's cycle handling)."""
+    import heapq
+
+    indeg = {h: 0 for h in members}
+    succs = {h: [] for h in members}
+    for h in members:
+        for t in index.outgoing_edges_from_handle(h):
+            if t in indeg and t != h:
+                succs[h].append(t)
+                indeg[t] += 1
+    ready = [h for h, d in indeg.items() if d == 0]
+    heapq.heapify(ready)
+    out: List[int] = []
+    while ready:
+        h = heapq.heappop(ready)
+        out.append(h)
+        for t in succs[h]:
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                heapq.heappush(ready, t)
+    if len(out) < len(members):
+        done = set(out)
+        out.extend(sorted(h for h in members if h not in done))
+    return out
+
+
+def find_range_chain_corridor(
+    index: Index, chain: Chain, slack: int = 128
+) -> Optional[OrientedGraphRange]:
+    """Topology-aware replacement for the contiguous-id range (accuracy
+    extension beyond the reference; VGALIGNER_RANGE_MODE=id restores
+    strict parity).
+
+    The reference's find_range_chain (align.rs:267-402) takes the
+    min/max anchor-endpoint node ID: on graphs whose bubble alt-alleles
+    carry ids far from their flanks (vg construct appends them after
+    the backbone) that range either omits un-anchored alts entirely or
+    — when an anchor lands on a high-id alt — spans the whole backbone
+    between, forcing the global POA through kilobases of unrelated
+    sequence, and the id-order edge filter (align.rs:717-721) turns
+    every high-id alt into a dead-end sink that truncates alignments
+    (the allele/truncate failure class dominating 5-B3106 / 8-C3107 /
+    9-G-3135).
+
+    The corridor instead intersects two budgeted orientation-preserving
+    walks — forward from the chain's FIRST anchor node, backward from
+    its LAST (budget = query length + slack bases each) — so it contains
+    every branch of every bubble between the anchors and nothing else,
+    then orders it topologically so the position-order edge filter
+    keeps all real DAG edges.  Forward-orient chains only (production
+    anchors are forward-only, map.rs:62); reverse/mixed chains return
+    None and keep the reference range."""
+    import numpy as np
+
+    if chain.aso is not None and (
+        np.any(chain.aso != 0) or np.any(chain.aeo != 0)
+    ):
+        return None
+    ids_b, _ = index.node_ids_from_seqpos_vec(
+        np.zeros(1, np.int8), np.asarray([int(chain.atb[0])], dtype=np.int64)
+    )
+    ids_e, _ = index.node_ids_from_seqpos_vec(
+        np.zeros(1, np.int8), np.asarray([int(chain.ate[-1]) - 1], dtype=np.int64)
+    )
+    start_h = int(ids_b[0]) << 1
+    end_h = int(ids_e[0]) << 1
+    budget = len(chain.query.seq) + slack
+    # walk budgets are anchored-offset-based: the remaining budget after
+    # consuming the start node is qlen + slack minus the start node's
+    # bases past the anchor, so anchors deep inside a huge node keep
+    # the corridor inside it (mirrors host_kernels.cpp)
+    start_off = int(chain.atb[0]) - index.get_bv_select(int(ids_b[0]))
+    end_gap = index.get_bv_select(int(ids_e[0]) + 1) - int(chain.ate[-1])
+    fwd = _bfs_budget(index, start_h, start_off + budget, incoming=False)
+    bwd = _bfs_budget(index, end_h, end_gap + budget, incoming=True)
+    members = set(fwd) & set(bwd)
+    members.add(start_h)
+    members.add(end_h)
+
+    # unaligned query prefix/suffix beyond the anchored nodes
+    # (extend_range_chain_2 analog, align.rs:523-665)
+    prefix = int(chain.aqb[0])
+    start_off = int(chain.atb[0]) - index.get_bv_select(int(ids_b[0]))
+    prefix = max(0, prefix - max(0, start_off))
+    if prefix > 0:
+        for h in index.incoming_edges_from_handle(start_h):
+            if (h & 1) == 0:
+                members |= set(_bfs_budget(index, h, prefix, incoming=True))
+    suffix = len(chain.query.seq) - (int(chain.aqb[-1]) + chain.k)
+    end_tail = index.get_bv_select(int(ids_e[0]) + 1) - int(chain.ate[-1])
+    suffix = max(0, suffix - max(0, end_tail))
+    if suffix > 0:
+        for h in index.outgoing_edges_from_handle(end_h):
+            if (h & 1) == 0:
+                members |= set(_bfs_budget(index, h, suffix, incoming=False))
+
+    handles = _topo_order(index, members)
+
+    # flank-node label trimming (mirrors host_kernels.cpp): a huge
+    # start/end node would otherwise force the global POA through
+    # kilobases of deletions — trim its label to at most `budget` bases
+    # around the anchored window.  GAF path coordinates become relative
+    # to the trimmed window (documented corridor-mode divergence).
+    trims: dict = {}
+    s_len = len(index.seq_from_handle(start_h))
+    t_from = int(chain.atb[0]) - index.get_bv_select(int(ids_b[0])) - budget
+    if t_from > 0:
+        trims[start_h] = (t_from, s_len)
+    e_len = len(index.seq_from_handle(end_h))
+    t_to = int(chain.ate[-1]) - index.get_bv_select(int(ids_e[0])) + budget
+    if t_to < e_len:
+        f0 = trims.get(end_h, (0, 0))[0]
+        trims[end_h] = (f0, t_to)
+    return OrientedGraphRange(
+        orient=RangeOrient.FORWARD, handles=handles,
+        label_trims=trims or None,
+    )
+
+
 def close_bubbles(index: Index, po_range: OrientedGraphRange) -> OrientedGraphRange:
     """Surgical bubble closure (accuracy extension beyond the reference).
 
@@ -241,10 +394,15 @@ def close_bubbles(index: Index, po_range: OrientedGraphRange) -> OrientedGraphRa
 
 def find_nodes_edges(index: Index, po_range: OrientedGraphRange) -> Tuple[List[str], List[Tuple[int, int]]]:
     """Node labels + 0-based edges within the range, loops removed by
-    orientation (align.rs:670-724)."""
+    orientation (align.rs:670-724).  Corridor-mode flank trims apply."""
     handles = po_range.handles
     pos_of = {h: i for i, h in enumerate(handles)}
     seqs = [index.seq_from_handle(h) for h in handles]
+    if po_range.label_trims:
+        for h, (f, t) in po_range.label_trims.items():
+            i = pos_of.get(h)
+            if i is not None:
+                seqs[i] = seqs[i][f:t]
 
     edges: List[Tuple[int, int]] = []
     for h in handles:
@@ -289,7 +447,10 @@ class PoaAligner:
 
     def __init__(self, index: Index, engine: PoaEngine = PoaEngine.ABPOA,
                  export_subgraphs: bool = False, graph=None,
-                 bubble_closure: bool = False, mesh=None):
+                 bubble_closure: bool = False, mesh=None,
+                 range_mode: Optional[str] = None):
+        import os
+
         self.index = index
         self.engine = engine
         self.export_subgraphs = export_subgraphs
@@ -302,13 +463,67 @@ class PoaAligner:
         # the reference's contiguous-id range drops, but on bubble-dense
         # spoa/smooth graphs the extra edges let the global POA wander
         # into degenerate regions (measured net accuracy LOSS on
-        # 8-C3107), so strict reference parity is the default.
+        # 8-C3107), so it is not the default.
         self.bubble_closure = bubble_closure
+        # chain->subgraph strategy: "corridor" (default) is the
+        # topology-aware range (find_range_chain_corridor) — a
+        # documented accuracy divergence from the reference's
+        # contiguous-id range, which both loses bubble alt-alleles and
+        # blows subgraphs up to the whole backbone when an anchor lands
+        # on a high-id alt node (measured: 9-G-3135 path Jaccard
+        # 0.88 -> 1.00, max subgraph 4147 -> 442 vertices).  "id" is
+        # strict reference parity (align.rs:267-402).
+        if range_mode is None:
+            range_mode = os.environ.get("VGALIGNER_RANGE_MODE", "corridor")
+        if bubble_closure:
+            range_mode = "id"  # closure operates on the id range
+        if range_mode not in ("corridor", "id"):
+            raise ValueError(f"unknown range_mode {range_mode!r}")
+        self.range_mode = range_mode
+
+    def _chains_for_alignment(self, chains: List[Chain], n: int) -> List[Chain]:
+        """Pick the chains to base-level align (align.rs:34-55 takes the
+        first align_best_n).
+
+        Every chain in the list achieved the global max chain score
+        (chain.rs:469 backtracks only those), so on multi-copy regions
+        (e.g. 4-A3105's duplicated gene) the list holds one tied chain
+        per copy — and the reference's backtrack order (chain.rs:465,
+        last anchor first) puts the HIGHEST-position copy first, while
+        the embedded-path coordinate convention (vg sim reads, P-lines)
+        is the earliest copy.  In corridor (accuracy) mode, prefer the
+        earliest target start among the tied chains; id (parity) mode
+        keeps the reference order."""
+        if self.range_mode == "corridor" and len(chains) > 1:
+            order = sorted(
+                range(len(chains)),
+                key=lambda i: (
+                    (1 << 62) if chains[i].is_placeholder
+                    else int(chains[i].atb[0]),
+                    i,
+                ),
+            )
+            chains = [chains[i] for i in order]
+        return chains[: min(n, len(chains))]
+
+    def _range_for_chain(self, chain: Chain) -> OrientedGraphRange:
+        """Chain -> subgraph range under this aligner's range_mode
+        (Python path; mirrors the native vg_extract_subgraphs modes)."""
+        if self.range_mode == "corridor":
+            rng = find_range_chain_corridor(self.index, chain)
+            if rng is not None:
+                return rng
+        rng = extend_range_chain(
+            self.index, chain, find_range_chain(self.index, chain)
+        )
+        if self.bubble_closure:
+            rng = close_bubbles(self.index, rng)
+        return rng
 
     def best_alignment_for_query(self, chains: List[Chain], align_best_n: int = 1) -> GAFAlignment:
         """align.rs:34-55."""
         alignments: List[GAFAlignment] = []
-        for chain in chains[: min(align_best_n, len(chains))]:
+        for chain in self._chains_for_alignment(chains, align_best_n):
             if chain.is_placeholder:
                 alignments.append(GAFAlignment.from_placeholder_chain(chain))
             else:
@@ -349,7 +564,7 @@ class PoaAligner:
         selected: List[Tuple[int, Chain]] = []
         placeholders: dict = {}
         for qi, chains in enumerate(per_read_chains):
-            for chain in chains[: min(align_best_n, len(chains))]:
+            for chain in self._chains_for_alignment(chains, align_best_n):
                 if chain.is_placeholder:
                     placeholders.setdefault(qi, GAFAlignment.from_placeholder_chain(chain))
                     continue
@@ -380,11 +595,7 @@ class PoaAligner:
             problems = []
             owners: List[Tuple[int, Chain, OrientedGraphRange]] = []
             for qi, chain in selected:
-                rng = extend_range_chain(
-                    self.index, chain, find_range_chain(self.index, chain)
-                )
-                if self.bubble_closure:
-                    rng = close_bubbles(self.index, rng)
+                rng = self._range_for_chain(chain)
                 nodes, edges = find_nodes_edges(self.index, rng)
                 if self.export_subgraphs and self.graph is not None:
                     from ..io.validate import create_subgraph_gfa, export_gfa
@@ -429,17 +640,13 @@ class PoaAligner:
         owners: List[Tuple[int, Chain, OrientedGraphRange]] = []
         per_read: dict = {}
         for qi, chains in enumerate(per_read_chains):
-            for chain in chains[: min(align_best_n, len(chains))]:
+            for chain in self._chains_for_alignment(chains, align_best_n):
                 if chain.is_placeholder:
                     per_read.setdefault(qi, []).append(
                         GAFAlignment.from_placeholder_chain(chain)
                     )
                     continue
-                rng = extend_range_chain(
-                    self.index, chain, find_range_chain(self.index, chain)
-                )
-                if self.bubble_closure:
-                    rng = close_bubbles(self.index, rng)
+                rng = self._range_for_chain(chain)
                 nodes, edges = find_nodes_edges(self.index, rng)
                 problems.append((nodes, edges, chain.query.seq))
                 owners.append((qi, chain, rng))
@@ -492,6 +699,7 @@ class PoaAligner:
             extract_subgraphs_native(
                 self.index, anchor_off, aqb, atb, ate, aso, aeo, qlen, k,
                 bubble_closure=self.bubble_closure,
+                range_mode=self.range_mode,
             )
         )
         if status.any():
@@ -648,10 +856,7 @@ class PoaAligner:
 
     def obtain_base_level_alignment(self, chain: Chain) -> GAFAlignment:
         """align.rs:58-145."""
-        po_range = find_range_chain(self.index, chain)
-        extended = extend_range_chain(self.index, chain, po_range)
-        if self.bubble_closure:
-            extended = close_bubbles(self.index, extended)
+        extended = self._range_for_chain(chain)
         nodes, edges = find_nodes_edges(self.index, extended)
 
         if self.export_subgraphs and self.graph is not None:

@@ -510,12 +510,19 @@ def extract_subgraphs_native(index, anchor_off: np.ndarray, aqb: np.ndarray,
                              aso: Optional[np.ndarray],
                              aeo: Optional[np.ndarray],
                              qlen: np.ndarray, k: int,
-                             bubble_closure: bool = False):
+                             bubble_closure: bool = False,
+                             range_mode: str = "id"):
     """Batched chain -> subgraph extraction over the index arrays.
 
-    bubble_closure splices in out-of-range one-hop bubble alt-alleles
-    (see host_kernels.cpp; an accuracy extension beyond the reference's
-    contiguous-id range — pass False for strict reference parity).
+    range_mode selects the chain->subgraph strategy (host_kernels.cpp
+    vg_extract_subgraphs):
+      * "id"       — the reference's contiguous node-id range
+                     (align.rs:267-402; strict parity);
+      * "corridor" — topology-aware corridor between the chain's first
+                     and last anchor nodes (accuracy extension; see
+                     models/poa_aligner.py find_range_chain_corridor).
+    bubble_closure (exclusive with corridor) splices in out-of-range
+    one-hop bubble alt-alleles.
     Returns (handle_off [B+1], handles, label_off [total_nodes+1],
     labels bytes, edge_off [B+1], edges [total_edges,2], status [B])
     where status[p] != 0 marks a problem needing the Python fallback.
@@ -548,7 +555,8 @@ def extract_subgraphs_native(index, anchor_off: np.ndarray, aqb: np.ndarray,
         B, _p64(ao), _p64(aqb_c), _p64(atb_c), _p64(ate_c),
         None if aso_c is None else _p8(aso_c),
         None if aeo_c is None else _p8(aeo_c),
-        _p64(ql), k, 1 if bubble_closure else 0,
+        _p64(ql), k,
+        2 if range_mode == "corridor" else (1 if bubble_closure else 0),
         ctypes.byref(oh), ctypes.byref(ohs), ctypes.byref(olo),
         ctypes.byref(olb), ctypes.byref(oeo), ctypes.byref(oe),
         ctypes.byref(ost),

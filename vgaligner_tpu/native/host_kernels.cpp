@@ -32,6 +32,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <queue>
 #include <string>
 #include <unordered_map>
 #include <unordered_set>
@@ -682,11 +683,15 @@ int64_t vg_extract_subgraphs(
 
   std::vector<int64_t> hlist, nbrs;
   std::vector<std::pair<int64_t, int64_t>> frontier, nxt;
+  // corridor-mode flank-node label trims: handle -> [from, to) within
+  // the node label (see corridor block)
+  std::unordered_map<int64_t, std::pair<int64_t, int64_t>> trim;
 
   for (int64_t p = 0; p < B; ++p) {
     int64_t a0 = anchor_off[p], a1 = anchor_off[p + 1];
     int64_t na = a1 - a0;
     hlist.clear();
+    trim.clear();
 
     // ---- find_range_chain (align.rs:267-402) -------------------------
     int64_t min_handle = INT64_MAX, max_handle = INT64_MIN;
@@ -721,6 +726,158 @@ int64_t vg_extract_subgraphs(
     if (hlist.empty() && min_handle == max_handle) hlist.push_back(min_handle);
     int64_t first_handle = hlist.front(), last_handle = hlist.back();
 
+    bool failed = false;
+    bool corridor_done = false;
+
+    // ---- corridor range (closure == 2; topology-aware replacement for
+    // the contiguous-id range — see models/poa_aligner.py
+    // find_range_chain_corridor for the rationale and measured wins).
+    // Forward-orient chains only; anything else keeps the reference
+    // range below. --------------------------------------------------
+    if (closure == 2 && orient_kind == 0 && na > 0) {
+      int64_t start_id = ix.node_id_fwd(atb[a0]);
+      int64_t end_id = ix.node_id_fwd(ate[a1 - 1] - 1);
+      int64_t start_h = start_id << 1, end_h = end_id << 1;
+      int64_t budget = qlen[p] + 128;
+      // budgeted orientation-preserving walk; best remaining per handle
+      auto walk = [&](int64_t seed, int64_t bud, bool inc,
+                      std::unordered_map<int64_t, int64_t>& best) {
+        frontier.clear();
+        frontier.emplace_back(bud, seed);
+        int guard = 0;
+        while (!frontier.empty()) {
+          if (++guard > 10000) { failed = true; return; }
+          nxt.clear();
+          for (auto& fr : frontier) {
+            int64_t rem = fr.first, h = fr.second;
+            auto it = best.find(h);
+            if (it != best.end() && it->second >= rem) continue;
+            best[h] = rem;
+            int64_t rem2 = rem - ix.label_len(h >> 1);
+            if (rem2 > 0) {
+              if (inc) ix.incoming(h, nbrs); else ix.outgoing(h, nbrs);
+              for (int64_t t : nbrs)
+                if (!(t & 1)) nxt.emplace_back(rem2, t);
+            }
+          }
+          frontier.swap(nxt);
+        }
+      };
+      std::unordered_map<int64_t, int64_t> bf, bb, ext;
+      // forward budget: the read starts (atb0 - node_start) bases into
+      // the start node and extends <= qlen + slack, so the walk's
+      // remaining budget after consuming the start node is
+      // qlen + slack - (bases of start node past the anchor) — anchors
+      // deep inside a huge node correctly keep the corridor inside it
+      walk(start_h,
+           (atb[a0] - node_starts[start_id - 1]) + budget, false, bf);
+      if (!failed)
+        walk(end_h,
+             (node_starts[end_id] - ate[a1 - 1]) + budget, true, bb);
+      if (!failed) {
+        std::unordered_set<int64_t> members;
+        for (auto& kv : bf)
+          if (bb.count(kv.first)) members.insert(kv.first);
+        members.insert(start_h);
+        members.insert(end_h);
+        // unaligned query prefix/suffix beyond the anchored nodes
+        // (extend_range_chain_2 analog)
+        int64_t prefix = aqb[a0];
+        int64_t son = atb[a0] - node_starts[start_id - 1];
+        prefix -= son > 0 ? son : 0;
+        if (prefix > 0) {
+          ix.incoming(start_h, nbrs);
+          std::vector<int64_t> seeds(nbrs);
+          for (int64_t s : seeds) {
+            if ((s & 1) || failed) continue;
+            walk(s, prefix, true, ext);
+          }
+          for (auto& kv : ext) members.insert(kv.first);
+        }
+        int64_t suffix = qlen[p] - (aqb[a1 - 1] + k);
+        int64_t eon = node_starts[end_id] - ate[a1 - 1];
+        suffix -= eon > 0 ? eon : 0;
+        if (!failed && suffix > 0) {
+          ext.clear();
+          ix.outgoing(end_h, nbrs);
+          std::vector<int64_t> seeds(nbrs);
+          for (int64_t s : seeds) {
+            if ((s & 1) || failed) continue;
+            walk(s, suffix, false, ext);
+          }
+          for (auto& kv : ext) members.insert(kv.first);
+        }
+        if (!failed) {
+          // Kahn topological order, smallest handle first on ties; a
+          // cyclic remainder is appended in id order (its unresolved
+          // in-edges are dropped by the position filter, matching
+          // build_base_graph's cycle handling)
+          std::unordered_map<int64_t, int64_t> indeg;
+          std::unordered_map<int64_t, std::vector<int64_t>> succ;
+          for (int64_t h : members) indeg.emplace(h, 0);
+          for (int64_t h : members) {
+            ix.outgoing(h, nbrs);
+            for (int64_t t : nbrs)
+              if (t != h && indeg.count(t)) {
+                succ[h].push_back(t);
+                ++indeg[t];
+              }
+          }
+          std::priority_queue<int64_t, std::vector<int64_t>,
+                              std::greater<int64_t>> ready;
+          for (auto& kv : indeg)
+            if (kv.second == 0) ready.push(kv.first);
+          std::vector<int64_t> order;
+          order.reserve(members.size());
+          while (!ready.empty()) {
+            int64_t h = ready.top();
+            ready.pop();
+            order.push_back(h);
+            auto it = succ.find(h);
+            if (it != succ.end())
+              for (int64_t t : it->second)
+                if (--indeg[t] == 0) ready.push(t);
+          }
+          if (order.size() < members.size()) {
+            std::unordered_set<int64_t> done(order.begin(), order.end());
+            std::vector<int64_t> rest;
+            for (int64_t h : members)
+              if (!done.count(h)) rest.push_back(h);
+            std::sort(rest.begin(), rest.end());
+            order.insert(order.end(), rest.begin(), rest.end());
+          }
+          hlist.swap(order);
+          corridor_done = true;
+
+          // ---- flank-node label trimming -------------------------------
+          // A single huge node (e.g. 4-A3105's ~53 kb backbone nodes)
+          // makes the POA subgraph tens of thousands of base vertices
+          // for a 100 bp read: the global DP is then forced through
+          // kilobases of deletions and both accuracy and speed collapse
+          // (the reference behaves identically, align.rs:190-202 gets
+          // the whole node label).  Corridor mode trims the START
+          // node's label to begin at most `budget` bases before the
+          // first anchor and the END node's to stop at most `budget`
+          // bases after the last anchor.  Path coordinates in the GAF
+          // are then relative to the trimmed window (documented
+          // corridor-mode divergence; node ids are unaffected).
+          int64_t sN = node_starts[start_id - 1];
+          int64_t sLen = ix.label_len(start_id);
+          int64_t from = atb[a0] - sN - budget;
+          if (from > 0) trim[start_h] = {from, sLen};
+          int64_t eN = node_starts[end_id - 1];
+          int64_t eLen = ix.label_len(end_id);
+          int64_t to = ate[a1 - 1] - eN + budget;
+          if (to < eLen) {
+            auto it = trim.find(end_h);
+            int64_t f0 = it == trim.end() ? 0 : it->second.first;
+            trim[end_h] = {f0, to};
+          }
+        }
+      }
+      failed = false;  // corridor failure falls back to the id range
+    }
+
     // ---- extend_range_chain (align.rs:523-665) ------------------------
     // u64 wrapping reproduced (reference release-build wrap semantics)
     uint64_t prefix_diff = (uint64_t)aqb[a0];
@@ -728,8 +885,6 @@ int64_t vg_extract_subgraphs(
         (uint64_t)atb[a0] - (uint64_t)node_starts[(first_handle >> 1) - 1];
     if (start_on_node < prefix_diff) prefix_diff -= start_on_node;
     else prefix_diff = 0;
-
-    bool failed = false;
     auto bfs = [&](uint64_t diff, int64_t seed_handle, bool incoming_dir) {
       // Frontier entries are deduped per level keeping the MAX remaining
       // budget: a handle reached with budget r collects a superset of
@@ -766,7 +921,7 @@ int64_t vg_extract_subgraphs(
         frontier.swap(nxt);
       }
     };
-    if (prefix_diff > 0) bfs(prefix_diff, first_handle, true);
+    if (!corridor_done && prefix_diff > 0) bfs(prefix_diff, first_handle, true);
 
     uint64_t suffix_diff = (uint64_t)(qlen[p] - (aqb[a1 - 1] + k));
     // get_bv_select(id+1) - 1 - (ate[-1]-1), u64-wrapped
@@ -774,7 +929,8 @@ int64_t vg_extract_subgraphs(
                            ((uint64_t)ate[a1 - 1] - 1);
     if (end_on_node > suffix_diff) suffix_diff = 0;
     else suffix_diff -= end_on_node;
-    if (!failed && suffix_diff > 0) bfs(suffix_diff, last_handle, false);
+    if (!corridor_done && !failed && suffix_diff > 0)
+      bfs(suffix_diff, last_handle, false);
 
     if (failed) {
       status[p] = 1;
@@ -783,8 +939,10 @@ int64_t vg_extract_subgraphs(
       continue;
     }
 
-    std::sort(hlist.begin(), hlist.end());
-    hlist.erase(std::unique(hlist.begin(), hlist.end()), hlist.end());
+    if (!corridor_done) {
+      std::sort(hlist.begin(), hlist.end());
+      hlist.erase(std::unique(hlist.begin(), hlist.end()), hlist.end());
+    }
 
     // ---- bubble closure (surgical extension beyond the reference) -----
     // Two reference behaviors lose bubble alt-alleles on spoa/smooth HLA
@@ -803,7 +961,7 @@ int64_t vg_extract_subgraphs(
     // order — the id filter doubles as a linearity prior that prunes
     // spurious long-range shortcuts, so a full topological reorder
     // measurably hurts (it legalizes those shortcuts).
-    if (closure && orient_kind == 0) {
+    if (closure == 1 && orient_kind == 0) {
       std::unordered_set<int64_t> inset(hlist.begin(), hlist.end());
       std::vector<int64_t> cands;  // out-of-range one-hop candidates
       for (int64_t h : hlist) {
@@ -875,10 +1033,17 @@ int64_t vg_extract_subgraphs(
     for (int64_t h : hlist) {
       int64_t id = h >> 1;
       int64_t s = node_starts[id - 1], e = node_starts[id];
-      if (h & 1)
+      if (h & 1) {
         labels_all.append(seq_rev + (seq_len - e), (size_t)(e - s));
-      else
-        labels_all.append(seq_fwd + s, (size_t)(e - s));
+      } else {
+        int64_t from = 0, to = e - s;
+        auto it = trim.find(h);
+        if (it != trim.end()) {
+          from = it->second.first;
+          to = it->second.second;
+        }
+        labels_all.append(seq_fwd + s + from, (size_t)(to - from));
+      }
       label_off.push_back((int64_t)labels_all.size());
       handles_all.push_back(h);
     }

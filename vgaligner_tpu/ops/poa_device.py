@@ -1887,8 +1887,8 @@ def _finish_fused(pendings):
     for key, (scores, tapes, tlens) in zip(shared_ids, got):
         fetched[key] = (scores, tapes, tlens)
     out: List = []
-    refetch = []  # (pending, out_index_start, t_used)
     decoded: List = []
+    refetch = []  # (decoded index, device tape slice)
     for p in pendings:
         shared, ci = p[0]
         scores_cat, tapes_cat, tlens_cat = fetched[id(shared)]
@@ -1900,17 +1900,33 @@ def _finish_fused(pendings):
         tape = tapes_cat[t0 : t0 + b_pad * t_guess].reshape(b_pad, t_guess)
         n_real = p[7]
         used = int(tlens[:n_real].max()) if n_real else 1
+        if os.environ.get("VGALIGNER_POA_DEBUG_TAPE"):
+            import sys as _sys
+
+            _sys.stderr.write(
+                f"tape chunk b_pad={b_pad} t_guess={t_guess} "
+                f"used={used} overflow={used > t_guess}\n"
+            )
         if used > t_guess:
-            # rare deletion-heavy chunk: refetch its full tape, sliced
+            # deletion-heavy chunk (traceback ran past the guess):
+            # queue its real-length tape; ALL such chunks refetch in
+            # ONE device_get below — each separate fetch costs a full
+            # link round trip, and big-V chunks overflow together
             t_cap = shared.fulls[ci].shape[1]
             t_used = min(t_cap, max(64, 1 << max(0, used - 1).bit_length()))
-            with timer.phase("f_fetch"):
-                tape = jax.device_get(
-                    _slice_tape(shared.fulls[ci], t_used)
-                    if t_used < t_cap
-                    else shared.fulls[ci]
-                )
+            refetch.append((
+                len(decoded),
+                _slice_tape(shared.fulls[ci], t_used)
+                if t_used < t_cap
+                else shared.fulls[ci],
+            ))
         decoded.append((p, (scores, tape, tlens)))
+    if refetch:
+        with timer.phase("f_fetch"):
+            full = jax.device_get([t for _i, t in refetch])
+        for (i, _t), tape in zip(refetch, full):
+            p, (scores, _old, tlens) = decoded[i]
+            decoded[i] = (p, (scores, tape, tlens))
     for p, f in decoded:
         out.extend(_decode_finished(p, f))
     return out
