@@ -282,7 +282,7 @@ def test_n_policy_drop_kmer_vs_drop_handle():
     g.create_edge(h2, h3)
 
     strict = Index.build(g, 11, 100, 100, n_policy="drop-handle")
-    lenient = Index.build(g, 11, 100, 100)  # default drop-kmer
+    lenient = Index.build(g, 11, 100, 100, n_policy="drop-kmer")
 
     def fwd_starts_in(index, lo, hi):
         pos = index.fo_positions

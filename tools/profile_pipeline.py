@@ -40,10 +40,21 @@ def main():
 
     aligner = PoaAligner(index, PoaEngine.ABPOA)
     aligner.best_alignments_for_queries(chains)  # warm-up
-    t0 = time.monotonic()
-    aligner.best_alignments_for_queries(chains)
-    align_s = time.monotonic() - t0
-    print(f"align: {align_s*1000:.1f} ms total ({len(queries)/align_s:.0f} r/s)")
+    from vgaligner_tpu.ops import poa_device as _pd
+
+    best = float("inf")
+    for _ in range(int(os.environ.get("PROFILE_REPS", "2"))):
+        _pd.timer.totals.clear()
+        _pd.timer.counts.clear()
+        t0 = time.monotonic()
+        aligner.best_alignments_for_queries(chains)
+        align_s = time.monotonic() - t0
+        print(f"align: {align_s*1000:.1f} ms total "
+              f"({len(queries)/align_s:.0f} r/s)")
+        print("  poa phases: " + _pd.timer.report())
+        best = min(best, align_s)
+    if os.environ.get("PROFILE_QUICK") == "1":
+        return
 
     # align sub-phases, instrumented inline
     from vgaligner_tpu.models.poa_aligner import _V_DEVICE_CAP  # noqa

@@ -49,12 +49,13 @@ def _build_parser() -> argparse.ArgumentParser:
     ip.add_argument("-p", "--mappings-path", metavar="FILE")
     ip.add_argument("-t", "--threads", type=int, default=0, metavar="INTEGER")
     ip.add_argument("--n-policy", choices=["drop-kmer", "drop-handle"],
-                    default="drop-kmer",
-                    help="N handling in DFS k-mer enumeration: drop-kmer "
-                         "(default) skips only N-containing k-mers "
-                         "(kmer.rs:161-163); drop-handle reproduces the "
-                         "reference DFS quirk of dropping every k-mer of "
-                         "an N-containing handle (kmer.rs:400-403)")
+                    default="drop-handle",
+                    help="N handling in DFS k-mer enumeration: drop-handle "
+                         "(default, reference parity) drops every k-mer of "
+                         "an N-containing handle (kmer.rs:400-403); "
+                         "drop-kmer skips only N-containing k-mers "
+                         "(kmer.rs:161-163, the reference's path-guided "
+                         "generator policy)")
 
     mp = sub.add_parser("map", help="map sequences to a graph")
     mp.add_argument("-i", "--index", required=True, metavar="FILE")

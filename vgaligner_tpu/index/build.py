@@ -257,19 +257,22 @@ class Index:
         generate_mappings: bool = False,
         mappings_path: Optional[str] = None,
         state_cap: int = 500_000,
-        n_policy: str = "drop-kmer",
+        n_policy: str = "drop-handle",
     ) -> "Index":
         """Build the index (Index::build, index.rs:109-281).
 
         n_policy controls N handling in the DFS k-mer generator:
-        "drop-kmer" (default) skips only k-mers that contain an N —
-        the policy of the reference's own path-guided generator
-        (kmer.rs:161-163) — while "drop-handle" reproduces the
-        reference's production DFS quirk of aborting the WHOLE
-        handle+orientation on the first N-containing k-mer
-        (kmer.rs:400-403), which leaves every k-mer of an
-        N-containing node unindexed (on HLA-zoo 4-A3105 that is 93%
-        of the graph: two ~53 kb nodes with interior N runs).
+        "drop-handle" (default) reproduces the reference's production
+        DFS behavior of aborting the WHOLE handle+orientation on the
+        first N-containing k-mer (kmer.rs:400-403), leaving every
+        k-mer of an N-containing node unindexed; "drop-kmer" skips
+        only k-mers that contain an N — the policy of the reference's
+        own path-guided generator (kmer.rs:161-163).  Default is the
+        reference quirk: parity, and measured no worse on the one
+        N-containing HLA-zoo graph (4-A3105: drop-handle 0.885 vs
+        drop-kmer 0.850 path Jaccard at 128 reads — unindexing the two
+        N-run ~53 kb nodes removes their duplicate-allele ambiguity,
+        see NOTES.md).
         """
         n_nodes = graph.n_nodes
         lin = find_forward_sequence(graph)
