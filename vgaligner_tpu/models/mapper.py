@@ -380,7 +380,18 @@ class Mapper:
             & (scores.pred != -1)
             & (scores.f == scores.curr_max[:, None])
         )
-        if a_max <= 16384:
+        if bandwidth < 127:
+            # predecessors live within the DP's `bandwidth`-slot window
+            # (chain.rs:403-417), so the pointer fits 7 bits as a slot
+            # DELTA — one uint8 per anchor halves the dominant
+            # device->host payload of the map stage (bandwidth-bound
+            # link).  0 = no predecessor; bit 7 = is_start.
+            slot = jnp.arange(a_max, dtype=jnp.int32)[None, :]
+            delta = jnp.where(scores.pred >= 0, slot - scores.pred, 0)
+            packed = (delta | (is_start.astype(jnp.int32) << 7)).astype(
+                jnp.uint8
+            )
+        elif a_max <= 16384:
             packed = (
                 (scores.pred + 1) | (is_start.astype(jnp.int32) << 15)
             ).astype(jnp.uint16)
@@ -657,10 +668,17 @@ class Mapper:
         return mappable, a_max, packed_d, counts_d
 
     def _collect_bucket(self, mappable, a_max, packed, counts):
-        shift = 15 if packed.dtype == np.uint16 else 17
         arr = packed.astype(np.int32)
-        pred = (arr & ((1 << shift) - 1)) - 1
-        starts = (arr >> shift) & 1
+        if packed.dtype == np.uint8:
+            # delta-coded plane (see _device_map): 0 = none, bit 7 start
+            delta = arr & 0x7F
+            slot = np.arange(arr.shape[1], dtype=np.int32)[None, :]
+            pred = np.where(delta > 0, slot - delta, -1)
+            starts = (arr >> 7) & 1
+        else:
+            shift = 15 if packed.dtype == np.uint16 else 17
+            pred = (arr & ((1 << shift) - 1)) - 1
+            starts = (arr >> shift) & 1
 
         # pointer walks, visiting only chain-start anchors
         with self.timer.phase("backtrack"):

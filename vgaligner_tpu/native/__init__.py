@@ -56,7 +56,7 @@ def _build() -> Optional[str]:
                     return _LIB_PATH
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            _SRC, "-o", _LIB_PATH + ".tmp",
+            "-pthread", _SRC, "-o", _LIB_PATH + ".tmp",
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(_LIB_PATH + ".tmp", _LIB_PATH)

@@ -31,12 +31,57 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <atomic>
 #include <deque>
 #include <queue>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
+
+namespace {
+
+// Host-side data parallelism for the per-read runtime helpers.  The
+// reference is single-threaded by accident (rayon compiled out,
+// SURVEY.md §1); this framework's host runtime parallelizes its
+// per-read loops — the comparison baseline (vg_baseline_*) stays
+// single-threaded and does NOT use this.
+int64_t vg_threads() {
+  const char* e = std::getenv("VGALIGNER_NATIVE_THREADS");
+  if (e && *e) {
+    long v = std::atol(e);
+    return v >= 1 ? (int64_t)v : 1;
+  }
+  unsigned hc = std::thread::hardware_concurrency();
+  int64_t v = hc ? (int64_t)hc : 1;
+  return v > 16 ? 16 : v;
+}
+
+template <class F>
+void parallel_for(int64_t n, F&& f) {
+  int64_t nt = vg_threads();
+  if (nt > n) nt = n;
+  if (nt <= 1) {
+    for (int64_t i = 0; i < n; ++i) f(i);
+    return;
+  }
+  std::atomic<int64_t> next(0);
+  std::vector<std::thread> ts;
+  ts.reserve((size_t)nt);
+  for (int64_t t = 0; t < nt; ++t)
+    ts.emplace_back([&]() {
+      for (;;) {
+        int64_t i = next.fetch_add(16);
+        if (i >= n) break;
+        int64_t e = i + 16 < n ? i + 16 : n;
+        for (int64_t j = i; j < e; ++j) f(j);
+      }
+    });
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
 
 namespace {
 
@@ -1479,7 +1524,7 @@ int64_t vg_count_anchors(
     int64_t n_reads, const char* seqs, const int64_t* seq_off,
     int32_t k, const int64_t* kmer_codes, const int64_t* fo_counts,
     int64_t n_kmers, int64_t* out_totals) {
-  for (int64_t rix = 0; rix < n_reads; ++rix) {
+  parallel_for(n_reads, [&](int64_t rix) {
     const char* s = seqs + seq_off[rix];
     int64_t len = seq_off[rix + 1] - seq_off[rix];
     int64_t total = 0;
@@ -1504,7 +1549,7 @@ int64_t vg_count_anchors(
       }
     }
     out_totals[rix] = total;
-  }
+  });
   return 0;
 }
 
@@ -1526,11 +1571,12 @@ int64_t vg_anchor_coords(
   struct Anc {
     int64_t qb, tb, te;
   };
-  std::vector<Anc> anc;
-  std::vector<int64_t> order;
-  for (int64_t rix = 0; rix < n_reads; ++rix) {
+  std::atomic<int64_t> err(0);
+  parallel_for(n_reads, [&](int64_t rix) {
+    std::vector<Anc> anc;
+    std::vector<int64_t> order;
     const int64_t m0 = mem_off[rix], m1 = mem_off[rix + 1];
-    if (m0 == m1) continue;
+    if (m0 == m1 || err.load(std::memory_order_relaxed)) return;
     const char* s = seqs + seq_off[rix];
     const int64_t len = seq_off[rix + 1] - seq_off[rix];
     const int64_t cap = a_max[rix];
@@ -1568,14 +1614,17 @@ int64_t vg_anchor_coords(
     });
     for (int64_t j = m0; j < m1; ++j) {
       const int64_t p = (int64_t)mem_slots[j];
-      if (p < 0 || p >= (int64_t)anc.size()) return rix + 1;
+      if (p < 0 || p >= (int64_t)anc.size()) {
+        err.store(rix + 1, std::memory_order_relaxed);
+        return;
+      }
       const Anc& a = anc[(size_t)order[(size_t)p]];
       out_qb[j] = a.qb;
       out_tb[j] = a.tb;
       out_te[j] = a.te;
     }
-  }
-  return 0;
+  });
+  return err.load();
 }
 
 // Chain backtracking over sorted anchor positions (chain.rs:464-557;

@@ -1452,16 +1452,28 @@ def _ring_for_chunk(vpred_s, nv, b_pad: int, V: int, l_pad: int) -> int:
     holds with a tiny ring.  R is quantized to a {16,64,...} ladder so
     the expensive DP executable compiles once per (B,V,P,L,R) instead
     of per exact delta, and capped by the kernel's VMEM geometry."""
+    dplane, exc_idx, exc_pred = encode_pred_deltas(vpred_s, nv, max_delta=255)
+    return _ring_from_deltas(
+        dplane, exc_idx, exc_pred, V, vpred_s.shape[-1], b_pad, l_pad
+    )
+
+
+def _ring_from_deltas(dplane, exc_idx, exc_pred, V: int, P: int,
+                      b_pad: int, l_pad: int) -> int:
+    """_ring_for_chunk core on the ALREADY-computed wire delta encoding
+    (kernel_prepare has dplane + exceptions in hand — rescanning the
+    dense [B,V,P] table per chunk measured ~100 ms/drain of pure d_pack
+    overhead).  dplane holds slot-0 deltas that fit the wire bound;
+    every other live slot (and larger slot-0 deltas) rides the
+    exception list, whose delta is recoverable from its flat index."""
     if os.environ.get("VGALIGNER_POA_PALLAS2", "1") == "0":
         return 0
-    v_iota = np.arange(V, dtype=np.int64)[None, :, None]
-    live = (vpred_s >= 0) & (
-        v_iota[:, :, 0] < np.asarray(nv, np.int64).reshape(-1, 1)
-    )[:, :, None]
+    d = int(dplane.max()) if dplane.size else 1
+    live = exc_pred >= 0
     if live.any():
-        d = int((np.where(live, v_iota - vpred_s.astype(np.int64), 0)).max())
-    else:
-        d = 1
+        v_i = ((exc_idx[live].astype(np.int64)) // P) % V
+        d = max(d, int((v_i - exc_pred[live].astype(np.int64)).max()))
+    d = max(d, 1)
     r = 16
     while r < d:
         r <<= 2
@@ -1491,7 +1503,7 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
             vpred_s, nv, max_delta=max_delta
         )
         V, P = vcodes.shape[1], vpred_s.shape[-1]
-        R = _ring_for_chunk(vpred_s, nv, b_pad, V, l_pad)
+        R = _ring_from_deltas(dplane, exc_idx, exc_pred, V, P, b_pad, l_pad)
         if version == "v2":
             wire = pack_chunk_wire2(
                 vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred
