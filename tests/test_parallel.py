@@ -44,6 +44,40 @@ def test_sharded_mapping_matches_single_device(index):
     assert [a.to_string() for a in gaf_sharded] == [a.to_string() for a in gaf_single]
 
 
+def test_offset_sharded_index_matches_replicated():
+    """shard_index=True (position table offset-sharded over the mesh,
+    gathered back with one psum per batch — parallel/mesh.py
+    place_index + Mapper._device_map_sharded) must produce chains
+    bit-identical to the replicated-index mesh path on the DRB1-scale
+    workload shapes."""
+    gfa = "/root/reference/experiments-snakemake/2-DRB1-3123/graph.gfa"
+    if not os.path.exists(gfa):
+        gfa = f"{REFERENCE_TEST_DIR}/test.gfa"
+    g = graph_from_gfa(gfa)
+    idx = Index.build(g, 11, 100, 100)
+    rng = np.random.default_rng(5)
+    reads = []
+    for i in range(37):  # not a multiple of 8
+        s = int(rng.integers(0, max(idx.seq_length - 100, 1)))
+        reads.append(
+            QuerySequence.from_name_and_string(f"r{i}", idx.seq_fwd[s : s + 100])
+        )
+
+    mesh = make_mesh(8)
+    repl = Mapper(idx, chain_min_n_anchors=3, mesh=mesh)
+    gaf_repl = repl.chains_to_gaf(repl.map_reads(reads))
+
+    shard = Mapper(idx, chain_min_n_anchors=3, mesh=mesh, shard_index=True)
+    # the position table really is sharded: per-device shards hold 1/8
+    fo = shard.dindex.fo_start
+    assert len(fo.sharding.device_set) == 8
+    shard_sizes = {s.data.shape[0] for s in fo.addressable_shards}
+    assert shard_sizes == {fo.shape[0] // 8}
+    gaf_shard = shard.chains_to_gaf(shard.map_reads(reads))
+
+    assert [a.to_string() for a in gaf_shard] == [a.to_string() for a in gaf_repl]
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

@@ -302,6 +302,12 @@ def _fetch_bucket_outputs(outs):
     return [(arrays[2 * i], arrays[2 * i + 1]) for i in range(len(outs))]
 
 
+# jitted shard_map executables for the offset-sharded index path,
+# keyed by (mesh, static knobs) — rebuilding the shard_map wrapper per
+# batch would retrace every call
+_SHARDED_MAP_CACHE: dict = {}
+
+
 class Mapper:
     """Batched read mapper over a built index."""
 
@@ -316,6 +322,7 @@ class Mapper:
         precision: str = "exact",
         mapq: bool = False,
         both_strands: bool = False,
+        shard_index: bool = False,
     ) -> None:
         self.index = index
         self.bandwidth = bandwidth
@@ -326,11 +333,16 @@ class Mapper:
         self.precision = precision
         self.mapq = mapq
         self.both_strands = both_strands
+        # shard_index: offset-shard the position table over the mesh
+        # (pangenome-scale indexes; see parallel/mesh.py place_index)
+        self.shard_index = shard_index and mesh is not None
         self.dindex = index.device()
         if mesh is not None:
-            from ..parallel.mesh import replicate
+            from ..parallel.mesh import place_index
 
-            self.dindex = replicate(mesh, self.dindex)
+            self.dindex = place_index(
+                mesh, self.dindex, shard_positions=self.shard_index
+            )
         self._gap_table = make_gap_cost_table(index.kmer_length, max_gap)
         # one upload, reused by every bucket launch (the host link charges
         # per-buffer latency, so re-running jnp.asarray per batch would pay
@@ -348,16 +360,18 @@ class Mapper:
     # ---- device pipeline ----------------------------------------------
 
     @staticmethod
-    @partial(jax.jit, static_argnames=("k", "a_max", "bandwidth", "precision"))
-    def _device_map(codes, lens, dindex, gap_table, k, a_max, bandwidth,
-                    precision="exact"):
-        """One fused mapping step.  The host link has high per-transfer
-        latency and low bandwidth, so the host-bound payload is a single
-        integer channel per anchor plus per-read counts:
+    def _map_core(codes, lens, dindex, gap_table, k, a_max, bandwidth,
+                  precision="exact", position_gather=None):
+        """One fused mapping step (trace-level body shared by the
+        replicated and offset-sharded index paths).  The host link has
+        high per-transfer latency and low bandwidth, so the host-bound
+        payload is a single integer channel per anchor plus per-read
+        counts:
 
-          packed[B, A]: (pred+1) | is_start<<S — uint16 with S=15 when
-            a_max <= 16384 (the dominant 256-anchor bucket; halves the
-            transfer), int32 with S=17 otherwise
+          packed[B, A]: uint8 (delta | is_start<<7) when the DP window
+            fits 7 bits (bandwidth < 127, the production case — the
+            predecessor always lives within `bandwidth` slots), else
+            (pred+1) | is_start<<S as uint16/int32
           counts[B, 2] int32: (n_valid, n_anchors_total)
 
         is_start encodes the reference's chain-start test
@@ -370,7 +384,9 @@ class Mapper:
         import jax.numpy as jnp
 
         wcodes, wvalid = window_kmer_codes(codes, lens, k)
-        anchors = lookup_and_materialize_anchors(dindex, wcodes, wvalid, a_max)
+        anchors = lookup_and_materialize_anchors(
+            dindex, wcodes, wvalid, a_max, position_gather=position_gather
+        )
         scores = chain_scores(
             anchors.qb, anchors.tb, anchors.te, anchors.valid,
             gap_table, seed_length=k, bandwidth=bandwidth, precision=precision,
@@ -405,6 +421,87 @@ class Mapper:
             axis=1,
         )
         return packed, counts
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("k", "a_max", "bandwidth", "precision"))
+    def _device_map(codes, lens, dindex, gap_table, k, a_max, bandwidth,
+                    precision="exact"):
+        return Mapper._map_core(
+            codes, lens, dindex, gap_table, k, a_max, bandwidth, precision
+        )
+
+    @staticmethod
+    def _device_map_sharded(mesh, codes, lens, dindex, gap_table, k, a_max,
+                            bandwidth, precision="exact"):
+        """Offset-sharded index variant (SPMD over the mesh): the
+        position table (fo_start/fo_end — the index's dominant memory at
+        pangenome scale, the in-RAM analog is index.rs:37-90) lives
+        SHARDED along the data axis, one contiguous row range per
+        device; everything else (code table, counts/offsets, dense LUT)
+        stays replicated.  Each device gathers the rows it owns for the
+        whole of its read shard's anchor slots and a psum over the data
+        axis assembles the full rows — the only collective in the
+        mapping step, at the batch boundary.  Bit-identical packed
+        output to the replicated path."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        index_specs = type(dindex)(
+            kmer_codes=P(), fo_offsets=P(), fo_counts=P(),
+            fo_start=P("data"), fo_end=P("data"), node_starts=P(),
+            dense_lut=None if dindex.dense_lut is None else P(),
+        )
+
+        def step(codes_l, lens_l, dindex_l, gap_table_l):
+            import jax.numpy as jnp
+
+            shard_len = dindex_l.fo_start.shape[0]
+            lo = jax.lax.axis_index("data").astype(jnp.int32) * shard_len
+
+            def pgather(rows, valid):
+                # Distributed gather: all_gather every device's row
+                # indices, contribute the rows THIS shard owns for the
+                # whole batch, then psum_scatter hands each device back
+                # exactly its own reads' rows (tile order == device
+                # order == batch shard order).  `valid` is deliberately
+                # unused — invalid slots must read row 0 exactly like
+                # the replicated gather (table_row is already 0 there),
+                # or the chaining DP's stable sort by target_end would
+                # order the padding slots differently and permute every
+                # predecessor index.
+                del valid
+                r_all = jax.lax.all_gather(rows, "data", axis=0, tiled=True)
+                local = r_all - lo
+                ok = (local >= 0) & (local < shard_len)
+                lc = jnp.clip(local, 0, shard_len - 1)
+                tb = jnp.where(ok, dindex_l.fo_start[lc], 0)
+                te = jnp.where(ok, dindex_l.fo_end[lc], 0)
+                tb = jax.lax.psum_scatter(
+                    tb, "data", scatter_dimension=0, tiled=True
+                )
+                te = jax.lax.psum_scatter(
+                    te, "data", scatter_dimension=0, tiled=True
+                )
+                return tb, te
+
+            return Mapper._map_core(
+                codes_l, lens_l, dindex_l, gap_table_l, k, a_max,
+                bandwidth, precision, position_gather=pgather,
+            )
+
+        key = (id(mesh), k, a_max, bandwidth, precision,
+               dindex.dense_lut is None)
+        fn = _SHARDED_MAP_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(shard_map(
+                step,
+                mesh=mesh,
+                in_specs=(P("data"), P("data"), index_specs, P()),
+                out_specs=(P("data"), P("data")),
+                check_rep=False,
+            ))
+            _SHARDED_MAP_CACHE[key] = fn
+        return fn(codes, lens, dindex, gap_table)
 
     @staticmethod
     @partial(jax.jit, static_argnames=("B", "L", "k", "a_max", "bandwidth",
@@ -642,10 +739,17 @@ class Mapper:
                 lens = np.pad(lens, (0, b_pad - lens.shape[0]))
             codes_d, lens_d = shard_batch(self.mesh, jnp.asarray(codes), jnp.asarray(lens))
             with self.timer.phase("device_map"):
-                packed_d, counts_d = self._device_map(
-                    codes_d, lens_d, self.dindex, self._gap_table_dev,
-                    k, a_max, self.bandwidth, self.precision,
-                )
+                if self.shard_index:
+                    packed_d, counts_d = self._device_map_sharded(
+                        self.mesh, codes_d, lens_d, self.dindex,
+                        self._gap_table_dev, k, a_max, self.bandwidth,
+                        self.precision,
+                    )
+                else:
+                    packed_d, counts_d = self._device_map(
+                        codes_d, lens_d, self.dindex, self._gap_table_dev,
+                        k, a_max, self.bandwidth, self.precision,
+                    )
             return mappable, a_max, packed_d, counts_d
 
         from ..ops.poa_device import pack_wire, wire_bitcast_supported

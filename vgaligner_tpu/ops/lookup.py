@@ -41,8 +41,14 @@ def lookup_and_materialize_anchors(
     wcodes: jnp.ndarray,
     wvalid: jnp.ndarray,
     a_max: int,
+    position_gather=None,
 ) -> AnchorBatch:
-    """wcodes/wvalid: [B, W] from window_kmer_codes."""
+    """wcodes/wvalid: [B, W] from window_kmer_codes.
+
+    position_gather: optional (table_row [B,A] i32, valid [B,A] bool) ->
+    (tb, te) override for the position-table gather — the
+    offset-sharded index path (parallel/mesh.py shard_index) resolves
+    rows against per-device table shards with a psum."""
     n_kmers = index.kmer_codes.shape[0]
 
     if index.dense_lut is not None:
@@ -88,8 +94,11 @@ def lookup_and_materialize_anchors(
 
     table_row = jnp.take_along_axis(offsets, w_clip, axis=1) + within
     table_row = jnp.where(valid, table_row, 0)
-    tb = index.fo_start[table_row]
-    te = index.fo_end[table_row]
+    if position_gather is not None:
+        tb, te = position_gather(table_row, valid)
+    else:
+        tb = index.fo_start[table_row]
+        te = index.fo_end[table_row]
     qb = w_clip.astype(jnp.int32)
 
     return AnchorBatch(qb=qb, tb=tb, te=te, valid=valid, n_anchors=total)

@@ -51,5 +51,43 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
 
 
+def place_index(mesh: Mesh, dindex, shard_positions: bool = False):
+    """Place a DeviceIndex on the mesh.
+
+    shard_positions=False replicates everything (HLA-scale indexes are
+    MBs).  shard_positions=True shards the position table
+    (fo_start/fo_end — the dominant index memory at pangenome scale,
+    analog of the reference's in-RAM kmer_pos_table, index.rs:37-90)
+    along the data axis by table row, padded so every device owns an
+    equal contiguous range; the code table / counts / offsets / LUT
+    stay replicated.  Consumed by Mapper._device_map_sharded, which
+    reassembles gathered rows with one psum per batch."""
+    if not shard_positions:
+        return replicate(mesh, dindex)
+    import numpy as np
+
+    nd = mesh.devices.size
+    repl = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P("data"))
+
+    def pad_rows(a):
+        n = a.shape[0]
+        n_pad = pad_batch_to_multiple(max(n, nd), nd)
+        if n_pad != n:
+            a = np.concatenate([np.asarray(a), np.zeros(n_pad - n, a.dtype)])
+        return a
+
+    return type(dindex)(
+        kmer_codes=jax.device_put(dindex.kmer_codes, repl),
+        fo_offsets=jax.device_put(dindex.fo_offsets, repl),
+        fo_counts=jax.device_put(dindex.fo_counts, repl),
+        fo_start=jax.device_put(pad_rows(dindex.fo_start), row),
+        fo_end=jax.device_put(pad_rows(dindex.fo_end), row),
+        node_starts=jax.device_put(dindex.node_starts, repl),
+        dense_lut=None if dindex.dense_lut is None
+        else jax.device_put(dindex.dense_lut, repl),
+    )
+
+
 def pad_batch_to_multiple(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
