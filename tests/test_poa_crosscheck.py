@@ -226,6 +226,42 @@ def test_global_scores_match_independent_reference(chunk):
         )
 
 
+def poa_local_nogap_score_reference(nodes, edges, query):
+    """Best local gapless score, straight from the definition: a
+    Smith-Waterman recurrence restricted to match/mismatch moves over
+    DAG predecessors, zero floor, best cell anywhere (the rspoa
+    align_local_no_gap engine, /root/reference/src/align.rs:160-164)."""
+    bases, preds, _sources, _sinks = _expand(nodes, edges)
+    L = len(query)
+    H = [[0.0] * (L + 1) for _ in range(len(bases))]
+    best = 0.0
+    for v in range(len(bases)):
+        for j in range(1, L + 1):
+            p_best = 0.0
+            for p in preds[v]:
+                p_best = max(p_best, H[p][j - 1])
+            ok = query[j - 1] == bases[v] and query[j - 1] in "ACGT"
+            s = ABPOA_MATCH if ok else -ABPOA_MISMATCH
+            H[v][j] = max(0.0, p_best + s)
+            best = max(best, H[v][j])
+    return best
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_local_nogap_scores_match_independent_reference(chunk):
+    from vgaligner_tpu.ops.poa import align_local_no_gap_host
+
+    rng = np.random.default_rng(2000 + chunk)
+    for i in range(250):
+        nodes, edges, q = _random_case(rng)
+        want = poa_local_nogap_score_reference(nodes, edges, q)
+        got = align_local_no_gap_host(nodes, edges, q).best_score
+        assert got == want, (
+            f"case {chunk}:{i}: oracle {got} != independent {want} "
+            f"nodes={nodes} edges={edges} q={q!r}"
+        )
+
+
 def test_long_gap_switches_to_second_affine_piece():
     """A 12-base deletion costs o2 + 12*e2 = 36 (not o1 + 12*e1 = 28?
     no: min(4+24, 24+12) = 28 vs 36 -> piece 1 still wins at 12; at
