@@ -535,17 +535,21 @@ int64_t vg_build_poa_batch(
     const int64_t* prob_edge_off, const int64_t* edges, int64_t v_pad,
     int64_t p_max, int8_t* vcodes, int32_t* vpred, uint8_t* is_sink,
     int32_t* nv, int32_t* node_of, int32_t* off_in) {
-  std::vector<int64_t> out_head, out_next, out_dst;  // per-problem adj list
-  std::vector<int64_t> indeg, topo, order_pos, node_first, node_last;
-  std::vector<uint8_t> seen, has_pred, has_succ;
-
   std::memset(vcodes, 4, (size_t)(B * v_pad));
   std::fill(vpred, vpred + B * v_pad * p_max, -1);
   std::memset(is_sink, 0, (size_t)(B * v_pad));
   std::memset(node_of, 0, sizeof(int32_t) * (size_t)(B * v_pad));
   std::memset(off_in, 0, sizeof(int32_t) * (size_t)(B * v_pad));
 
-  for (int64_t s = 0; s < B; ++s) {
+  // per-problem outputs land in disjoint [s*v_pad, (s+1)*v_pad) ranges,
+  // so problems build data-parallel (thread-local scratch); the first
+  // failing problem index (1-based) is reported as before
+  std::atomic<int64_t> err(0);
+  parallel_for(B, [&](int64_t s) {
+    if (err.load(std::memory_order_relaxed)) return;
+    std::vector<int64_t> out_head, out_next, out_dst;
+    std::vector<int64_t> indeg, topo, order_pos, node_first, node_last;
+    std::vector<uint8_t> seen, has_pred, has_succ;
     int64_t p = sel ? sel[s] : s;
     int64_t n0 = prob_node_off[p], n1 = prob_node_off[p + 1];
     int64_t e0 = prob_edge_off[p], e1 = prob_edge_off[p + 1];
@@ -597,7 +601,7 @@ int64_t vg_build_poa_batch(
       int64_t node = topo[t];
       int64_t g0 = label_off[n0 + node], g1 = label_off[n0 + node + 1];
       node_first[node] = vid;
-      if (vid + (g1 - g0) > v_pad) return s + 1;
+      if (vid + (g1 - g0) > v_pad) { err.store(s + 1); return; }
       for (int64_t c = g0; c < g1; ++c) {
         vc[vid] = base_code(labels[c]);
         no[vid] = (int32_t)node;
@@ -618,7 +622,7 @@ int64_t vg_build_poa_batch(
       int64_t a = edges[2 * e], b = edges[2 * e + 1];
       if (order_pos[a] < order_pos[b]) {
         int64_t v = node_first[b];
-        if (np_count[v] >= p_max) return s + 1;
+        if (np_count[v] >= p_max) { err.store(s + 1); return; }
         vp[v * p_max + np_count[v]++] = (int32_t)node_last[a];
         has_pred[b] = 1;
         has_succ[a] = 1;
@@ -627,15 +631,15 @@ int64_t vg_build_poa_batch(
     for (int64_t t = 0; t < n; ++t) {
       int64_t node = topo[t];
       for (int64_t v = node_first[node] + 1; v <= node_last[node]; ++v) {
-        if (np_count[v] >= p_max) return s + 1;
+        if (np_count[v] >= p_max) { err.store(s + 1); return; }
         vp[v * p_max + np_count[v]++] = (int32_t)(v - 1);
       }
     }
     uint8_t* sk = is_sink + s * v_pad;
     for (int64_t node = 0; node < n; ++node)
       if (!has_succ[node]) sk[node_last[node]] = 1;
-  }
-  return 0;
+  });
+  return err.load();
 }
 
 // ---------------------------------------------------------------------------
