@@ -730,17 +730,25 @@ int64_t vg_extract_subgraphs(
   std::vector<int64_t> edge_off(1, 0), edges_all;
   std::vector<uint8_t> status(B, 0);
 
-  std::vector<int64_t> hlist, nbrs;
-  std::vector<std::pair<int64_t, int64_t>> frontier, nxt;
-  // corridor-mode flank-node label trims: handle -> [from, to) within
-  // the node label (see corridor block)
-  std::unordered_map<int64_t, std::pair<int64_t, int64_t>> trim;
+  // problems extract data-parallel into per-problem buffers
+  // (thread-local scratch), then concatenate serially below
+  struct PerProb {
+    std::vector<int64_t> handles;
+    std::string labels;
+    std::vector<int64_t> llen;   // label length per handle
+    std::vector<int64_t> edges;  // (i, j) pairs flattened
+  };
+  std::vector<PerProb> results((size_t)B);
 
-  for (int64_t p = 0; p < B; ++p) {
+  parallel_for(B, [&](int64_t p) {
+    std::vector<int64_t> hlist, nbrs;
+    std::vector<std::pair<int64_t, int64_t>> frontier, nxt;
+    // corridor-mode flank-node label trims: handle -> [from, to) within
+    // the node label (see corridor block)
+    std::unordered_map<int64_t, std::pair<int64_t, int64_t>> trim;
+    PerProb& R = results[(size_t)p];
     int64_t a0 = anchor_off[p], a1 = anchor_off[p + 1];
     int64_t na = a1 - a0;
-    hlist.clear();
-    trim.clear();
 
     // ---- find_range_chain (align.rs:267-402) -------------------------
     int64_t min_handle = INT64_MAX, max_handle = INT64_MIN;
@@ -983,9 +991,7 @@ int64_t vg_extract_subgraphs(
 
     if (failed) {
       status[p] = 1;
-      handle_off.push_back((int64_t)handles_all.size());
-      edge_off.push_back((int64_t)edges_all.size() / 2);
-      continue;
+      return;
     }
 
     if (!corridor_done) {
@@ -1081,20 +1087,21 @@ int64_t vg_extract_subgraphs(
     for (size_t i = 0; i < hlist.size(); ++i) hpos[hlist[i]] = (int64_t)i;
     for (int64_t h : hlist) {
       int64_t id = h >> 1;
-      int64_t s = node_starts[id - 1], e = node_starts[id];
+      int64_t s0 = node_starts[id - 1], e = node_starts[id];
+      size_t before = R.labels.size();
       if (h & 1) {
-        labels_all.append(seq_rev + (seq_len - e), (size_t)(e - s));
+        R.labels.append(seq_rev + (seq_len - e), (size_t)(e - s0));
       } else {
-        int64_t from = 0, to = e - s;
+        int64_t from = 0, to = e - s0;
         auto it = trim.find(h);
         if (it != trim.end()) {
           from = it->second.first;
           to = it->second.second;
         }
-        labels_all.append(seq_fwd + s + from, (size_t)(to - from));
+        R.labels.append(seq_fwd + s0 + from, (size_t)(to - from));
       }
-      label_off.push_back((int64_t)labels_all.size());
-      handles_all.push_back(h);
+      R.llen.push_back((int64_t)(R.labels.size() - before));
+      R.handles.push_back(h);
     }
     // edges: outgoing within range; loop removal by orientation
     for (size_t i = 0; i < hlist.size(); ++i) {
@@ -1105,10 +1112,20 @@ int64_t vg_extract_subgraphs(
         int64_t j = it->second;
         if (orient_kind == 0 && !((int64_t)i < j)) continue;
         if (orient_kind == 1 && !(j < (int64_t)i)) continue;
-        edges_all.push_back((int64_t)i);
-        edges_all.push_back(j);
+        R.edges.push_back((int64_t)i);
+        R.edges.push_back(j);
       }
     }
+  });
+
+  for (int64_t p = 0; p < B; ++p) {
+    PerProb& R = results[(size_t)p];
+    for (size_t i = 0; i < R.handles.size(); ++i) {
+      handles_all.push_back(R.handles[i]);
+      label_off.push_back(label_off.back() + R.llen[i]);
+    }
+    labels_all.append(R.labels);
+    edges_all.insert(edges_all.end(), R.edges.begin(), R.edges.end());
     handle_off.push_back((int64_t)handles_all.size());
     edge_off.push_back((int64_t)edges_all.size() / 2);
   }
