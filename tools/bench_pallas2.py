@@ -25,7 +25,13 @@ def main():
     R = int(sys.argv[5]) if len(sys.argv) > 5 else 16
     TB = int(sys.argv[6]) if len(sys.argv) > 6 else 16
     reps = int(sys.argv[7]) if len(sys.argv) > 7 else 5
-    VB = int(sys.argv[8]) if len(sys.argv) > 8 else min(V, 256)
+    if len(sys.argv) > 8:
+        VB = int(sys.argv[8])
+    else:
+        geo = PD._pallas2_geometry(B, V, L, R, P)
+        assert geo, "no geometry for this shape"
+        TB, VB = geo
+        print(f"geometry: TB={TB} VB={VB}")
 
     rng = np.random.default_rng(0)
     nv = rng.integers(V // 2, V + 1, B).astype(np.int32)

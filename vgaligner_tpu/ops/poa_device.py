@@ -323,17 +323,23 @@ def poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq, init_row):
 def traceback_batch(tbits, vpred, best_sink, nq):
     """Device traceback over the packed decision bits.
 
-    A fixed-length scan emitting one tape entry per step: carrying only
-    the tiny walk state and emitting the tape as scan outputs keeps
-    every buffer aliasable (a while_loop scattering into carried [T]
-    tapes forces XLA to copy the tapes every iteration, which dominated
-    the whole kernel).  Finished walks emit OP_END.
+    Fixed-size scan BLOCKS inside a while_loop: each iteration runs a
+    K-step batched scan (state carried as [B] vectors, tape entries
+    emitted as scan outputs) and writes its block into the carried
+    tape, exiting as soon as every walk is done.  A real traceback
+    walks ~nq + deletions steps, but the worst-case tape is
+    T = V + C + 1 — on big-V corridor chunks (V 2048-4096 with ~100 bp
+    reads) the old full-length scan burned ~40x more steps than any
+    walk used.  The per-iteration tape copy the while_loop forces is a
+    [B, T] u16 move per BLOCK (fine), not per step (what the original
+    while-free design avoided).
 
     Each tape entry packs op (2 bits) and vertex id (vid+2, 14 bits —
     vid < V <= 8192, sentinel -1 maps to 1) into ONE uint16: the tape
     is the dominant device->host payload of the --also-align path and
     the host link is bandwidth-bound, so 2 bytes/step instead of the 5
     of separate (i8 op, i32 vid) streams cuts fetch time ~2.5x.
+    Unwritten blocks stay at the OP_END fill.
 
     tbits [B,V,C] i32 (C >= nq+1), vpred [B,V,P] i32, best_sink [B] i32,
     nq [B] i32.  Returns (tape [B,T] u16, tlen [B] i32) with
@@ -342,73 +348,96 @@ def traceback_batch(tbits, vpred, best_sink, nq):
     B, V, C = tbits.shape
     P = vpred.shape[-1]
     T = V + C + 1
+    K = 128
+    n_blocks = (T + K - 1) // K
+    b_iota = jnp.arange(B, dtype=jnp.int32)
 
-    def one(tbits, vpred_b, best_sink_b, nq_b):
-        def tb_step(state, _):
-            v, j, st = state
-            done = (v == -2) & (j == 0)
-            vc = jnp.maximum(v, 0)
-            bits = tbits[vc, j]
-            case = bits & 7
+    def tb_step(state, _):
+        v, j, st = state
+        done = (v == -2) & (j == 0)
+        vc = jnp.maximum(v, 0)
+        bits = tbits[b_iota, vc, j]
+        case = bits & 7
 
-            # state H (st == 0): resolve the case; non-match cases merely
-            # switch state without consuming a step (emit nothing yet)
-            m_slot = (bits >> 3) & 15
-            m_nxt = jnp.where(
-                m_slot == _VIRT_SLOT, jnp.int32(-2),
-                vpred_b[vc][jnp.minimum(m_slot, P - 1)],
-            )
-            at_h = st == 0
-            is_match = at_h & (case == _CASE_M)
-            switch_to = jnp.where(at_h & ~is_match, case, st)
+        # state H (st == 0): resolve the case; non-match cases merely
+        # switch state without consuming a step (emit nothing yet)
+        m_slot = (bits >> 3) & 15
+        m_nxt = jnp.where(
+            m_slot == _VIRT_SLOT, jnp.int32(-2),
+            vpred[b_iota, vc, jnp.minimum(m_slot, P - 1)],
+        )
+        at_h = st == 0
+        is_match = at_h & (case == _CASE_M)
+        switch_to = jnp.where(at_h & ~is_match, case, st)
 
-            # E states (st 1/2): graph deletion, follow the stored slot
-            in_e = (switch_to == 1) | (switch_to == 2)
-            e_opn = jnp.where(switch_to == 1, (bits >> 7) & 1, (bits >> 12) & 1)
-            e_slot = jnp.where(switch_to == 1, (bits >> 8) & 15, (bits >> 13) & 15)
-            e_nxt = jnp.where(
-                e_slot == _VIRT_SLOT, jnp.int32(-2),
-                vpred_b[vc][jnp.minimum(e_slot, P - 1)],
-            )
+        # E states (st 1/2): graph deletion, follow the stored slot
+        in_e = (switch_to == 1) | (switch_to == 2)
+        e_opn = jnp.where(switch_to == 1, (bits >> 7) & 1, (bits >> 12) & 1)
+        e_slot = jnp.where(switch_to == 1, (bits >> 8) & 15, (bits >> 13) & 15)
+        e_nxt = jnp.where(
+            e_slot == _VIRT_SLOT, jnp.int32(-2),
+            vpred[b_iota, vc, jnp.minimum(e_slot, P - 1)],
+        )
 
-            # F states (st 3/4): in-row insertion
-            in_f = (switch_to == 3) | (switch_to == 4)
-            f_opn = jnp.where(switch_to == 3, (bits >> 17) & 1, (bits >> 18) & 1)
+        # F states (st 3/4): in-row insertion
+        in_f = (switch_to == 3) | (switch_to == 4)
+        f_opn = jnp.where(switch_to == 3, (bits >> 17) & 1, (bits >> 18) & 1)
 
-            from_virtual = v == -2  # leading insertion against the source
+        from_virtual = v == -2  # leading insertion against the source
 
-            op = jnp.where(
-                from_virtual | in_f, jnp.int8(OP_I),
-                jnp.where(in_e, jnp.int8(OP_D), jnp.int8(OP_M)),
-            )
-            vid = jnp.where(from_virtual, jnp.int32(-1), v)
-            v2 = jnp.where(
-                from_virtual | in_f, v, jnp.where(in_e, e_nxt, m_nxt)
-            )
-            j2 = jnp.where(from_virtual | in_f | is_match, j - 1, j)
-            st2 = jnp.where(
-                from_virtual | is_match, jnp.int32(0),
-                jnp.where(
-                    in_e, jnp.where(e_opn == 1, jnp.int32(0), switch_to),
-                    jnp.where(in_f, jnp.where(f_opn == 1, jnp.int32(0), switch_to), st),
-                ),
-            )
+        op = jnp.where(
+            from_virtual | in_f, jnp.int8(OP_I),
+            jnp.where(in_e, jnp.int8(OP_D), jnp.int8(OP_M)),
+        )
+        vid = jnp.where(from_virtual, jnp.int32(-1), v)
+        v2 = jnp.where(
+            from_virtual | in_f, v, jnp.where(in_e, e_nxt, m_nxt)
+        )
+        j2 = jnp.where(from_virtual | in_f | is_match, j - 1, j)
+        st2 = jnp.where(
+            from_virtual | is_match, jnp.int32(0),
+            jnp.where(
+                in_e, jnp.where(e_opn == 1, jnp.int32(0), switch_to),
+                jnp.where(in_f, jnp.where(f_opn == 1, jnp.int32(0), switch_to), st),
+            ),
+        )
 
-            op = jnp.where(done, jnp.int8(OP_END), op)
-            vid = jnp.where(done, jnp.int32(-1), vid)
-            v2 = jnp.where(done, v, v2)
-            j2 = jnp.where(done, j, j2)
-            st2 = jnp.where(done, st, st2)
-            entry = (op.astype(jnp.uint16)
-                     | ((vid + 2).astype(jnp.uint16) << 2))
-            return (v2, j2, st2), entry
+        op = jnp.where(done, jnp.int8(OP_END), op)
+        vid = jnp.where(done, jnp.int32(-1), vid)
+        v2 = jnp.where(done, v, v2)
+        j2 = jnp.where(done, j, j2)
+        st2 = jnp.where(done, st, st2)
+        entry = (op.astype(jnp.uint16)
+                 | ((vid + 2).astype(jnp.uint16) << 2))
+        return (v2, j2, st2), entry
 
-        init = (best_sink_b.astype(jnp.int32), nq_b.astype(jnp.int32), jnp.int32(0))
-        _, tape = jax.lax.scan(tb_step, init, None, length=T, unroll=4)
-        t_f = jnp.sum((tape & 3) != OP_END).astype(jnp.int32)
-        return tape, t_f
+    def blk_cond(carry):
+        blk, v, j, st, tape = carry
+        return (blk < n_blocks) & jnp.any(~((v == -2) & (j == 0)))
 
-    return jax.vmap(one)(tbits, vpred, best_sink, nq)
+    def blk_body(carry):
+        blk, v, j, st, tape = carry
+        (v, j, st), entries = jax.lax.scan(
+            tb_step, (v, j, st), None, length=K, unroll=4
+        )
+        tape = jax.lax.dynamic_update_slice(
+            tape, entries.T, (jnp.int32(0), blk * K)
+        )
+        return (blk + 1, v, j, st, tape)
+
+    end_fill = jnp.uint16(OP_END | (1 << 2))  # done entry: op END, vid -1
+    tape0 = jnp.full((B, n_blocks * K), end_fill, jnp.uint16)
+    init = (
+        jnp.int32(0),
+        best_sink.astype(jnp.int32),
+        nq.astype(jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        tape0,
+    )
+    _blk, _v, _j, _st, tape = jax.lax.while_loop(blk_cond, blk_body, init)
+    tape = tape[:, :T]
+    t_f = jnp.sum((tape & 3) != OP_END, axis=1).astype(jnp.int32)
+    return tape, t_f
 
 
 def unpack_tape(tape: np.ndarray):
@@ -833,28 +862,42 @@ def wire_bitcast_supported() -> bool:
     return _WIRE_BITCAST_OK[key]
 
 
-def _pallas2_geometry(B: int, V: int, L: int, R: int = 16):
+def _pallas2_geometry(B: int, V: int, L: int, R: int = 16, P: int = 2):
     """(TB, VB) for the v2 Pallas DP on this chunk shape with ring
-    depth R, or None when the shape cannot ride it.
+    depth R and P predecessor slots, or None when the shape cannot
+    ride it.
 
     TB (problems per grid row, the sublane batching) is the kernel's
     main throughput lever — measured per-chunk DP time on v5e at
     B=1024, V=256, W=128: TB=16 ~16 ms, TB=32 ~10 ms, TB=64 ~5 ms
     (the per-vertex fixed overhead amortizes over the sublane batch).
-    TB=128 trips a Mosaic 'dynamic load with unaligned indices' limit,
-    so 64 is the ceiling.  Constraints: W = L+1 a whole 128-lane tile,
-    B % TB == 0, the S ring (R+2)*TB*3W f32 within ~6 MB of VMEM, and
-    the tbits out tile VB*TB*W i32 within ~2 MB (VB shrinks as TB
-    grows; larger R forces smaller TB)."""
+    Constraints: W = L+1 a whole 128-lane tile; B % TB == 0; the meta
+    plane's lane width TB*F must be EXACTLY one 128-lane tile (Mosaic
+    rejects dynamic-sublane scalar loads on wider refs with 'dynamic
+    load with unaligned indices'), so TB <= 128 / pow2(P); the S ring
+    (R+2)*TB*3W f32 within ~8 MB of VMEM; the tbits out tile VB*TB*W
+    i32 within ~2 MB (VB shrinks as TB grows; larger R/P force smaller
+    TB)."""
     W = L + 1
     if W % 128:
         return None
+    p2 = 2
+    while p2 < P:
+        p2 <<= 1
     for TB in (64, 32, 16, 8):
-        if B % TB:
+        if B % TB or TB * p2 > 128:
             continue
-        if (R + 2) * TB * 3 * W * 4 > (6 << 20):
+        # TB=8 rings may stretch further: at R=1024 the 12.6 MB ring +
+        # small tiles still fit the ~16 MB VMEM (measured compile+run)
+        ring = (R + 2) * TB * 3 * W * 4
+        if ring > ((13 << 20) if TB == 8 else (8 << 20)):
             continue
-        vb_cap = max(8, (2 << 20) // (TB * W * 4))
+        # Mosaic double-buffers the tbits out tile, so the VB budget
+        # shrinks as the ring grows: ring + 2*tile must stay under
+        # ~14 MB (a 20.6 MB scoped-vmem OOM at R=1024/VB=512 taught
+        # this the hard way)
+        tile_budget = min(2 << 20, max(128 << 10, ((14 << 20) - ring) // 2))
+        vb_cap = max(8, tile_budget // (TB * W * 4))
         VB = min(V, 1 << (vb_cap.bit_length() - 1))
         if V % VB:
             continue
@@ -892,7 +935,7 @@ def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq, R: int = 0):
     vcodes = (vcodes_p & 7).astype(jnp.int8)
     is_sink = (vcodes_p >> 5) != 0
     vpred = vpred16.astype(jnp.int32)
-    geo = _pallas2_geometry(B, V, L, R) if R else None
+    geo = _pallas2_geometry(B, V, L, R, vpred16.shape[-1]) if R else None
     if geo and jax.default_backend() != "cpu":
         from .poa_pallas2 import poa_dp_pallas2
 
@@ -1474,10 +1517,15 @@ def _ring_from_deltas(dplane, exc_idx, exc_pred, V: int, P: int,
         v_i = ((exc_idx[live].astype(np.int64)) // P) % V
         d = max(d, int((v_i - exc_pred[live].astype(np.int64)).max()))
     d = max(d, 1)
+    # ladder 16/64/256/512/1024: parallel bubble branches force rank
+    # deltas of about the branch length (any topological order puts one
+    # branch first), so corridor subgraphs legitimately reach deltas of
+    # hundreds; past 1024 the ring no longer fits VMEM at any TB and
+    # the chunk rides the XLA scan
     r = 16
-    while r < d:
-        r <<= 2
-    return r if _pallas2_geometry(b_pad, V, l_pad, r) else 0
+    while r < d and r < 1024:
+        r <<= 2 if r < 256 else 1
+    return r if d <= r and _pallas2_geometry(b_pad, V, l_pad, r, P) else 0
 
 
 def kernel_prepare(built, qs, v_pad: int, l_pad: int):
