@@ -52,9 +52,49 @@ def stream_map_align(
     order, so appending to a list or writing to a file reproduces the
     unbatched output exactly.
     """
+    import os
+    import threading
+
     n = len(queries)
     if n == 0:
         return
+
+    # The transport executes lazily (device work runs when results are
+    # FETCHED, not when dispatched), so overlapping requires the drain
+    # itself to move off the main thread: finish_alignments(batch N)
+    # blocks in device_get — GIL released — while the main thread does
+    # batch N+1's host mapping.  Emission order is preserved by joining
+    # the worker before the next batch's drain starts.
+    use_async = os.environ.get("VGALIGNER_STREAM_ASYNC", "1") != "0"
+
+    worker: Optional[threading.Thread] = None
+    box: List = [None, None]  # (result, exception) from the worker
+
+    def join_worker():
+        nonlocal worker
+        if worker is None:
+            return
+        worker.join()
+        worker = None
+        done, exc = box
+        box[0] = box[1] = None
+        if exc is not None:
+            raise exc
+        if on_alignments is not None:
+            on_alignments(done)
+
+    def start_worker(state):
+        nonlocal worker
+
+        def run():
+            try:
+                box[0] = aligner.finish_alignments(state)
+            except BaseException as e:  # surfaced on join
+                box[1] = e
+
+        worker = threading.Thread(target=run, daemon=True)
+        worker.start()
+
     pending = None  # (state from begin_alignments)
     for s in range(0, n, batch_size):
         batch = queries[s : s + batch_size]
@@ -63,12 +103,18 @@ def stream_map_align(
             on_chains(chains)
         if aligner is not None:
             state = aligner.begin_alignments(chains, align_best_n)
+            join_worker()
             if pending is not None:
-                done = aligner.finish_alignments(pending)
-                if on_alignments is not None:
-                    on_alignments(done)
+                if use_async:
+                    start_worker(pending)
+                else:
+                    done = aligner.finish_alignments(pending)
+                    if on_alignments is not None:
+                        on_alignments(done)
             pending = state
-    if aligner is not None and pending is not None:
-        done = aligner.finish_alignments(pending)
-        if on_alignments is not None:
-            on_alignments(done)
+    if aligner is not None:
+        join_worker()
+        if pending is not None:
+            done = aligner.finish_alignments(pending)
+            if on_alignments is not None:
+                on_alignments(done)
