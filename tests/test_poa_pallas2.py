@@ -80,6 +80,38 @@ def test_pallas2_matches_xla(seed, TB):
         np.testing.assert_array_equal(tapex[b, : tlx[b]], tapep[b, : tlx[b]])
 
 
+def test_pallas2_long_query_two_lane_tiles():
+    """W = 256 (two 128-lane tiles; the <=255 bp read ladder step) must
+    agree with the XLA path bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.ops.poa_pallas2 import poa_dp_pallas2
+
+    rng = np.random.default_rng(11)
+    problems = []
+    for _ in range(8):
+        nodes = [
+            "".join("ACGT"[c] for c in rng.integers(0, 4, 9))
+            for _ in range(12)
+        ]
+        edges = [(i, i + 1) for i in range(11)]
+        edges += [(2, 4), (5, 8)]
+        q = "".join(nodes)[3 : 3 + 180]
+        problems.append((nodes, edges, q))
+    arrs = _padded_arrays(problems, 128, 255)
+    args = [jnp.asarray(a) for a in arrs]
+    sx, kx, tbx = jax.device_get(PD.poa_dp_xla(*args))
+    sp, kp, tbp = jax.device_get(
+        poa_dp_pallas2(*args, R=64, TB=8, VB=128, interpret=True)
+    )
+    np.testing.assert_array_equal(sx, sp)
+    np.testing.assert_array_equal(kx, kp)
+    nv = arrs[3]
+    for b in range(8):
+        np.testing.assert_array_equal(tbx[b, : nv[b]], tbp[b, : nv[b]])
+
+
 def test_pallas2_small_ring():
     """R smaller than V: only sound when all deltas fit — build chain
     graphs (delta 1 everywhere) and check R=16 reproduces XLA."""
