@@ -80,6 +80,12 @@ def _build_parser() -> argparse.ArgumentParser:
                          "chain rows): primary/secondary chain identification "
                          "per the reference's disabled logic — unambiguous "
                          "chains get mapq 60, query-overlap-ambiguous get 0")
+    mp.add_argument("--shard-index", action="store_true",
+                    help="offset-shard the k-mer position table across "
+                         "the device mesh instead of replicating it "
+                         "(pangenome-scale indexes; chains are "
+                         "bit-identical to replicated mode — see "
+                         "parallel/mesh.py place_index)")
     mp.add_argument("--range-mode", default=None,
                     choices=("corridor", "id"),
                     help="chain->POA subgraph strategy: 'corridor' "
@@ -181,6 +187,7 @@ def map_main(args) -> None:
         mapq=args.mapq,
         precision=args.precision,
         both_strands=args.both_strands,
+        shard_index=args.shard_index,
     )
 
     aligner = None
