@@ -164,3 +164,21 @@ def test_ring_for_chunk_routing(monkeypatch):
 
     monkeypatch.setenv("VGALIGNER_POA_PALLAS2", "0")
     assert PD._ring_for_chunk(vpred, nv, B, V, 127) == 0
+    monkeypatch.delenv("VGALIGNER_POA_PALLAS2")
+
+    # extended ladder: corridor-scale deltas ride bigger rings at
+    # smaller TB instead of falling back to the XLA scan
+    for d, want_r in ((200, 256), (400, 512), (900, 1024), (1500, 0)):
+        vp = np.full((8, 2048, 2), -1, np.int32)
+        for v in range(1, 1800):
+            vp[:, v, 0] = v - 1
+        vp[0, d + 10, 1] = 10  # delta d
+        nv8 = np.full(8, 1800, np.int32)
+        assert PD._ring_for_chunk(vp, nv8, 8, 2048, 127) == want_r, d
+    # geometry honors the meta-plane lane constraint: TB * pow2(P) == 128
+    assert PD._pallas2_geometry(1024, 256, 127, 16, P=2) == (64, 64)
+    assert PD._pallas2_geometry(1024, 256, 127, 16, P=4)[0] == 32
+    assert PD._pallas2_geometry(1024, 256, 127, 16, P=8)[0] == 16
+    # big rings force TB=8 and may stretch to ~13 MB of VMEM
+    assert PD._pallas2_geometry(512, 1024, 127, 1024, P=4)[0] == 8
+    assert PD._pallas2_geometry(512, 1024, 127, 2048, P=4) is None
