@@ -268,11 +268,36 @@ def find_range_chain_corridor(
         np.any(chain.aso != 0) or np.any(chain.aeo != 0)
     ):
         return None
+
+    # A chain's anchors can ladder across tandem repeat copies far
+    # beyond the read (measured: 90 anchors of a 100 bp read spanning
+    # 2.8 kb of DRB1 — the gap cost bounds each LINK, not the total).
+    # Aligning the read globally against such a stretch is hopeless and
+    # blows the subgraph up; keep only the densest anchor window whose
+    # target span fits the read (+ slack both sides) and build the
+    # corridor between ITS first and last anchors.
+    atb_all = np.asarray(chain.atb, dtype=np.int64)
+    ate_all = np.asarray(chain.ate, dtype=np.int64)
+    na = len(atb_all)
+    span_cap = len(chain.query.seq) + 2 * slack
+    bi, bj = 0, na - 1
+    if na and int(ate_all[-1] - atb_all[0]) > span_cap:
+        best_cnt, i = 0, 0
+        for j in range(na):
+            while int(ate_all[j] - atb_all[i]) > span_cap:
+                i += 1
+            if j - i + 1 > best_cnt:
+                best_cnt, bi, bj = j - i + 1, i, j
+
+    a_tb0 = int(atb_all[bi])
+    a_te1 = int(ate_all[bj])
+    a_qb0 = int(chain.aqb[bi])
+    a_qb1 = int(chain.aqb[bj])
     ids_b, _ = index.node_ids_from_seqpos_vec(
-        np.zeros(1, np.int8), np.asarray([int(chain.atb[0])], dtype=np.int64)
+        np.zeros(1, np.int8), np.asarray([a_tb0], dtype=np.int64)
     )
     ids_e, _ = index.node_ids_from_seqpos_vec(
-        np.zeros(1, np.int8), np.asarray([int(chain.ate[-1]) - 1], dtype=np.int64)
+        np.zeros(1, np.int8), np.asarray([a_te1 - 1], dtype=np.int64)
     )
     start_h = int(ids_b[0]) << 1
     end_h = int(ids_e[0]) << 1
@@ -281,8 +306,8 @@ def find_range_chain_corridor(
     # consuming the start node is qlen + slack minus the start node's
     # bases past the anchor, so anchors deep inside a huge node keep
     # the corridor inside it (mirrors host_kernels.cpp)
-    start_off = int(chain.atb[0]) - index.get_bv_select(int(ids_b[0]))
-    end_gap = index.get_bv_select(int(ids_e[0]) + 1) - int(chain.ate[-1])
+    start_off = a_tb0 - index.get_bv_select(int(ids_b[0]))
+    end_gap = index.get_bv_select(int(ids_e[0]) + 1) - a_te1
     fwd = _bfs_budget(index, start_h, start_off + budget, incoming=False)
     bwd = _bfs_budget(index, end_h, end_gap + budget, incoming=True)
     members = set(fwd) & set(bwd)
@@ -291,15 +316,15 @@ def find_range_chain_corridor(
 
     # unaligned query prefix/suffix beyond the anchored nodes
     # (extend_range_chain_2 analog, align.rs:523-665)
-    prefix = int(chain.aqb[0])
-    start_off = int(chain.atb[0]) - index.get_bv_select(int(ids_b[0]))
+    prefix = a_qb0
+    start_off = a_tb0 - index.get_bv_select(int(ids_b[0]))
     prefix = max(0, prefix - max(0, start_off))
     if prefix > 0:
         for h in index.incoming_edges_from_handle(start_h):
             if (h & 1) == 0:
                 members |= set(_bfs_budget(index, h, prefix, incoming=True))
-    suffix = len(chain.query.seq) - (int(chain.aqb[-1]) + chain.k)
-    end_tail = index.get_bv_select(int(ids_e[0]) + 1) - int(chain.ate[-1])
+    suffix = len(chain.query.seq) - (a_qb1 + chain.k)
+    end_tail = index.get_bv_select(int(ids_e[0]) + 1) - a_te1
     suffix = max(0, suffix - max(0, end_tail))
     if suffix > 0:
         for h in index.outgoing_edges_from_handle(end_h):
@@ -315,11 +340,11 @@ def find_range_chain_corridor(
     # to the trimmed window (documented corridor-mode divergence).
     trims: dict = {}
     s_len = len(index.seq_from_handle(start_h))
-    t_from = int(chain.atb[0]) - index.get_bv_select(int(ids_b[0])) - budget
+    t_from = a_tb0 - index.get_bv_select(int(ids_b[0])) - budget
     if t_from > 0:
         trims[start_h] = (t_from, s_len)
     e_len = len(index.seq_from_handle(end_h))
-    t_to = int(chain.ate[-1]) - index.get_bv_select(int(ids_e[0])) + budget
+    t_to = a_te1 - index.get_bv_select(int(ids_e[0])) + budget
     if t_to < e_len:
         f0 = trims.get(end_h, (0, 0))[0]
         trims[end_h] = (f0, t_to)

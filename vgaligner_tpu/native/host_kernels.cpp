@@ -792,8 +792,27 @@ int64_t vg_extract_subgraphs(
     // Forward-orient chains only; anything else keeps the reference
     // range below. --------------------------------------------------
     if (closure == 2 && orient_kind == 0 && na > 0) {
-      int64_t start_id = ix.node_id_fwd(atb[a0]);
-      int64_t end_id = ix.node_id_fwd(ate[a1 - 1] - 1);
+      // densest anchor window: a chain can ladder across tandem repeat
+      // copies far beyond the read (anchors of a 100 bp read spanning
+      // kb of target — the gap cost bounds each LINK, not the total);
+      // keep the window with the most anchors whose target span fits
+      // qlen + 2*slack and build the corridor between ITS endpoints
+      // (mirrors models/poa_aligner.py find_range_chain_corridor)
+      int64_t bi = a0, bj = a1 - 1;
+      int64_t span_cap = qlen[p] + 2 * 128;
+      if (ate[a1 - 1] - atb[a0] > span_cap) {
+        int64_t best_cnt = 0, i = a0;
+        for (int64_t j = a0; j < a1; ++j) {
+          while (ate[j] - atb[i] > span_cap) ++i;
+          if (j - i + 1 > best_cnt) {
+            best_cnt = j - i + 1;
+            bi = i;
+            bj = j;
+          }
+        }
+      }
+      int64_t start_id = ix.node_id_fwd(atb[bi]);
+      int64_t end_id = ix.node_id_fwd(ate[bj] - 1);
       int64_t start_h = start_id << 1, end_h = end_id << 1;
       int64_t budget = qlen[p] + 128;
       // budgeted orientation-preserving walk; best remaining per handle
@@ -827,10 +846,10 @@ int64_t vg_extract_subgraphs(
       // qlen + slack - (bases of start node past the anchor) — anchors
       // deep inside a huge node correctly keep the corridor inside it
       walk(start_h,
-           (atb[a0] - node_starts[start_id - 1]) + budget, false, bf);
+           (atb[bi] - node_starts[start_id - 1]) + budget, false, bf);
       if (!failed)
         walk(end_h,
-             (node_starts[end_id] - ate[a1 - 1]) + budget, true, bb);
+             (node_starts[end_id] - ate[bj]) + budget, true, bb);
       if (!failed) {
         std::unordered_set<int64_t> members;
         for (auto& kv : bf)
@@ -839,8 +858,8 @@ int64_t vg_extract_subgraphs(
         members.insert(end_h);
         // unaligned query prefix/suffix beyond the anchored nodes
         // (extend_range_chain_2 analog)
-        int64_t prefix = aqb[a0];
-        int64_t son = atb[a0] - node_starts[start_id - 1];
+        int64_t prefix = aqb[bi];
+        int64_t son = atb[bi] - node_starts[start_id - 1];
         prefix -= son > 0 ? son : 0;
         if (prefix > 0) {
           ix.incoming(start_h, nbrs);
@@ -851,8 +870,8 @@ int64_t vg_extract_subgraphs(
           }
           for (auto& kv : ext) members.insert(kv.first);
         }
-        int64_t suffix = qlen[p] - (aqb[a1 - 1] + k);
-        int64_t eon = node_starts[end_id] - ate[a1 - 1];
+        int64_t suffix = qlen[p] - (aqb[bj] + k);
+        int64_t eon = node_starts[end_id] - ate[bj];
         suffix -= eon > 0 ? eon : 0;
         if (!failed && suffix > 0) {
           ext.clear();
@@ -920,11 +939,11 @@ int64_t vg_extract_subgraphs(
           // corridor-mode divergence; node ids are unaffected).
           int64_t sN = node_starts[start_id - 1];
           int64_t sLen = ix.label_len(start_id);
-          int64_t from = atb[a0] - sN - budget;
+          int64_t from = atb[bi] - sN - budget;
           if (from > 0) trim[start_h] = {from, sLen};
           int64_t eN = node_starts[end_id - 1];
           int64_t eLen = ix.label_len(end_id);
-          int64_t to = ate[a1 - 1] - eN + budget;
+          int64_t to = ate[bj] - eN + budget;
           if (to < eLen) {
             auto it = trim.find(end_h);
             int64_t f0 = it == trim.end() ? 0 : it->second.first;
