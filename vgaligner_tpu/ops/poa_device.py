@@ -1712,7 +1712,10 @@ def kernel_launch_fused(prepared):
                 mega[o : o + len(w)] = w
                 t_cap = dims[1] + dims[3] + 2  # tape cols: V + (L+1) + 1
                 qlens = [len(q) for q in rest[7] if q is not None]
-                t_guess = _tape_guess_cols(t_cap, max(qlens)) if qlens else t_cap
+                t_guess = (
+                    _tape_guess_cols(t_cap, max(qlens), dims[1])
+                    if qlens else t_cap
+                )
                 layout.append((version, dims, t_guess, sz))
                 plan.append((rest[5], t_guess))  # (b_pad, t_guess)
         fn = _fused_drain_fn(tuple(layout))
@@ -1921,11 +1924,17 @@ def _slice_tape(tape, t_used):
     return tape[:, :t_used]
 
 
-def _tape_guess_cols(t_cap: int, max_q: int) -> int:
+def _tape_guess_cols(t_cap: int, max_q: int, V: int = 0) -> int:
     """Static column guess for the single-trip tape fetch: a global
     alignment's traceback walks nq matches/insertions plus one step per
-    deletion, so ~query length + slack covers all but pathological
-    deletion-heavy paths (those refetch, see kernel_finish_all)."""
+    deletion, so ~query length + slack covers all but deletion-heavy
+    paths (those refetch, see kernel_finish_all).  Big-V corridor
+    chunks (dense bubble hubs) walk deletions proportional to V and
+    overflowed the guess on EVERY drain — for V >= 512 the full tape is
+    fetched up front (similar bytes to guess+refetch, one less link
+    round trip)."""
+    if V >= 512:
+        return t_cap
     slack = int(os.environ.get("VGALIGNER_POA_TAPE_SLACK", "64"))
     return min(t_cap, max(64, 1 << max(0, max_q + slack - 1).bit_length()))
 
@@ -2058,7 +2067,8 @@ def kernel_finish_all(pendings):
     for o, p in zip(outs, pendings):
         t_cap = o[1].shape[1]
         max_q = max((len(q) for q in p[8]), default=1)
-        t_guess = _tape_guess_cols(t_cap, max_q)
+        # V recovered from the tape cap (T = V + l_pad + 2)
+        t_guess = _tape_guess_cols(t_cap, max_q, t_cap - max_q - 2)
         guesses.append(t_guess)
         parts.extend(
             (o[0], o[2], _slice_tape(o[1], t_guess) if t_guess < t_cap else o[1])
