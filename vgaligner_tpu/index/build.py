@@ -504,6 +504,26 @@ class Index:
 
     # ---- device -------------------------------------------------------
 
+    def host_lut(self):
+        """Cached host-side dense 4^k code->group table (int32, -1 =
+        absent), shared with the native count/coords helpers so each
+        window lookup is one load instead of a binary search.  None
+        when the code space exceeds the memory budget (k > 12 by
+        default, same gate as the device LUT)."""
+        lut = getattr(self, "_host_lut", None)
+        if lut is None and not getattr(self, "_host_lut_absent", False):
+            space = 4 ** self.kmer_length
+            max_space = int(os.environ.get("VGALIGNER_DENSE_LUT_MAX", 1 << 24))
+            if 0 < space <= max_space and len(self.kmer_codes):
+                lut = np.full(space, -1, dtype=np.int32)
+                lut[self.kmer_codes] = np.arange(
+                    len(self.kmer_codes), dtype=np.int32
+                )
+                self._host_lut = lut
+            else:
+                self._host_lut_absent = True
+        return lut
+
     def device(self) -> DeviceIndex:
         """The replicated device-resident view used by the mapping kernels.
 

@@ -538,7 +538,7 @@ class Mapper:
 
             return count_anchors_native(
                 seqs, self.index.kmer_codes, self.index.fo_counts,
-                self.index.kmer_length,
+                self.index.kmer_length, lut=self.index.host_lut(),
             )
         k = self.index.kmer_length
         l_pad = max(max(len(s) for s in seqs), k)

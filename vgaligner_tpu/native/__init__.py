@@ -123,13 +123,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.vg_finish_tapes.restype = ctypes.c_int64
         lib.vg_count_anchors.argtypes = [
             ctypes.c_int64, _charp, _i64p, ctypes.c_int32, _i64p, _i64p,
-            ctypes.c_int64, _i64p,
+            ctypes.c_int64, _i64p, _i32p,
         ]
         lib.vg_count_anchors.restype = ctypes.c_int64
         lib.vg_anchor_coords.argtypes = [
             ctypes.c_int64, _charp, _i64p, ctypes.c_int32, _i64p, _i64p,
             _i64p, _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, _i32p,
-            _i64p, _i64p, _i64p,
+            _i64p, _i64p, _i64p, _i32p,
         ]
         lib.vg_anchor_coords.restype = ctypes.c_int64
         lib.vg_backtrack.argtypes = [
@@ -340,8 +340,10 @@ def vcodes_u8(a: np.ndarray):
 
 
 def count_anchors_native(seqs, kmer_codes: np.ndarray,
-                         fo_counts: np.ndarray, k: int) -> np.ndarray:
-    """Exact forward-only anchor totals per read (Mapper._anchor_totals)."""
+                         fo_counts: np.ndarray, k: int,
+                         lut: "np.ndarray | None" = None) -> np.ndarray:
+    """Exact forward-only anchor totals per read (Mapper._anchor_totals).
+    lut: optional dense 4^k code->group int32 table (Index.host_lut)."""
     lib = get_lib()
     assert lib is not None
     n = len(seqs)
@@ -352,9 +354,11 @@ def count_anchors_native(seqs, kmer_codes: np.ndarray,
     codes_c = np.ascontiguousarray(kmer_codes, dtype=np.int64)
     counts_c = np.ascontiguousarray(fo_counts, dtype=np.int64)
     out = np.zeros(n, dtype=np.int64)
+    lut_c = None if lut is None else np.ascontiguousarray(lut, dtype=np.int32)
     lib.vg_count_anchors(
         n, blob, _p64(seq_off), k, _p64(codes_c), _p64(counts_c),
         len(codes_c), _p64(out),
+        None if lut_c is None else _p32(lut_c),
     )
     return out
 
@@ -389,11 +393,14 @@ def anchor_coords_native(seqs, index, a_max: np.ndarray, mem_off: np.ndarray,
     qb = np.zeros(m, dtype=np.int64)
     tb = np.zeros(m, dtype=np.int64)
     te = np.zeros(m, dtype=np.int64)
+    lut = index.host_lut()
+    lut_c = None if lut is None else np.ascontiguousarray(lut, dtype=np.int32)
     rc = lib.vg_anchor_coords(
         n, blob, _p64(seq_off), index.kmer_length, _p64(codes_c),
         _p64(counts_c), _p64(offsets_c), _p64(start_c), _p64(end_c),
         len(codes_c), _p64(am), _p64(mo), _p32(ms),
         _p64(qb), _p64(tb), _p64(te),
+        None if lut_c is None else _p32(lut_c),
     )
     if rc != 0:
         raise ValueError(f"anchor position out of range for read {rc - 1}")

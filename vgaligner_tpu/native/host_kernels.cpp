@@ -1560,10 +1560,12 @@ int64_t vg_poa_global_host(
 // Exact anchor totals per read: window k-mer codes + binary search over
 // the sorted code table, summing forward-only position counts.
 // Mirrors Mapper._anchor_totals.
+// lut: optional dense 4^k code->group table (int32, -1 absent); when
+// given it replaces the binary search (one load per window).
 int64_t vg_count_anchors(
     int64_t n_reads, const char* seqs, const int64_t* seq_off,
     int32_t k, const int64_t* kmer_codes, const int64_t* fo_counts,
-    int64_t n_kmers, int64_t* out_totals) {
+    int64_t n_kmers, int64_t* out_totals, const int32_t* lut) {
   parallel_for(n_reads, [&](int64_t rix) {
     const char* s = seqs + seq_off[rix];
     int64_t len = seq_off[rix + 1] - seq_off[rix];
@@ -1581,10 +1583,16 @@ int64_t vg_count_anchors(
         }
         code = ((code << 2) | (uint64_t)c) & mask;
         if (++run >= k) {
-          const int64_t* lo = kmer_codes;
-          const int64_t* hi = kmer_codes + n_kmers;
-          const int64_t* it = std::lower_bound(lo, hi, (int64_t)code);
-          if (it != hi && *it == (int64_t)code) total += fo_counts[it - lo];
+          int64_t idx = -1;
+          if (lut) {
+            idx = lut[code];
+          } else {
+            const int64_t* lo = kmer_codes;
+            const int64_t* hi = kmer_codes + n_kmers;
+            const int64_t* it = std::lower_bound(lo, hi, (int64_t)code);
+            if (it != hi && *it == (int64_t)code) idx = it - lo;
+          }
+          if (idx >= 0) total += fo_counts[idx];
         }
       }
     }
@@ -1607,7 +1615,8 @@ int64_t vg_anchor_coords(
     int64_t n_kmers, const int64_t* a_max /* [n_reads] device anchor cap */,
     const int64_t* mem_off /* [n_reads+1] members per read prefix */,
     const int32_t* mem_slots /* flat member sorted-position ids */,
-    int64_t* out_qb, int64_t* out_tb, int64_t* out_te) {
+    int64_t* out_qb, int64_t* out_tb, int64_t* out_te,
+    const int32_t* lut /* optional dense 4^k code->group table */) {
   struct Anc {
     int64_t qb, tb, te;
   };
@@ -1633,11 +1642,16 @@ int64_t vg_anchor_coords(
       }
       code = ((code << 2) | (uint64_t)c) & mask;
       if (++run >= k) {
-        const int64_t* lo = kmer_codes;
-        const int64_t* hi = kmer_codes + n_kmers;
-        const int64_t* it = std::lower_bound(lo, hi, (int64_t)code);
-        if (it != hi && *it == (int64_t)code) {
-          const int64_t idx = it - lo;
+        int64_t idx = -1;
+        if (lut) {
+          idx = lut[code];
+        } else {
+          const int64_t* lo = kmer_codes;
+          const int64_t* hi = kmer_codes + n_kmers;
+          const int64_t* it = std::lower_bound(lo, hi, (int64_t)code);
+          if (it != hi && *it == (int64_t)code) idx = it - lo;
+        }
+        if (idx >= 0) {
           const int64_t cnt = fo_counts[idx];
           for (int64_t p = 0; p < cnt && (int64_t)anc.size() < cap; ++p) {
             const int64_t row = fo_offsets[idx] + p;
