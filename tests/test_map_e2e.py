@@ -321,9 +321,14 @@ def test_map_wire_dispatch_matches_unpacked():
     from vgaligner_tpu.ops.poa_device import pack_wire
 
     wire = pack_wire(((codes, np.int8), (lens, np.int32)))
-    got = Mapper._device_map_wire(
+    flat, none_counts = Mapper._device_map_wire(
         jnp.asarray(wire), B, L, mapper.dindex, mapper._gap_table_dev,
         k, a_max, mapper.bandwidth, mapper.precision,
     )
-    for r, g_ in zip(ref, got):
-        np.testing.assert_array_equal(np.asarray(r), np.asarray(g_))
+    # the wire variant fuses (u8 plane, counts) into one buffer
+    assert none_counts is None
+    flat = np.asarray(flat)
+    plane = flat[: B * a_max].reshape(B, a_max)
+    counts = flat[B * a_max :].view(np.int32).reshape(B, 2)
+    np.testing.assert_array_equal(np.asarray(ref[0]), plane)
+    np.testing.assert_array_equal(np.asarray(ref[1]), counts)

@@ -291,15 +291,36 @@ def _anchor_coords_host(seqs, index, a_max: np.ndarray, mem_off: np.ndarray,
 
 
 def _fetch_bucket_outputs(outs):
-    """Drain [(packed, counts), ...] bucket outputs to host numpy with a
-    minimal number of link transfers (ops.poa_device.fetch_grouped: one
-    flat buffer per dtype — packed is uint16 for small-anchor buckets or
-    int32 for big ones, counts is int32, so at most two transfers);
-    returns the same list structure."""
+    """Drain [(a_max, packed, counts), ...] bucket outputs to host numpy
+    with a minimal number of link transfers (ops.poa_device.
+    fetch_grouped groups by dtype).  The wire path fuses each bucket's
+    u8 plane and its counts into ONE device buffer (counts is None
+    here) — split back after the fetch; legacy two-output buckets pass
+    through unchanged.  Returns [(packed, counts), ...]."""
     from ..ops.poa_device import fetch_grouped
 
-    arrays = fetch_grouped([a for o in outs for a in o])
-    return [(arrays[2 * i], arrays[2 * i + 1]) for i in range(len(outs))]
+    parts = []
+    for _a_max, p, c in outs:
+        parts.append(p)
+        if c is not None:
+            parts.append(c)
+    fetched = fetch_grouped(parts)
+    res = []
+    i = 0
+    for a_max, _p, c in outs:
+        arr = fetched[i]
+        i += 1
+        if c is None:
+            B = arr.size // (a_max + 8)
+            plane = arr[: B * a_max].reshape(B, a_max)
+            counts = (
+                arr[B * a_max :].view(np.int32).reshape(B, 2)
+            )
+            res.append((plane, counts))
+        else:
+            res.append((arr, fetched[i]))
+            i += 1
+    return res
 
 
 # jitted shard_map executables for the offset-sharded index path,
@@ -518,9 +539,21 @@ class Mapper:
         lens = jax.lax.bitcast_convert_type(
             wire[B * L :].reshape(B, 4), jnp.int32
         )
-        return Mapper._device_map(
+        packed, counts = Mapper._map_core(
             codes, lens, dindex, gap_table, k, a_max, bandwidth, precision
         )
+        # outputs ride back as ONE buffer too (each fetched buffer pays
+        # a link round trip): u8 plane rows + bitcast counts tail.
+        # Only the u8 (delta) plane qualifies — u16/i32 planes keep the
+        # two-output layout (bitcasting them to u8 is fine, but they
+        # only occur for bandwidth >= 127, off the production path).
+        if packed.dtype == jnp.uint8:
+            flat = jnp.concatenate([
+                packed.reshape(-1),
+                jax.lax.bitcast_convert_type(counts, jnp.uint8).reshape(-1),
+            ])
+            return flat, None
+        return packed, counts
 
     # ---- public API ----------------------------------------------------
 
@@ -661,7 +694,9 @@ class Mapper:
         for a_max, qidx in sorted(buckets.items()):
             dispatched.append(self._dispatch_bucket(queries, qidx, a_max))
         with self.timer.phase("gather"):
-            fetched = _fetch_bucket_outputs([(d[2], d[3]) for d in dispatched])
+            fetched = _fetch_bucket_outputs(
+                [(d[1], d[2], d[3]) for d in dispatched]
+            )
         pending = [
             self._collect_bucket(d[0], d[1], pc[0], pc[1])
             for d, pc in zip(dispatched, fetched)
