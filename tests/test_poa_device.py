@@ -461,8 +461,9 @@ def test_wire4_kernel_matches_packed_with_escaped_deltas():
     dnib = nibble_fold(df)
     exc_pd16, ok = exception_pred_deltas(exc_idx, exc_pred, B, V, P)
     assert ok
+    exc_pin = np.full(len(exc_idx), 255, np.uint8)
     wire = pack_chunk_wire4(
-        vnib, dnib, nv, nibble_fold(q), nq, exc_idx, exc_pd16
+        vnib, dnib, nv, nibble_fold(q), nq, exc_idx, exc_pd16, exc_pin
     )
     got = poa_global_kernel_wire4(
         jnp.asarray(wire), B, V, P, L, len(exc_idx), t_pad

@@ -140,8 +140,8 @@ def test_pallas2_small_ring():
 
 
 def test_ring_for_chunk_routing(monkeypatch):
-    """Host-side R selection: ladder quantization, geometry gating, and
-    the env opt-out."""
+    """Host-side R selection: pinned-far-row planning, ladder
+    escalation, geometry gating, and the env opt-outs."""
     B, V, P = 16, 256, 2
     nv = np.full(B, 40, np.int32)
     vpred = np.full((B, V, P), -1, np.int32)
@@ -149,13 +149,15 @@ def test_ring_for_chunk_routing(monkeypatch):
         vpred[:, v, 0] = v - 1
     assert PD._ring_for_chunk(vpred, nv, B, V, 127) == 16
 
-    vpred[0, 39, 1] = 0  # delta 39 -> next ladder step
-    assert PD._ring_for_chunk(vpred, nv, B, V, 127) == 64
+    # delta 39 > 16: ONE far vertex per problem -> a pin slot keeps the
+    # chunk on the smallest ring (the r3 design escalated to R=64 here)
+    vpred[0, 39, 1] = 0
+    assert PD._ring_for_chunk(vpred, nv, B, V, 127) == 16
 
     # pad rows beyond nv must not count (calloc'd zeros decode to dead)
     vpred[5, 200, 0] = 0
     nv[5] = 40
-    assert PD._ring_for_chunk(vpred, nv, B, V, 127) == 64
+    assert PD._ring_for_chunk(vpred, nv, B, V, 127) == 16
 
     # W not a lane tile -> no pallas geometry -> XLA route
     assert PD._ring_for_chunk(vpred, nv, B, V, 100) == 0
@@ -166,19 +168,170 @@ def test_ring_for_chunk_routing(monkeypatch):
     assert PD._ring_for_chunk(vpred, nv, B, V, 127) == 0
     monkeypatch.delenv("VGALIGNER_POA_PALLAS2")
 
-    # extended ladder: corridor-scale deltas ride bigger rings at
-    # smaller TB instead of falling back to the XLA scan
-    for d, want_r in ((200, 256), (400, 512), (900, 1024), (1500, 0)):
+    # corridor-scale deltas: any number of far refs to <= PIN_K distinct
+    # vertices per problem stays on the R=16 ring via pins
+    for d in (200, 400, 900, 1500):
         vp = np.full((8, 2048, 2), -1, np.int32)
         for v in range(1, 1800):
             vp[:, v, 0] = v - 1
         vp[0, d + 10, 1] = 10  # delta d
         nv8 = np.full(8, 1800, np.int32)
-        assert PD._ring_for_chunk(vp, nv8, 8, 2048, 127) == want_r, d
+        assert PD._ring_for_chunk(vp, nv8, 8, 2048, 127) == 16, d
+
+    # more than PIN_K distinct far vertices in ONE problem escalates R
+    # up the ladder; far-by-every-rung forces the XLA route
+    vp = np.full((8, 2048, 2), -1, np.int32)
+    for v in range(1, 1800):
+        vp[:, v, 0] = v - 1
+    for i in range(PD.PIN_K + 1):
+        vp[0, 1700 + i, 1] = i * 60  # deltas ~1700-1100, > 1024
+    nv8 = np.full(8, 1800, np.int32)
+    assert PD._ring_for_chunk(vp, nv8, 8, 2048, 127) == 0
+    # same fan-out but deltas near 600: R=1024 covers them without pins
+    vp = np.full((8, 2048, 2), -1, np.int32)
+    for v in range(1, 1800):
+        vp[:, v, 0] = v - 1
+    for i in range(PD.PIN_K + 1):
+        vp[0, 700 + i, 1] = 100 + i  # deltas ~600
+    assert PD._ring_for_chunk(vp, nv8, 8, 2048, 127) == 1024
+
+    # pins can be disabled: the old ladder semantics return
+    monkeypatch.setenv("VGALIGNER_POA_PINS", "0")
+    vp = np.full((8, 2048, 2), -1, np.int32)
+    for v in range(1, 1800):
+        vp[:, v, 0] = v - 1
+    vp[0, 210, 1] = 10  # delta 200
+    assert PD._ring_for_chunk(vp, nv8, 8, 2048, 127) == 256
+    monkeypatch.delenv("VGALIGNER_POA_PINS")
+
     # geometry honors the meta-plane lane constraint: TB * pow2(P) == 128
     assert PD._pallas2_geometry(1024, 256, 127, 16, P=2) == (64, 64)
     assert PD._pallas2_geometry(1024, 256, 127, 16, P=4)[0] == 32
     assert PD._pallas2_geometry(1024, 256, 127, 16, P=8)[0] == 16
+    # with PIN_K rows the production R=16/P=4 geometry still hits TB=32
+    assert PD._pallas2_geometry(1024, 256, 127, 16, P=4, K=PD.PIN_K)[0] == 32
+    assert PD._pallas2_geometry(128, 4096, 127, 16, P=4, K=PD.PIN_K)[0] == 32
     # big rings force TB=8 and may stretch to ~13 MB of VMEM
     assert PD._pallas2_geometry(512, 1024, 127, 1024, P=4)[0] == 8
     assert PD._pallas2_geometry(512, 1024, 127, 2048, P=4) is None
+
+
+def _pins_for_arrays(vpred, nv, b_pad, V, l_pad):
+    """Production-parity pin planning for test arrays: encode the wire
+    deltas, run the planner, and rebuild the [B,V] pinplane exactly as
+    _decode_wire4 does."""
+    P = vpred.shape[-1]
+    dplane, exc_idx, exc_pred = PD.encode_pred_deltas(vpred, nv, max_delta=14)
+    R, exc_pin = PD._plan_ring_pins(
+        dplane, exc_idx, exc_pred, V, P, b_pad, l_pad, allow_pins=True
+    )
+    pinplane = np.full((b_pad, V), -1, np.int8)
+    if R and exc_pin is not None:
+        real = (exc_idx < b_pad * V * P) & (exc_pin < 255)
+        b_of = exc_idx[real] // (V * P)
+        pinplane[b_of, exc_pred[real]] = exc_pin[real].astype(np.int8)
+    return R, pinplane
+
+
+def test_pallas2_pinned_far_rows():
+    """Graphs with predecessor deltas far beyond the ring: the planner
+    assigns pin slots and the kernel's pinned rows reproduce the XLA
+    scan bit-for-bit (scores, sink choices, traceback bits)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.ops.poa_pallas2 import poa_dp_pallas2
+
+    rng = np.random.default_rng(23)
+    problems = []
+    for i in range(16):
+        n_nodes = 40
+        nodes = [
+            "".join("ACGT"[c] for c in rng.integers(0, 4, 3))
+            for _ in range(n_nodes)
+        ]
+        edges = [(j, j + 1) for j in range(n_nodes - 1)]
+        # far edges: early hubs referenced from deep in the chain
+        # (deltas ~60-100 vertices >> R=16), several per problem
+        edges += [(0, 25), (1, 30), (2, 35), (3, 38)][: 1 + i % 4]
+        q = "".join(nodes)[5 : 5 + 90]
+        problems.append((nodes, edges, q))
+    arrs = _padded_arrays(problems, 128, 127)
+    vpred, nv = arrs[1], arrs[3]
+    R, pinplane = _pins_for_arrays(vpred, nv, 16, 128, 127)
+    assert R == 16
+    assert (pinplane >= 0).any()
+    args = [jnp.asarray(a) for a in arrs]
+
+    sx, kx, tbx = jax.device_get(PD.poa_dp_xla(*args))
+    sp, kp, tbp = jax.device_get(
+        poa_dp_pallas2(
+            *args, R=R, TB=8, VB=128, pinplane=jnp.asarray(pinplane),
+            K=PD.PIN_K, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(sx, sp)
+    np.testing.assert_array_equal(kx, kp)
+    for b in range(16):
+        np.testing.assert_array_equal(tbx[b, : nv[b]], tbp[b, : nv[b]])
+
+    # full traceback tapes agree through the pinned path too
+    tapex, tlx = jax.device_get(
+        PD.traceback_batch(jnp.asarray(tbx), args[1], jnp.asarray(kx), args[5])
+    )
+    tapep, tlp = jax.device_get(
+        PD.traceback_batch(jnp.asarray(tbp), args[1], jnp.asarray(kp), args[5])
+    )
+    np.testing.assert_array_equal(tlx, tlp)
+    for b in range(16):
+        np.testing.assert_array_equal(tapex[b, : tlx[b]], tapep[b, : tlx[b]])
+
+
+def test_wire4_pin_roundtrip():
+    """The v4 wire carries exc_pin end-to-end: pack, decode, and the
+    decoded pinplane matches the planner's assignment."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    problems = []
+    for _ in range(8):
+        nodes = [
+            "".join("ACGT"[c] for c in rng.integers(0, 4, 4))
+            for _ in range(30)
+        ]
+        edges = [(j, j + 1) for j in range(29)]
+        edges += [(0, 22), (1, 27)]
+        q = "".join(nodes)[4 : 4 + 60]
+        problems.append((nodes, edges, q))
+    v_pad, l_pad = 128, 127
+    arrs = _padded_arrays(problems, v_pad, l_pad)
+    vcodes, vpred, is_sink, nv, q, nq, _init = arrs
+    b_pad = len(problems)
+    P = vpred.shape[-1]
+    dplane, exc_idx, exc_pred = PD.encode_pred_deltas(vpred, nv, max_delta=14)
+    R, exc_pin = PD._plan_ring_pins(
+        dplane, exc_idx, exc_pred, v_pad, P, b_pad, l_pad, allow_pins=True
+    )
+    assert R == 16 and (exc_pin < 255).any()
+    exc_pd16, ok = PD.exception_pred_deltas(exc_idx, exc_pred, b_pad, v_pad, P)
+    assert ok
+    vcodes_p = (vcodes | (is_sink.astype(np.int8) << 5)).astype(np.int8)
+    vcodes_f = PD.pack_rows(vcodes_p, nv)
+    dplane_f = PD.pack_rows(dplane, nv)
+    t_pad = PD._ladder_bytes(max(len(vcodes_f), 1))
+    vcodes_f = np.concatenate([vcodes_f, np.zeros(t_pad - len(vcodes_f), np.int8)])
+    dplane_f = np.concatenate([dplane_f, np.zeros(t_pad - len(dplane_f), np.uint8)])
+    vnib = PD.nibble_fold((vcodes_f & 7) | (((vcodes_f >> 5) & 1) << 3))
+    dnib = PD.nibble_fold(dplane_f)
+    wire = PD.pack_chunk_wire4(
+        vnib, dnib, nv, PD.nibble_fold(q), nq, exc_idx, exc_pd16, exc_pin
+    )
+    got = jax.device_get(PD._decode_wire4(
+        jnp.asarray(wire), b_pad, v_pad, P, l_pad, len(exc_idx), t_pad
+    ))
+    vc_d, vp_d, nv_d, q_d, nq_d, pin_d = got
+    np.testing.assert_array_equal(vp_d, vpred.astype(np.int16))
+    np.testing.assert_array_equal(nv_d, nv)
+    _R2, pin_want = _pins_for_arrays(vpred, nv, b_pad, v_pad, l_pad)
+    np.testing.assert_array_equal(pin_d, pin_want)

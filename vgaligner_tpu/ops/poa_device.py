@@ -718,9 +718,10 @@ def exception_pred_deltas(exc_idx, exc_pred, B: int, V: int, P: int):
     return delta.astype(np.uint16), ok
 
 
-def pack_chunk_wire4(vnib, dnib, nv, qnib, nq, exc_idx, exc_pd16):
+def pack_chunk_wire4(vnib, dnib, nv, qnib, nq, exc_idx, exc_pd16, exc_pin):
     """pack_wire layout for poa_global_kernel_wire4 (nibble planes,
-    nibble query codes, uint16 exception pred-deltas)."""
+    nibble query codes, uint16 exception pred-deltas, uint8 exception
+    pin slots — 255 = not pinned)."""
     return pack_wire(
         (
             (nv, np.int32),
@@ -728,6 +729,7 @@ def pack_chunk_wire4(vnib, dnib, nv, qnib, nq, exc_idx, exc_pd16):
             (nq, np.int32),
             (exc_idx, np.int32),
             (exc_pd16, np.uint16),
+            (exc_pin, np.uint8),
             (vnib, np.uint8),
             (dnib, np.uint8),
         )
@@ -761,6 +763,8 @@ def _decode_wire4(wire, B, V, P, L, E, T):
         wire[o : o + E * 2].reshape(E, 2), jnp.int16
     ).astype(jnp.int32) & 0xFFFF
     o += E * 2
+    exc_pin = wire[o : o + E].astype(jnp.int32)
+    o += E
 
     vq = expand(wire[o : o + T // 2])
     o += T // 2
@@ -782,7 +786,20 @@ def _decode_wire4(wire, B, V, P, L, E, T):
     )
     flat = flat.at[exc_idx].set(exc_pred, mode="promise_in_bounds")
     vpred16 = flat[:-1].reshape(B, V, P).astype(jnp.int16)
-    return vcodes_p, vpred16, nv, q, nq
+    # pinned-far-row plane [B, V]: pin slot of each far-referenced
+    # vertex, -1 elsewhere (host-assigned, see _plan_ring_pins); pad
+    # exceptions carry 255 and scatter into the dropped scratch slot
+    b_of = exc_idx // (V * P)
+    pin_target = jnp.where(
+        (exc_pin < 255) & (exc_idx < B * V * P),
+        jnp.clip(b_of * V + exc_pred, 0, B * V), B * V,
+    )
+    pin_flat = jnp.full(B * V + 1, -1, jnp.int32)
+    pin_flat = pin_flat.at[pin_target].set(
+        exc_pin, mode="promise_in_bounds"
+    )
+    pinplane = pin_flat[:-1].reshape(B, V).astype(jnp.int8)
+    return vcodes_p, vpred16, nv, q, nq, pinplane
 
 
 def poa_global_kernel_wire4(wire, B, V, P, L, E, T, R=0):
@@ -790,8 +807,15 @@ def poa_global_kernel_wire4(wire, B, V, P, L, E, T, R=0):
     both row-packed planes at 4 bits per vertex — the vertex value is
     code (3b) + sink (1b) exactly, and slot-0 deltas are capped at 14
     (larger ones ride the exception list; measured 92% of live deltas
-    are 1).  Halves the plane bytes again on an upload-bound link."""
-    return poa_global_kernel_packed(*_decode_wire4(wire, B, V, P, L, E, T), R)
+    are 1).  Halves the plane bytes again on an upload-bound link.
+    Also carries the pinned-far-row channel (exc_pin) that lets every
+    chunk ride the R=16 Pallas ring (see _plan_ring_pins)."""
+    vcodes_p, vpred16, nv, q, nq, pinplane = _decode_wire4(
+        wire, B, V, P, L, E, T
+    )
+    return poa_global_kernel_packed(
+        vcodes_p, vpred16, nv, q, nq, R, pinplane
+    )
 
 
 def pack_wire(parts) -> np.ndarray:
@@ -862,10 +886,11 @@ def wire_bitcast_supported() -> bool:
     return _WIRE_BITCAST_OK[key]
 
 
-def _pallas2_geometry(B: int, V: int, L: int, R: int = 16, P: int = 2):
+def _pallas2_geometry(B: int, V: int, L: int, R: int = 16, P: int = 2,
+                      K: int = 0):
     """(TB, VB) for the v2 Pallas DP on this chunk shape with ring
-    depth R and P predecessor slots, or None when the shape cannot
-    ride it.
+    depth R, K pinned far rows, and P predecessor slots, or None when
+    the shape cannot ride it.
 
     TB (problems per grid row, the sublane batching) is the kernel's
     main throughput lever — measured per-chunk DP time on v5e at
@@ -889,7 +914,7 @@ def _pallas2_geometry(B: int, V: int, L: int, R: int = 16, P: int = 2):
             continue
         # TB=8 rings may stretch further: at R=1024 the 12.6 MB ring +
         # small tiles still fit the ~16 MB VMEM (measured compile+run)
-        ring = (R + 2) * TB * 3 * W * 4
+        ring = (R + 2 + K) * TB * 3 * W * 4
         if ring > ((13 << 20) if TB == 8 else (8 << 20)):
             continue
         # Mosaic double-buffers the tbits out tile, so the VB budget
@@ -905,8 +930,12 @@ def _pallas2_geometry(B: int, V: int, L: int, R: int = 16, P: int = 2):
     return None
 
 
+PIN_K = 8  # pinned far rows in the v2 Pallas kernel (see _plan_ring_pins)
+
+
 @partial(jax.jit, static_argnums=(5,))
-def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq, R: int = 0):
+def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq, R: int = 0,
+                             pinplane=None):
     """Wire-format variant of poa_global_kernel: ONE device launch per
     chunk for DP + traceback, with the dispatch payload shrunk for the
     host link (measured ~33 ms fixed round trip + ~50 MB/s):
@@ -921,8 +950,10 @@ def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq, R: int = 0):
 
     R > 0 routes the DP to the v2 Pallas kernel (ops/poa_pallas2.py)
     with a ring of R rows — the host proved every predecessor delta of
-    the chunk fits R (kernel_prepare).  R == 0, CPU backends, or
-    shapes outside the kernel's geometry use the XLA scan.
+    the chunk fits R, or assigned the few far-referenced vertices
+    pinned rows shipped as `pinplane` [B,V] (pin slot or -1; see
+    _plan_ring_pins).  R == 0, CPU backends, or shapes outside the
+    kernel's geometry use the XLA scan.
     """
     B, V = vcodes_p.shape
     L = q.shape[1]
@@ -935,14 +966,17 @@ def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq, R: int = 0):
     vcodes = (vcodes_p & 7).astype(jnp.int8)
     is_sink = (vcodes_p >> 5) != 0
     vpred = vpred16.astype(jnp.int32)
-    geo = _pallas2_geometry(B, V, L, R, vpred16.shape[-1]) if R else None
+    geo = (
+        _pallas2_geometry(B, V, L, R, vpred16.shape[-1], PIN_K)
+        if R else None
+    )
     if geo and jax.default_backend() != "cpu":
         from .poa_pallas2 import poa_dp_pallas2
 
         TB, VB = geo
         score, best_sink, tbits = poa_dp_pallas2(
             vcodes, vpred, is_sink, nv, q, nq, init_row,
-            R=R, TB=TB, VB=VB,
+            R=R, TB=TB, VB=VB, pinplane=pinplane, K=PIN_K,
         )
     else:
         score, best_sink, tbits = poa_dp_xla(
@@ -1484,48 +1518,85 @@ def _pad_queries(qs, b_pad: int, l_pad: int):
 
 def _ring_for_chunk(vpred_s, nv, b_pad: int, V: int, l_pad: int) -> int:
     """Ring depth R for the v2 Pallas DP on this chunk, or 0 to route
-    the DP to the XLA scan.
+    the DP to the XLA scan (test/debug convenience over
+    _plan_ring_pins, production-parity encoding).
 
     The v2 kernel (ops/poa_pallas2.py) keeps only the last R vertex rows
-    of DP state in a VMEM ring, so it is sound exactly when every live
-    predecessor of every REAL vertex is within R topological ranks of
-    its successor (slot = pred & (R-1); delta == R still reads the
-    not-yet-overwritten slot).  Base graphs are near-linear chains —
-    measured max delta on DRB1 chunks is <= 16 — so this almost always
-    holds with a tiny ring.  R is quantized to a {16,64,...} ladder so
-    the expensive DP executable compiles once per (B,V,P,L,R) instead
-    of per exact delta, and capped by the kernel's VMEM geometry."""
-    dplane, exc_idx, exc_pred = encode_pred_deltas(vpred_s, nv, max_delta=255)
-    return _ring_from_deltas(
+    of DP state in a VMEM ring plus up to PIN_K pinned far rows, so it
+    is sound exactly when every live predecessor of every REAL vertex
+    is within R topological ranks of its successor (slot = pred &
+    (R-1); delta == R still reads the not-yet-overwritten slot) OR is
+    one of at most PIN_K per-problem far-referenced vertices holding a
+    pin slot."""
+    dplane, exc_idx, exc_pred = encode_pred_deltas(vpred_s, nv, max_delta=14)
+    r, _pins = _plan_ring_pins(
         dplane, exc_idx, exc_pred, V, vpred_s.shape[-1], b_pad, l_pad
     )
+    return r
 
 
-def _ring_from_deltas(dplane, exc_idx, exc_pred, V: int, P: int,
-                      b_pad: int, l_pad: int) -> int:
-    """_ring_for_chunk core on the ALREADY-computed wire delta encoding
-    (kernel_prepare has dplane + exceptions in hand — rescanning the
-    dense [B,V,P] table per chunk measured ~100 ms/drain of pure d_pack
-    overhead).  dplane holds slot-0 deltas that fit the wire bound;
-    every other live slot (and larger slot-0 deltas) rides the
-    exception list, whose delta is recoverable from its flat index."""
+def _plan_ring_pins(dplane, exc_idx, exc_pred, V: int, P: int,
+                    b_pad: int, l_pad: int, allow_pins: bool = True):
+    """Choose the v2 Pallas ring depth R and assign pinned-row slots,
+    on the ALREADY-computed wire delta encoding (kernel_prepare has
+    dplane + exceptions in hand — rescanning the dense [B,V,P] table
+    per chunk measured ~100 ms/drain of pure d_pack overhead).
+
+    dplane holds slot-0 deltas that fit the wire bound (max 14 on the
+    production v4 wire, so any R rung covers them); every other live
+    slot rides the exception list.  Exceptions whose rank delta
+    exceeds R are FAR: their predecessor vertex gets one of PIN_K
+    per-problem pinned VMEM rows (slots assigned here in ascending
+    pred-id order — measured <= 4 distinct far vertices per problem on
+    DRB1 corridor chunks even at R=16, so the smallest rung almost
+    always wins, which shrinks the ring and doubles TB).  A problem
+    needing more than PIN_K pins escalates R along the 16/64/256/512/
+    1024 ladder; only past that does the chunk ride the XLA scan.
+
+    Returns (R, exc_pin): R == 0 means XLA; exc_pin is a uint8 [E]
+    plane (pin slot per exception, 255 = not pinned) when allow_pins,
+    else None (the v2/v3 wires carry no pin channel, so R must cover
+    every delta outright)."""
     if os.environ.get("VGALIGNER_POA_PALLAS2", "1") == "0":
-        return 0
-    d = int(dplane.max()) if dplane.size else 1
+        return 0, None
+    if os.environ.get("VGALIGNER_POA_PINS", "1") == "0":
+        allow_pins = False
+    d0 = int(dplane.max()) if dplane.size else 1
     live = exc_pred >= 0
-    if live.any():
-        v_i = ((exc_idx[live].astype(np.int64)) // P) % V
-        d = max(d, int((v_i - exc_pred[live].astype(np.int64)).max()))
-    d = max(d, 1)
-    # ladder 16/64/256/512/1024: parallel bubble branches force rank
-    # deltas of about the branch length (any topological order puts one
-    # branch first), so corridor subgraphs legitimately reach deltas of
-    # hundreds; past 1024 the ring no longer fits VMEM at any TB and
-    # the chunk rides the XLA scan
+    idx64 = exc_idx.astype(np.int64)
+    v_i = (idx64 // P) % V
+    b_i = idx64 // (V * P)
+    delta_e = np.where(live, v_i - exc_pred.astype(np.int64), 0)
     r = 16
-    while r < d and r < 1024:
+    while r < d0 and r < 1024:
         r <<= 2 if r < 256 else 1
-    return r if d <= r and _pallas2_geometry(b_pad, V, l_pad, r, P) else 0
+    if d0 > r:
+        return 0, None
+    no_pins = np.full(len(exc_idx), 255, np.uint8) if allow_pins else None
+    while True:
+        # larger rungs only shrink the geometry's options, so a failure
+        # here is terminal
+        if not _pallas2_geometry(b_pad, V, l_pad, r, P, PIN_K):
+            return 0, None
+        far = live & (delta_e > r)
+        if not far.any():
+            return r, no_pins
+        if allow_pins:
+            keys = b_i[far] * V + exc_pred[far].astype(np.int64)
+            uniq = np.unique(keys)
+            ub = uniq // V
+            if int(np.bincount(ub).max()) <= PIN_K:
+                is_new = np.concatenate([[True], ub[1:] != ub[:-1]])
+                grp_start = np.maximum.accumulate(
+                    np.where(is_new, np.arange(len(uniq)), 0)
+                )
+                slot_u = (np.arange(len(uniq)) - grp_start).astype(np.uint8)
+                exc_pin = np.full(len(exc_idx), 255, np.uint8)
+                exc_pin[far] = slot_u[np.searchsorted(uniq, keys)]
+                return r, exc_pin
+        if r >= 1024:
+            return 0, None
+        r <<= 2 if r < 256 else 1
 
 
 def kernel_prepare(built, qs, v_pad: int, l_pad: int):
@@ -1551,7 +1622,20 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
             vpred_s, nv, max_delta=max_delta
         )
         V, P = vcodes.shape[1], vpred_s.shape[-1]
-        R = _ring_from_deltas(dplane, exc_idx, exc_pred, V, P, b_pad, l_pad)
+        exc_pd16 = None
+        if version == "v4":
+            exc_pd16, ok = exception_pred_deltas(
+                exc_idx, exc_pred, b_pad, V, P
+            )
+            if not ok or (b_pad * l_pad) % 2:
+                # a pred-delta outside uint16 (or an odd query plane):
+                # this chunk rides the int32-pred wire3
+                version = "v3"
+        # only the v4 wire carries the pinned-far-row channel
+        R, exc_pin = _plan_ring_pins(
+            dplane, exc_idx, exc_pred, V, P, b_pad, l_pad,
+            allow_pins=(version == "v4"),
+        )
         if version == "v2":
             wire = pack_chunk_wire2(
                 vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred
@@ -1575,27 +1659,17 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
                     vcodes_f, dplane_f, nv, q_pad, nq, exc_idx, exc_pred
                 )
             else:
-                exc_pd16, ok = exception_pred_deltas(
-                    exc_idx, exc_pred, b_pad, V, P
+                if exc_pin is None:
+                    exc_pin = np.full(len(exc_idx), 255, np.uint8)
+                # 4-bit vertex values: code (3b) + sink bit 5 -> 3
+                vnib = nibble_fold(
+                    (vcodes_f & 7) | (((vcodes_f >> 5) & 1) << 3)
                 )
-                if not ok or (b_pad * l_pad) % 2:
-                    # a pred-delta outside uint16 (or an odd query
-                    # plane): this chunk rides the int32-pred wire3
-                    version = "v3"
-                    wire = pack_chunk_wire3(
-                        vcodes_f, dplane_f, nv, q_pad, nq, exc_idx,
-                        exc_pred,
-                    )
-                else:
-                    # 4-bit vertex values: code (3b) + sink bit 5 -> 3
-                    vnib = nibble_fold(
-                        (vcodes_f & 7) | (((vcodes_f >> 5) & 1) << 3)
-                    )
-                    dnib = nibble_fold(dplane_f)
-                    wire = pack_chunk_wire4(
-                        vnib, dnib, nv, nibble_fold(q_pad), nq,
-                        exc_idx, exc_pd16,
-                    )
+                dnib = nibble_fold(dplane_f)
+                wire = pack_chunk_wire4(
+                    vnib, dnib, nv, nibble_fold(q_pad), nq,
+                    exc_idx, exc_pd16, exc_pin,
+                )
     rest = (vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs)
     return wire, version, dims, rest
 

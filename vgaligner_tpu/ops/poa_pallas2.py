@@ -12,13 +12,24 @@ far too little work per instruction.  This kernel fixes both:
     row is a [TB, W] f32 tile (W = l_pad+1 = 128 exactly — one lane
     tile), so each VPU op does TB x 128 useful lanes;
   * **VMEM ring state**: H/E1/E2 live interleaved in ONE scratch ring
-    S[(R+2), TB, 3W] updated truly in place — R is the chunk's max
-    predecessor rank-delta rounded to a pow2 ladder; row R is the
-    virtual source and row R+1 an all-NEG sentinel that dead
-    predecessor slots read, so the gather needs no liveness masks
-    (the sentinel trick from poa_pallas.py).  Chunks whose max delta
-    exceeds the VMEM budget fall back to the XLA kernel (host routes,
-    see poa_device.kernel_prepare);
+    S[(R+2+K), TB, 3W] updated truly in place — R is the ring depth
+    (slot = pred & (R-1); delta == R still reads the not-yet-
+    overwritten slot); row R is the virtual source and row R+1 an
+    all-NEG sentinel that dead predecessor slots read, so the gather
+    needs no liveness masks (the sentinel trick from poa_pallas.py);
+  * **pinned far rows**: rows R+2..R+1+K hold copies of up to K
+    vertices per problem whose rank delta to some successor exceeds R
+    (bubble-hub vertices referenced from the far side of a long
+    parallel branch).  The host assigns pin slots (poa_device.
+    _plan_ring_pins — measured <= 4 distinct far vertices per problem
+    on corridor subgraphs even at R=16) and ships them via `pinplane`;
+    the writer copies a just-computed row into its pin slot, and far
+    predecessors gather from there instead of the ring.  This keeps R
+    tiny regardless of V — shrinking the ring's VMEM doubles TB on
+    P=4 chunks — and lets V>=2048 corridor chunks ride this kernel
+    instead of the ~15x-slower XLA scan; chunks needing > K pins
+    escalate R along the ladder and only then fall back to the XLA
+    kernel (host routes, see poa_device.kernel_prepare);
   * **2-D grid (problem blocks x vertex blocks)**: the ring persists
     across the inner vertex-block dimension and the packed traceback
     bits stream out one [VB, TB, W] tile per step, so VMEM holds only
@@ -94,23 +105,25 @@ def _shift_right_one(x: jnp.ndarray, fill) -> jnp.ndarray:
 def _poa_dp_kernel2(nvmax_ref, meta_ref, combo_ref, q_ref, nv_ref, nq_ref,
                     init_row_ref,
                     score_ref, bsink_ref, tbits_ref,
-                    S, G, best_ref, bvert_ref, *, P: int, F: int):
+                    S, G, best_ref, bvert_ref, *, P: int, F: int, K: int):
     """One (problem-block, vertex-block) grid step.
 
-    Blocks: meta [VB, TB*F] i32 (P pred ids per (vertex, problem),
-    for the scalar gather loop), combo [VB, TB, 1] i32 (code | sink<<3 |
-    live-bits<<4, read as vector columns), q [TB, W] i32, nv/nq [TB, 1]
-    i32, init_row [1, W] f32; outputs score/bsink [TB, 128] (same block
-    across vertex steps), tbits [VB, TB, W] i32 per step.  Scratch:
-    S ring [(R+2), TB, 3W] f32, G gathered rows [P, TB, 3W] f32,
-    best/bvert [TB, 128] streaming best-sink state.
+    Blocks: meta [VB, TB*F] i32 (P PRECOMPUTED GATHER SLOTS per
+    (vertex, problem) — ring slot, pinned slot R+2+k, or sentinel —
+    for the scalar gather loop), combo [VB, TB, 1] i32 (code | sink<<3
+    | live-bits<<4 | (pin+1)<<(4+P), read as vector columns), q [TB, W]
+    i32, nv/nq [TB, 1] i32, init_row [1, W] f32; outputs score/bsink
+    [TB, 128] (same block across vertex steps), tbits [VB, TB, W] i32
+    per step.  Scratch: S ring+pins [(R+2+K), TB, 3W] f32, G gathered
+    rows [P, TB, 3W] f32, best/bvert [TB, 128] streaming best-sink
+    state.
     """
     g = pl.program_id(0)
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
     TB = q_ref.shape[0]
     W = q_ref.shape[1]
-    R = S.shape[0] - 2
+    R = S.shape[0] - 2 - K
     VB = meta_ref.shape[0]
 
     q_row = q_ref[:]  # [TB, W] i32
@@ -134,13 +147,12 @@ def _poa_dp_kernel2(nvmax_ref, meta_ref, combo_ref, q_ref, nv_ref, nq_ref,
 
         # --- gather predecessor rows (scalar per problem x slot) ---
         # (per-problem row indices cannot be vectorized across sublanes;
-        # everything below this loop is [*, TB, W] vector work)
+        # everything below this loop is [*, TB, W] vector work.  meta
+        # holds PRECOMPUTED slots — ring, pinned, or sentinel — so the
+        # scalar loop is a bare load + copy)
         for t in range(TB):
             for p in range(P):
-                pm = meta_ref[vi, t * F + p]
-                neg = pm >> 31  # -1 if dead else 0
-                sentinel = R if p == 0 else R + 1  # virtual src / all-NEG
-                slot = (pm & (R - 1) & ~neg) | (neg & sentinel)
+                slot = meta_ref[vi, t * F + p]
                 G[pl.ds(p, 1), pl.ds(t, 1), :] = S[pl.ds(slot, 1), pl.ds(t, 1), :]
 
         cs = combo_ref[pl.ds(vi, 1), :, :].reshape(TB, 1)  # [TB, 1] i32
@@ -238,6 +250,20 @@ def _poa_dp_kernel2(nvmax_ref, meta_ref, combo_ref, q_ref, nv_ref, nq_ref,
 
         row = jnp.concatenate([h_row, best1, best2], axis=1)  # [TB, 3W]
         S[pl.ds(v & (R - 1), 1), :, :] = row[None]
+        if K:
+            # pinned far rows: combo bits (4+P).. carry pin+1 for the
+            # few vertices some far successor will gather (rare — the
+            # selects run only when any problem in the tile pins here)
+            pin_col = (cs >> (4 + P)) & 15  # [TB, 1]
+
+            @pl.when(jnp.max(pin_col) > 0)
+            def _():
+                for kk in range(K):
+                    m = pin_col == (kk + 1)  # [TB, 1]
+                    cur = S[pl.ds(R + 2 + kk, 1), :, :]
+                    S[pl.ds(R + 2 + kk, 1), :, :] = jnp.where(
+                        m[None], row[None], cur
+                    )
         tbits_ref[pl.ds(vi, 1), :, :] = bits[None]
 
         # streaming best sink at column nq (first vertex on ties)
@@ -266,38 +292,65 @@ def _poa_dp_kernel2(nvmax_ref, meta_ref, combo_ref, q_ref, nv_ref, nq_ref,
         bsink_ref[:] = jnp.broadcast_to(bvert_ref[:, 0:1], bsink_ref.shape)
 
 
-@partial(jax.jit, static_argnames=("R", "TB", "VB", "interpret"))
+@partial(jax.jit, static_argnames=("R", "TB", "VB", "K", "interpret"))
 def poa_dp_pallas2(vcodes, vpred, is_sink, nv, q, nq, init_row,
                    R: int, TB: int = 16, VB: int = 256,
+                   pinplane=None, K: int = 8,
                    interpret: bool = False):
     """Batched POA DP on TPU via the v2 Pallas kernel.
 
     vcodes [B,V] i8, vpred [B,V,P] i32 (every live predecessor within
-    R ranks of its vertex — caller guarantees), is_sink [B,V] bool,
-    nv [B] i32, q [B,L] i8, nq [B] i32, init_row [L+1] f32; R/TB/VB
-    static, R a pow2.  L+1 must be a multiple of 128, B of TB, V of VB.
-    Returns (best_score [B] f32, best_sink [B] i32, tbits [B,V,L+1]
-    i32) — bit-identical to poa_dp_xla.
+    R ranks of its vertex OR assigned a pin slot in pinplane — caller
+    guarantees), is_sink [B,V] bool, nv [B] i32, q [B,L] i8, nq [B]
+    i32, init_row [L+1] f32; pinplane [B,V] int (pin slot 0..K-1 of a
+    far-referenced vertex, -1 otherwise) or None when no vertex is
+    referenced past R; R/TB/VB/K static, R a pow2.  L+1 must be a
+    multiple of 128, B of TB, V of VB.  Returns (best_score [B] f32,
+    best_sink [B] i32, tbits [B,V,L+1] i32) — bit-identical to
+    poa_dp_xla.
     """
     B, V = vcodes.shape
     L = q.shape[1]
     W = L + 1
     P = vpred.shape[-1]
     assert W % 128 == 0 and B % TB == 0 and V % VB == 0 and R & (R - 1) == 0
+
     F = meta_fields(P, TB)
 
-    # meta plane [V, B*F]: per (vertex, problem) the P pred ids (scalar
-    # gather loop); combo plane [V, B, 1]: code | sink<<3 | live-bits<<4
-    pred_t = jnp.transpose(vpred.astype(jnp.int32), (1, 0, 2))  # [V, B, P]
+    # meta plane [V, B*F]: per (vertex, problem) the P gather SLOTS,
+    # fully precomputed here (vectorized) so the kernel's scalar loop is
+    # a bare load+copy: ring slot pred&(R-1) for near preds, R+2+pin for
+    # far preds (delta > R, host-assigned pin slots), sentinel R (p==0,
+    # virtual source) / R+1 (all-NEG) for dead slots; combo plane
+    # [V, B, 1]: code | sink<<3 | live-bits<<4 | (own pin+1)<<(4+P)
+    pred32 = vpred.astype(jnp.int32)
+    live = pred32 >= 0
+    v_iota = jnp.arange(V, dtype=jnp.int32)[None, :, None]
+    delta = v_iota - pred32
+    p_iota = jnp.arange(P, dtype=jnp.int32)[None, None, :]
+    sentinel = jnp.where(p_iota == 0, jnp.int32(R), jnp.int32(R + 1))
+    slots = jnp.where(live, pred32 & (R - 1), sentinel)
+    if pinplane is not None and K:
+        pin32 = pinplane.astype(jnp.int32)
+        pin_of_pred = jnp.take_along_axis(
+            pin32[:, :, None], jnp.clip(pred32, 0, V - 1), axis=1
+        )
+        far = live & (delta > R)
+        slots = jnp.where(far, R + 2 + pin_of_pred, slots)
+    slot_t = jnp.transpose(slots, (1, 0, 2))  # [V, B, P]
     if F > P:
-        pad = jnp.full((V, B, F - P), -1, jnp.int32)
-        pred_t = jnp.concatenate([pred_t, pad], axis=2)
-    meta = pred_t.reshape(V, B * F)
+        pad = jnp.broadcast_to(jnp.int32(R + 1), (V, B, F - P))
+        slot_t = jnp.concatenate([slot_t, pad], axis=2)
+    meta = slot_t.reshape(V, B * F)
     live_bits = jnp.sum(
-        (vpred >= 0).astype(jnp.int32) << (4 + jnp.arange(P, dtype=jnp.int32)),
+        live.astype(jnp.int32) << (4 + jnp.arange(P, dtype=jnp.int32)),
         axis=-1,
     )  # [B, V]
     combo = (vcodes.astype(jnp.int32) & 7) | (is_sink.astype(jnp.int32) << 3) | live_bits
+    if pinplane is not None and K:
+        combo = combo | (
+            (pinplane.astype(jnp.int32) + 1) << (4 + P)
+        )
     combo_t = jnp.transpose(combo, (1, 0))[:, :, None]  # [V, B, 1]
 
     q_w = jnp.pad(q.astype(jnp.int32), ((0, 0), (0, W - L)), constant_values=4)
@@ -332,14 +385,14 @@ def poa_dp_pallas2(vcodes, vpred, is_sink, nv, q, nq, init_row,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((R + 2, TB, 3 * W), jnp.float32),  # S ring
+            pltpu.VMEM((R + 2 + K, TB, 3 * W), jnp.float32),  # S ring+pins
             pltpu.VMEM((P, TB, 3 * W), jnp.float32),  # G gathered rows
             pltpu.VMEM((TB, 128), jnp.float32),  # best
             pltpu.VMEM((TB, 128), jnp.int32),  # bvert
         ],
     )
     score, bsink, tbits_t = pl.pallas_call(
-        partial(_poa_dp_kernel2, P=P, F=F),
+        partial(_poa_dp_kernel2, P=P, F=F, K=K),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
