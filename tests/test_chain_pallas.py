@@ -33,7 +33,6 @@ def test_chain_pallas_matches_xla_fast(seed):
     )
 
     # Pallas kernel on the same sorted inputs (interpret mode on CPU)
-    gap_1000 = (gap_table * 1000.0).astype(jnp.float32)
     b_pad = ((B + 127) // 128) * 128
 
     def pad(x, fill):
@@ -43,7 +42,7 @@ def test_chain_pallas_matches_xla_fast(seed):
         f, pred, curr_max = chain_dp_pallas(
             pad(ref.qb, 0).astype(jnp.int32), pad(ref.tb, 0).astype(jnp.int32),
             pad(ref.te, 0).astype(jnp.int32), pad(ref.valid, False),
-            gap_1000, k, bw, interpret=jax.default_backend() == "cpu",
+            k, bw, 1000, interpret=jax.default_backend() == "cpu",
         )
     np.testing.assert_array_equal(np.asarray(ref.f), np.asarray(f)[:B])
     np.testing.assert_array_equal(np.asarray(ref.pred), np.asarray(pred)[:B])
@@ -64,7 +63,6 @@ def test_chain_pallas_dense_overlaps():
         jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(te), jnp.asarray(valid),
         gap_table, seed_length=k, bandwidth=bw, precision="fast",
     )
-    gap_1000 = (gap_table * 1000.0).astype(jnp.float32)
     b_pad = 128
 
     def pad(x, fill):
@@ -74,8 +72,24 @@ def test_chain_pallas_dense_overlaps():
         f, pred, curr_max = chain_dp_pallas(
             pad(ref.qb, 0).astype(jnp.int32), pad(ref.tb, 0).astype(jnp.int32),
             pad(ref.te, 0).astype(jnp.int32), pad(ref.valid, False),
-            gap_1000, k, bw, interpret=jax.default_backend() == "cpu",
+            k, bw, 1000, interpret=jax.default_backend() == "cpu",
         )
     np.testing.assert_array_equal(np.asarray(ref.f), np.asarray(f)[:B])
     np.testing.assert_array_equal(np.asarray(ref.pred), np.asarray(pred)[:B])
     np.testing.assert_array_equal(np.asarray(ref.curr_max), np.asarray(curr_max)[:B])
+
+
+def test_gap_cost_poly_matches_f64_table():
+    """The fast mode's poly-rounded integer gap cost equals the exact
+    f64 table's rounded milli-units for EVERY gap the default max_gap
+    admits (verified exhaustively) — so fast-mode scores are exact-mode
+    scores times 1000 except at (unobserved) rounding-boundary gaps."""
+    from vgaligner_tpu.ops.chain import gap_cost_scaled_i32
+
+    k = 11
+    table = make_gap_cost_table(k, 1000)
+    want = np.floor(table * 1000.0 + 0.5).astype(np.int64)  # g>=0: half-up
+    g = jnp.asarray(np.arange(0, 1001, dtype=np.int32))
+    with jax.enable_x64(False):
+        got = np.asarray(jax.jit(lambda x: gap_cost_scaled_i32(x, k))(g))
+    np.testing.assert_array_equal(got.astype(np.int64), want)

@@ -204,8 +204,13 @@ class DeviceIndex(NamedTuple):
     kmer_codes: "np.ndarray"  # int64 [n_kmers], sorted unique codes
     fo_offsets: "np.ndarray"  # int32 [n_kmers], into fo_* arrays
     fo_counts: "np.ndarray"  # int32 [n_kmers]
-    fo_start: "np.ndarray"  # int64 [n_fo_pos] forward-only start positions
-    fo_end: "np.ndarray"  # int64 [n_fo_pos]
+    # int32 when every linearized position fits (always, until a single
+    # host's shard exceeds 2 GB of sequence) — the [B, A] position
+    # gathers are the mapping kernel's hottest memory op and int64
+    # doubles both their bytes and their emulated-op count; int64 only
+    # for giant indexes
+    fo_start: "np.ndarray"  # int32/int64 [n_fo_pos] forward-only starts
+    fo_end: "np.ndarray"  # int32/int64 [n_fo_pos]
     node_starts: "np.ndarray"  # int64 [n_nodes + 1]
     # direct-address lookup table, int32 [4^k] code -> group id or -1.
     # Present when the code space fits the memory budget (k <= 12 by
@@ -258,6 +263,7 @@ class Index:
         mappings_path: Optional[str] = None,
         state_cap: int = 500_000,
         n_policy: str = "drop-handle",
+        dedup_positions: bool = True,
     ) -> "Index":
         """Build the index (Index::build, index.rs:109-281).
 
@@ -273,6 +279,17 @@ class Index:
         drop-kmer 0.850 path Jaccard at 128 reads — unindexing the two
         N-run ~53 kb nodes removes their duplicate-allele ambiguity,
         see NOTES.md).
+
+        dedup_positions (default True) drops EXACT duplicate position
+        rows within a k-mer group (and lets the native DFS merge the
+        equivalent fork-path states that generate them).  The
+        reference intends this dedup ("exact duplicates only waste
+        space", kmer.rs:299-301) but its adjacent-only Vec::dedup after
+        a sort on seq alone misses non-adjacent records; on fork-dense
+        HLA-zoo graphs that leaves ~100x duplicated rows (measured
+        6.5M rows / 62k distinct on 5-B3106), blowing up both index
+        build time and per-read anchor counts.  False restores the
+        reference's literal quirk (--keep-duplicate-positions).
         """
         n_nodes = graph.n_nodes
         lin = find_forward_sequence(graph)
@@ -309,6 +326,7 @@ class Index:
                 graph, kmer_length, max_furcations, max_degree,
                 sampling_rate, lin.node_starts, seq_length,
                 drop_handle_on_n=drop_handle_on_n,
+                dedup_positions=dedup_positions,
                 state_cap=state_cap,
             )
             log.info(
@@ -328,6 +346,7 @@ class Index:
                 sampling_rate=sampling_rate,
                 drop_handle_on_n=drop_handle_on_n,
                 state_cap=state_cap,
+                merge_states=dedup_positions,
             )
             n_capped = len(_kg._CAP_HITS) - cap_hits_before
             log.info("Finding the kmers required: %d ms", (time.monotonic() - t0) * 1000)
@@ -353,15 +372,27 @@ class Index:
             # index.rs:174-199).  Healthy graphs never hit the cap, so
             # their tables stay bit-identical to the reference.
             t0 = time.monotonic()
-            from .kmer_gen import generate_kmers_linearly
-            from ..utils.dna import kmer_code as _kc
+            table2 = None
+            if native_available():
+                from ..native import path_kmers_native
 
-            lin_kmers = generate_kmers_linearly(graph, kmer_length)
-            if lin_kmers:
-                u2, off2, cnt2, pos2 = generate_pos_on_ref(
-                    graph, lin_kmers, seq_length, lin.node_starts
+                table2 = path_kmers_native(
+                    graph, kmer_length, lin.node_starts, seq_length,
+                    dedup_positions=dedup_positions,
                 )
-                codes2 = np.asarray([_kc(s) for s in u2], dtype=np.int64)
+            if table2 is None:
+                from .kmer_gen import generate_kmers_linearly
+                from ..utils.dna import kmer_code as _kc
+
+                lin_kmers = generate_kmers_linearly(graph, kmer_length)
+                if lin_kmers:
+                    u2, off2, cnt2, pos2 = generate_pos_on_ref(
+                        graph, lin_kmers, seq_length, lin.node_starts
+                    )
+                    codes2 = np.asarray([_kc(s) for s in u2], dtype=np.int64)
+                    table2 = (codes2, off2, cnt2, pos2)
+            if table2 is not None:
+                codes2, off2, cnt2, pos2 = table2
                 ok2 = codes2 >= 0
                 n_before = len(codes)
                 codes, offsets, counts, positions = _merge_kmer_tables(
@@ -374,6 +405,24 @@ class Index:
                     len(codes) - n_before, n_capped,
                     (time.monotonic() - t0) * 1000,
                 )
+        if dedup_positions and len(positions):
+            # duplicate-row dedup for the Python generator and the
+            # path-guided merge output (the native path already deduped;
+            # this pass is then an idempotent no-op).  Rows are sorted
+            # within each group and groups are disjoint, so adjacent
+            # comparison over (group, row) finds every duplicate.
+            grp = np.repeat(np.arange(len(counts)), counts)
+            full = np.concatenate([grp[:, None], positions], axis=1)
+            keep = np.ones(len(full), bool)
+            keep[1:] = (full[1:] != full[:-1]).any(axis=1)
+            if not keep.all():
+                positions = positions[keep]
+                counts = np.bincount(
+                    grp[keep], minlength=len(counts)
+                ).astype(counts.dtype)
+                offsets = np.concatenate(
+                    [[0], np.cumsum(counts)[:-1]]
+                ).astype(np.int64)
         if len(codes) > 1 and not (np.diff(codes) > 0).all():
             raise AssertionError(
                 "unique k-mer codes not strictly increasing — sorted-seq / "
@@ -551,8 +600,11 @@ class Index:
 
         np_pos = max(len(self.fo_positions), 1)
         np_pad = p2(np_pos)
-        fo_start = np.zeros(np_pad, dtype=np.int64)
-        fo_end = np.zeros(np_pad, dtype=np.int64)
+        # positions live on the fwd+rev linearization, so 2*seq_length
+        # bounds them; int32 as long as that fits (see DeviceIndex)
+        pos_dt = np.int32 if 2 * self.seq_length + 2 < 2**31 else np.int64
+        fo_start = np.zeros(np_pad, dtype=pos_dt)
+        fo_end = np.zeros(np_pad, dtype=pos_dt)
         if len(self.fo_positions):
             fo_start[: len(self.fo_positions)] = self.fo_positions[:, 0]
             fo_end[: len(self.fo_positions)] = self.fo_positions[:, 1]

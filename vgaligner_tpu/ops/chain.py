@@ -106,7 +106,7 @@ def chain_scores(
     # stable sort by target_end; invalid slots sink to the end.  Slot order
     # within equal te is generation order == anchor id order, matching the
     # reference's stable sort_by (chain.rs:386-389).
-    sort_key = jnp.where(valid, te, jnp.iinfo(jnp.int64).max)
+    sort_key = jnp.where(valid, te, jnp.iinfo(te.dtype).max)
     order = jnp.argsort(sort_key, axis=1, stable=True).astype(jnp.int32)
     qb_s = jnp.take_along_axis(qb, order, axis=1)
     tb_s = jnp.take_along_axis(tb, order, axis=1)
@@ -177,20 +177,50 @@ def chain_scores(
     )
 
 
-def _gap_cost_f32(gap, seed_length: int):
-    """Analytic f32 scaled gap cost for fast mode: 10*k*g + 500*log2(g).
+# Degree-7 polynomial for log2(x) on [1, 2), least-squares fit; max abs
+# error 1.75e-6 over the full mantissa range.  Evaluated with plain f32
+# multiply/add (IEEE-rounded per op on every XLA backend and in Mosaic),
+# so the SAME bits come out on CPU, TPU, and inside Pallas kernels —
+# unlike jnp.log2, whose implementation is backend-defined.
+_LOG2_COEF = (
+    8.121406e-07, 1.4426336, -0.72020257, 0.47172138,
+    -0.32148254, 0.18865165, -0.07592032, 0.01459849,
+)
 
-    A table gather here costs ~10x the rest of the DP on TPU; the f32
-    log2 differs from the f64 table by <=1 ulp, which can flip a
-    rounding tie in rare cases — fast mode's documented tolerance.  Both
-    the XLA and Pallas fast paths use this same computation, so they
-    remain mutually bit-identical.
-    """
-    gap_f = gap.astype(jnp.float32)
-    cost = np.float32(10 * seed_length) * gap_f + 500.0 * jnp.log2(
-        jnp.maximum(gap_f, 1.0)
+
+def _log2_poly_f32(gf):
+    """Deterministic f32 log2 via exponent extraction + Horner poly."""
+    bits = jax.lax.bitcast_convert_type(gf, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    x = jax.lax.bitcast_convert_type(
+        (bits & 0x7FFFFF) | (127 << 23), jnp.float32
     )
-    return jnp.where(gap == 0, np.float32(0), cost)
+    t = x - jnp.float32(1.0)
+    acc = jnp.full(t.shape, jnp.float32(_LOG2_COEF[7]))
+    for d in range(6, -1, -1):
+        acc = acc * t + jnp.float32(_LOG2_COEF[d])
+    return e.astype(jnp.float32) + acc
+
+
+def gap_cost_scaled_i32(gap, seed_length: int):
+    """Fast-mode gap cost as a pre-rounded scaled integer (i32):
+    round(1000 * (0.01*k*g + 0.5*log2(g))) = 10*k*g + round(500*log2(g)).
+
+    The 10*k*g term is exact integer math; the log2 term uses the
+    deterministic poly above and rounds once, here — so fast-mode DP
+    becomes pure integer arithmetic (no per-step float rounding, exact
+    up to 2^31 instead of f32's 2^24) and, wherever the poly-rounded
+    integer equals the f64 table's (verified exhaustively for every
+    g <= 1000 in test_chain_pallas), fast-mode scores equal exact-mode
+    scores times 1000.  A table gather would be semantically cleaner
+    but costs ~10x the DP on TPU and cannot be vectorized inside a
+    Pallas kernel (per-lane dynamic indexing)."""
+    gf = gap.astype(jnp.float32)
+    lg = jnp.floor(
+        jnp.float32(500.0) * _log2_poly_f32(gf) + jnp.float32(0.5)
+    ).astype(jnp.int32)
+    cost = jnp.int32(10 * seed_length) * gap.astype(jnp.int32) + lg
+    return jnp.where(gap == 0, jnp.int32(0), cost)
 
 
 def _use_pallas_chain() -> bool:
@@ -204,12 +234,15 @@ def _use_pallas_chain() -> bool:
 
 
 def _chain_scores_fast(qb, tb, te, valid, gap_table, seed_length, bandwidth):
-    """f32 scaled-integer variant of the DP (see chain_scores docstring)."""
-    NEG32 = jnp.float32(-3.0e38)
-    max_gap = gap_table.shape[0] - 1
-    gap_1000 = (gap_table * 1000.0).astype(jnp.float32)
+    """Scaled-integer (i32) variant of the DP (see chain_scores
+    docstring).  Anchors are fixed-length k-mers (qe = qb + k), so the
+    reference's min(qb_i-qb_j, qe_i-qe_j) collapses to qb_i-qb_j and
+    the qe_j >= qe_i overlap test to qb_j >= qb_i — the simplification
+    is applied identically in this scan and the Pallas kernel."""
+    NEGI = jnp.int32(-(1 << 30))
+    max_gap = int(gap_table.shape[0]) - 1
 
-    sort_key = jnp.where(valid, te, jnp.iinfo(jnp.int64).max)
+    sort_key = jnp.where(valid, te, jnp.iinfo(te.dtype).max)
     order = jnp.argsort(sort_key, axis=1, stable=True).astype(jnp.int32)
     qb_s = jnp.take_along_axis(qb, order, axis=1)
     tb_s = jnp.take_along_axis(tb, order, axis=1).astype(jnp.int32)
@@ -217,7 +250,7 @@ def _chain_scores_fast(qb, tb, te, valid, gap_table, seed_length, bandwidth):
     valid_s = jnp.take_along_axis(valid, order, axis=1)
 
     B, A = qb_s.shape
-    # cap: the kernel's f scratch is (A+64) x 128 f32 (~8.4 MB at 16k)
+    # cap: the kernel's f scratch is (A+W) x 128 i32 (~8.4 MB at 16k)
     if _use_pallas_chain() and A <= 16384:
         from .chain_pallas import chain_dp_pallas
 
@@ -232,8 +265,8 @@ def _chain_scores_fast(qb, tb, te, valid, gap_table, seed_length, bandwidth):
         with jax.enable_x64(False):  # kernel is pure i32/f32
             f, pred, curr_max = chain_dp_pallas(
                 padba(qb_s.astype(jnp.int32), 0), padba(tb_s, 0),
-                padba(te_s, 0), padba(valid_s, False), gap_1000,
-                seed_length, bandwidth,
+                padba(te_s, 0), padba(valid_s, False),
+                seed_length, bandwidth, max_gap,
                 interpret=jax.default_backend() == "cpu",
             )
         return ChainScores(
@@ -242,13 +275,12 @@ def _chain_scores_fast(qb, tb, te, valid, gap_table, seed_length, bandwidth):
             f=f[:B, :A], pred=pred[:B, :A], curr_max=curr_max[:B],
         )
 
-    k_f = jnp.float32(seed_length * 1000)
-    qe_s = qb_s + seed_length
+    k_i = jnp.int32(seed_length * 1000)
 
-    def one_read(qb_r, tb_r, te_r, qe_r, valid_r):
+    def one_read(qb_r, tb_r, te_r, valid_r):
         A = qb_r.shape[0]
         w = min(bandwidth, A)
-        f0 = jnp.full((A,), k_f, dtype=jnp.float32)
+        f0 = jnp.full((A,), k_i, dtype=jnp.int32)
 
         def step(carry, i):
             f, curr_max = carry
@@ -259,44 +291,43 @@ def _chain_scores_fast(qb, tb, te, valid, gap_table, seed_length, bandwidth):
             qb_j = jax.lax.dynamic_slice(qb_r, (s,), (w,))
             tb_j = jax.lax.dynamic_slice(tb_r, (s,), (w,))
             te_j = jax.lax.dynamic_slice(te_r, (s,), (w,))
-            qe_j = jax.lax.dynamic_slice(qe_r, (s,), (w,))
             f_j = jax.lax.dynamic_slice(f, (s,), (w,))
             v_j = jax.lax.dynamic_slice(valid_r, (s,), (w,))
 
-            qb_i, tb_i, te_i, qe_i = qb_r[i], tb_r[i], te_r[i], qe_r[i]
+            qb_i, tb_i, te_i = qb_r[i], tb_r[i], te_r[i]
             mask = in_window & v_j & valid_r[i]
 
-            bad = (qe_j >= qe_i) | (te_j >= te_i)
-            ql = jnp.minimum(qb_i - qb_j, qe_i - qe_j)
+            bad = (qb_j >= qb_i) | (te_j >= te_i)
+            ql = qb_i - qb_j
             tl = jnp.minimum(jnp.abs(tb_i - tb_j), jnp.abs(te_i - te_j))
             gap = jnp.abs(ql - tl)
             bad = bad | (gap > max_gap)
-            gcost = _gap_cost_f32(gap, seed_length)
-            mlen = (jnp.minimum(jnp.minimum(ql, tl), seed_length) * 1000).astype(jnp.float32)
+            gcost = gap_cost_scaled_i32(gap, seed_length)
+            mlen = jnp.minimum(jnp.minimum(ql, tl), seed_length) * 1000
 
-            y = f_j + mlen - gcost
-            prop = jnp.where(y >= 0.0, jnp.floor(y + 0.5), jnp.ceil(y - 0.5))
-            prop = jnp.where(mask & ~bad, prop, NEG32)
+            prop = jnp.where(mask & ~bad, f_j + (mlen - gcost), NEGI)
 
             m = jnp.max(prop)
             j_star_rev = jnp.argmax(prop[::-1])
             j_star = s + (w - 1 - j_star_rev).astype(jnp.int32)
 
-            improved = m > k_f
-            f_i = jnp.where(improved, m, k_f)
+            improved = m > k_i
+            f_i = jnp.where(improved, m, k_i)
             pred_i = jnp.where(improved, j_star, jnp.int32(-1))
             f = jax.lax.dynamic_update_slice(f, f_i[None], (i,))
             curr_max = jnp.maximum(curr_max, m)
             return (f, curr_max), pred_i
 
         (f_fin, curr_max), preds = jax.lax.scan(
-            step, (f0, jnp.float32(0.0)), jnp.arange(1, A, dtype=jnp.int32),
+            step, (f0, jnp.int32(0)), jnp.arange(1, A, dtype=jnp.int32),
             unroll=8,  # amortize per-step dispatch overhead on TPU
         )
         preds = jnp.concatenate([jnp.full((1,), -1, jnp.int32), preds])
         return f_fin, preds, curr_max
 
-    f, pred, curr_max = jax.vmap(one_read)(qb_s, tb_s, te_s, qe_s, valid_s)
+    qb32 = qb_s.astype(jnp.int32)
+    with jax.enable_x64(False):
+        f, pred, curr_max = jax.vmap(one_read)(qb32, tb_s, te_s, valid_s)
     return ChainScores(
         order=order, qb=qb_s, tb=tb_s.astype(jnp.int64), te=te_s.astype(jnp.int64),
         valid=valid_s, f=f, pred=pred, curr_max=curr_max,

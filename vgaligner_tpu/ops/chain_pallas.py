@@ -1,26 +1,26 @@
-"""Pallas TPU kernel for the chaining DP (fast/f32 mode).
+"""Pallas TPU kernel for the chaining DP (fast/integer mode).
 
-Split of work (the hoist-the-parallel-part pattern):
+The kernel owns the WHOLE per-anchor step: window geometry, gap cost,
+and the recurrence f(i) = max(k, max_j f(j) + C(j, i)) — all state
+VMEM-resident.  Reads ride the 128 lanes (one grid batch-tile = 128
+reads), anchors ride an unrolled fori_loop, and the sorted anchor
+columns stream in per anchor-chunk grid steps with a W-row tail carried
+between chunks.
 
-  * XLA precomputes C[b, i, r] = mlen - gapcost for every (anchor i,
-    window slot r) pair, with every mask (band, validity, the -inf
-    cases of score_anchor, gap cap) folded in as NEG32.  This is all
-    the pairwise geometry of chain.rs:274-368 and is embarrassingly
-    parallel — exactly what XLA fuses well.
-  * The Pallas kernel keeps only the irreducible recurrence
-    f(i) = max(k, max_r round(f(j_r) + C[i, r])) with the f array
-    VMEM-resident.  Reads ride the 128 lanes (one grid batch-tile = 128
-    reads), anchors ride a fori_loop, and C streams in per anchor-chunk
-    grid steps so its DMA overlaps compute.
+An earlier design precomputed C[b, i, r] in XLA and streamed it in;
+that materialized a [B, A, W] f32 tensor (235 MB on the bench shape)
+through HBM plus a transpose, and the 50 shifted masking passes with a
+per-pair log2 measured ~37 ms — ~4x the kernel itself.  Computing the
+~40 vector ops per step in-kernel reads each anchor column once
+(16 MB) and writes nothing but the DP outputs.
 
-The window is W=64 slots deep: inputs are padded so the window of
-anchor i is rows [i, i+W) and the bandwidth-50 condition is the static
-row mask r >= W - bandwidth (folded into C).
-
-Scoring is the f32 scaled-integer fast mode of ops/chain.py
-(_chain_scores_fast): scores pre-scaled by 1000, f64-table gap costs
-rounded to f32, Rust round-half-away-from-zero.
-tests/test_chain_pallas.py asserts exact equality with the XLA path.
+Scoring is the scaled-integer fast mode of ops/chain.py
+(_chain_scores_fast): every score is an i32 in milli-units, the gap
+cost is pre-rounded to an integer via the deterministic f32 log2
+polynomial (ops/chain.py _log2_poly_f32 — identical bits on every
+backend, unlike jnp.log2), and no per-step float rounding exists at
+all.  tests/test_chain_pallas.py asserts exact equality with the XLA
+scan path.
 
 Behavioral reference: chain_anchors / score_anchor
 (/root/reference/src/chain.rs:274-655).
@@ -36,49 +36,133 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG32 = np.float32(-3.0e38)
-W = 64  # padded window depth (>= bandwidth, multiple of 8)
+from .chain import _LOG2_COEF
+
+NEGI = np.int32(-(1 << 30))
 CH = 64  # anchors per grid chunk
-LANES = 128
 
 
-def _chain_kernel(c_ref, f_out_ref, pred_ref, cmax_ref, F, CM, *, k: int):
-    # blocks: c_ref [CH, W, 128] f32; outputs f_out [CH, 128] f32,
-    # pred [CH, 128] i32, cmax [8, 128] f32; scratch F [A+W, 128],
-    # CM [8, 128] persistent across the anchor-chunk grid dimension.
+def _lanes_for(A: int) -> int:
+    """Reads per grid cell.  Wider lane tiles (256/512) would cut the
+    serial anchor loop's per-iteration overhead, but Mosaic only
+    supports the kernel's dynamic sublane slices (F[pl.ds(i, W)]) on
+    exactly-128-lane refs — wider refs fail to compile with 'cannot
+    statically prove that index in dimension 0 is a multiple of 8'."""
+    return 128
+
+
+def _window_pad(bandwidth: int) -> int:
+    """Window depth: >= bandwidth, multiple of 8, and <= CH so the
+    chunk tail-carry copy is alias-free."""
+    w = ((bandwidth + 7) // 8) * 8
+    if w > CH:
+        raise ValueError(f"bandwidth {bandwidth} exceeds the kernel's "
+                         f"{CH}-anchor chunk; raise CH")
+    return w
+
+
+def _chain_kernel(qb_ref, tb_ref, te_ref, va_ref,
+                  f_out_ref, pred_ref, cmax_ref,
+                  QB, TBS, TES, VA, F, CM, *, k: int, bandwidth: int,
+                  max_gap: int, W: int):
+    LANES = qb_ref.shape[1]
+    # blocks: qb/tb/te/va [CH, 128] i32; outputs f_out/pred [CH, 128]
+    # i32, cmax [8, 128] i32; scratch QB/TBS/TES/VA [W+CH, 128] i32
+    # (rows [0,W) = previous chunk's tail, rows [W,W+CH) = this chunk),
+    # F [A+W, 128] i32, CM [8, 128] i32 — persistent across the
+    # anchor-chunk grid dimension.
     c = pl.program_id(1)
-    n_chunks = pl.num_programs(1)
-    A = (F.shape[0] - W)
-    k_f = np.float32(k * 1000)
+    A = F.shape[0] - W
+    k_i = np.int32(k * 1000)
 
     @pl.when(c == 0)
     def _():
         F[:] = jnp.concatenate(
             [
-                jnp.full((W, LANES), NEG32, jnp.float32),
-                jnp.full((A, LANES), k_f, jnp.float32),
+                jnp.full((W, LANES), NEGI, jnp.int32),
+                jnp.full((A, LANES), k_i, jnp.int32),
             ]
         )
-        CM[:] = jnp.zeros((8, LANES), jnp.float32)
+        CM[:] = jnp.zeros((8, LANES), jnp.int32)
+        # the first W window rows are j < 0 (masked), but scratch VMEM
+        # is uninitialized — zero them so every lane stays deterministic
+        QB[pl.ds(0, W), :] = jnp.zeros((W, LANES), jnp.int32)
+        TBS[pl.ds(0, W), :] = jnp.zeros((W, LANES), jnp.int32)
+        TES[pl.ds(0, W), :] = jnp.zeros((W, LANES), jnp.int32)
+        VA[pl.ds(0, W), :] = jnp.zeros((W, LANES), jnp.int32)
+
+    @pl.when(c != 0)
+    def _():
+        # carry the previous chunk's last W anchors (CH >= W, no alias)
+        QB[pl.ds(0, W), :] = QB[pl.ds(CH, W), :]
+        TBS[pl.ds(0, W), :] = TBS[pl.ds(CH, W), :]
+        TES[pl.ds(0, W), :] = TES[pl.ds(CH, W), :]
+        VA[pl.ds(0, W), :] = VA[pl.ds(CH, W), :]
+
+    QB[pl.ds(W, CH), :] = qb_ref[:]
+    TBS[pl.ds(W, CH), :] = tb_ref[:]
+    TES[pl.ds(W, CH), :] = te_ref[:]
+    VA[pl.ds(W, CH), :] = va_ref[:]
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
+    band_ok = r_iota >= (W - bandwidth)  # j >= i - bandwidth (static)
 
     def body(ii, _):
         i = c * CH + ii  # global sorted anchor position
+        qb_j = QB[pl.ds(ii, W), :]
+        tb_j = TBS[pl.ds(ii, W), :]
+        te_j = TES[pl.ds(ii, W), :]
+        v_j = VA[pl.ds(ii, W), :]
+        qb_i = QB[pl.ds(ii + W, 1), :]  # [1, 128]
+        tb_i = TBS[pl.ds(ii + W, 1), :]
+        te_i = TES[pl.ds(ii + W, 1), :]
+        v_i = VA[pl.ds(ii + W, 1), :]
         f_j = F[pl.ds(i, W), :]
-        y = f_j + c_ref[ii]
-        prop = jnp.where(y >= 0.0, jnp.floor(y + 0.5), jnp.ceil(y - 0.5))
+
+        # score_anchor geometry (chain.rs:274-368), fixed-k anchors:
+        # qe = qb + k collapses the qe clauses onto qb (see
+        # _chain_scores_fast)
+        bad = (qb_j >= qb_i) | (te_j >= te_i)
+        ql = qb_i - qb_j
+        tl = jnp.minimum(jnp.abs(tb_i - tb_j), jnp.abs(te_i - te_j))
+        gap = jnp.abs(ql - tl)
+        bad = bad | (gap > max_gap)
+
+        # gap cost: EXACTLY gap_cost_scaled_i32 (ops/chain.py) — the
+        # same f32 op sequence, so kernel and XLA scan agree bit-for-bit
+        gf = gap.astype(jnp.float32)
+        bits = jax.lax.bitcast_convert_type(gf, jnp.int32)
+        e = ((bits >> 23) & 0xFF) - 127
+        x = jax.lax.bitcast_convert_type(
+            (bits & 0x7FFFFF) | (127 << 23), jnp.float32
+        )
+        t = x - jnp.float32(1.0)
+        acc = jnp.full(t.shape, jnp.float32(_LOG2_COEF[7]))
+        for d in range(6, -1, -1):
+            acc = acc * t + jnp.float32(_LOG2_COEF[d])
+        lg = jnp.floor(
+            jnp.float32(500.0) * (e.astype(jnp.float32) + acc)
+            + jnp.float32(0.5)
+        ).astype(jnp.int32)
+        gcost = jnp.where(gap == 0, jnp.int32(0),
+                          jnp.int32(10 * k) * gap + lg)
+        mlen = jnp.minimum(jnp.minimum(ql, tl), k) * 1000
+
+        j_ok = r_iota >= (W - i)  # j = i - (W - r) >= 0
+        mask = band_ok & j_ok & (v_j > 0) & (v_i > 0) & ~bad
+        prop = jnp.where(mask, f_j + (mlen - gcost), NEGI)
 
         m = jnp.max(prop, axis=0, keepdims=True)  # [1, 128]
         # largest j among maxima (the reference's descending-j scan with
         # strict improvement keeps the largest j, chain.rs:403-450)
         r_star = jnp.max(
-            jnp.where(prop == m, r_iota, jnp.int32(-W - 1)), axis=0, keepdims=True
+            jnp.where(prop == m, r_iota, jnp.int32(-W - 1)),
+            axis=0, keepdims=True,
         )
         pred_i = i - W + r_star
 
-        improved = m > k_f
-        f_i = jnp.where(improved, m, k_f)
+        improved = m > k_i
+        f_i = jnp.where(improved, m, k_i)
         pred_i = jnp.where(improved, pred_i, jnp.int32(-1))
 
         F[pl.ds(i + W, 1), :] = f_i
@@ -86,89 +170,71 @@ def _chain_kernel(c_ref, f_out_ref, pred_ref, cmax_ref, F, CM, *, k: int):
         CM[pl.ds(0, 1), :] = jnp.maximum(CM[pl.ds(0, 1), :], m)
         return ()
 
-    # anchor 0 has no predecessors: f stays k_f, pred -1
-    start = jnp.where(c == 0, jnp.int32(1), jnp.int32(0))
-
-    @pl.when(c == 0)
-    def _():
-        pred_ref[pl.ds(0, 1), :] = jnp.full((1, LANES), -1, jnp.int32)
-
-    jax.lax.fori_loop(start, jnp.int32(CH), body, (), unroll=False)
+    # anchor 0 needs no special case: every window row fails j_ok, so
+    # prop is all NEGI, improved is False, and the body writes f = k_i /
+    # pred = -1 — keeping the loop bounds static for full unrolling
+    jax.lax.fori_loop(0, CH, body, (), unroll=True)
     f_out_ref[:] = F[pl.ds(c * CH + W, CH), :]
     cmax_ref[:] = CM[:]
 
 
-@partial(jax.jit, static_argnames=("k", "bandwidth", "interpret"))
-def chain_dp_pallas(qb, tb, te, valid, gap_1000, k: int,
-                    bandwidth: int = 50, interpret: bool = False):
+@partial(jax.jit, static_argnames=("k", "bandwidth", "max_gap", "interpret"))
+def chain_dp_pallas(qb, tb, te, valid, k: int, bandwidth: int = 50,
+                    max_gap: int = 1000, interpret: bool = False):
     """Fast-mode chaining DP on TPU via Pallas.
 
-    qb/tb/te [B, A] i32 (sorted by target_end), valid [B, A] bool,
-    gap_1000 [G] f32 (pre-scaled f64-rounded gap costs).  B must be a
-    multiple of 128 and A a multiple of CH.  Returns (f [B, A] f32,
-    pred [B, A] i32, curr_max [B] f32) — identical to
-    _chain_scores_fast's DP outputs.
+    qb/tb/te [B, A] i32 (sorted by target_end), valid [B, A] bool.
+    B must be a multiple of 128 and A a multiple of CH.  Returns
+    (f [B, A] i32, pred [B, A] i32, curr_max [B] i32) — identical to
+    _chain_scores_fast's DP outputs (milli-unit integer scores).
     """
-    B, A = qb.shape
-    assert B % LANES == 0 and A % CH == 0
-    max_gap = int(gap_1000.shape[0]) - 1
+    B0, A = qb.shape
+    assert B0 % 128 == 0 and A % CH == 0
+    W = _window_pad(bandwidth)
+    LANES = _lanes_for(A)
+    B = ((B0 + LANES - 1) // LANES) * LANES
+    if B != B0:
+        qb = jnp.pad(qb, ((0, B - B0), (0, 0)))
+        tb = jnp.pad(tb, ((0, B - B0), (0, 0)))
+        te = jnp.pad(te, ((0, B - B0), (0, 0)))
+        valid = jnp.pad(valid, ((0, B - B0), (0, 0)))
 
-    # ---- XLA precompute of C[b, i, r] ---------------------------------
-    # one fused elementwise pass per window shift (j = i - s): no [B,A,W]
-    # gathers (a TPU gather here costs ~10x the whole DP) and the gap
-    # cost computed analytically (_gap_cost_f32)
-    from .chain import _gap_cost_f32
-
-    qe = qb + k
-    i_ok_row = jnp.arange(A, dtype=jnp.int32)[None, :]
-    cols = []
-    for r in range(W):
-        s = W - r  # j = i - s
-        if s > bandwidth:
-            cols.append(jnp.full((B, A), NEG32, jnp.float32))
-            continue
-
-        def sh(x):
-            return jnp.pad(x[:, : A - s], ((0, 0), (s, 0)))
-
-        qb_j, tb_j, te_j, qe_j, v_j = sh(qb), sh(tb), sh(te), sh(qe), sh(valid)
-        bad = (qe_j >= qe) | (te_j >= te)
-        ql = jnp.minimum(qb - qb_j, qe - qe_j)
-        tl = jnp.minimum(jnp.abs(tb - tb_j), jnp.abs(te - te_j))
-        gap = jnp.abs(ql - tl)
-        bad = bad | (gap > max_gap)
-        gcost = _gap_cost_f32(gap, k)
-        mlen = (jnp.minimum(jnp.minimum(ql, tl), k) * 1000).astype(jnp.float32)
-        mask = (i_ok_row >= s) & v_j & valid & ~bad
-        cols.append(jnp.where(mask, mlen - gcost, NEG32))
-    C = jnp.stack(cols, axis=2)  # [B, A, W]
-    C_t = jnp.transpose(C, (1, 2, 0))  # [A, W, B]
+    qb_t = jnp.transpose(qb.astype(jnp.int32), (1, 0))  # [A, B]
+    tb_t = jnp.transpose(tb.astype(jnp.int32), (1, 0))
+    te_t = jnp.transpose(te.astype(jnp.int32), (1, 0))
+    va_t = jnp.transpose(valid.astype(jnp.int32), (1, 0))
 
     grid = (B // LANES, A // CH)
+    spec = pl.BlockSpec((CH, LANES), lambda b, c: (c, b),
+                        memory_space=pltpu.VMEM)
     kernel = pl.pallas_call(
-        partial(_chain_kernel, k=k),
+        partial(_chain_kernel, k=k, bandwidth=bandwidth, max_gap=max_gap,
+                W=W),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((CH, W, LANES), lambda b, c: (c, 0, b), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[spec, spec, spec, spec],
         out_specs=[
-            pl.BlockSpec((CH, LANES), lambda b, c: (c, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, LANES), lambda b, c: (c, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+            spec,
+            spec,
+            pl.BlockSpec((8, LANES), lambda b, c: (0, b),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((A, B), jnp.float32),
             jax.ShapeDtypeStruct((A, B), jnp.int32),
-            jax.ShapeDtypeStruct((8, B), jnp.float32),
+            jax.ShapeDtypeStruct((A, B), jnp.int32),
+            jax.ShapeDtypeStruct((8, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((A + W, LANES), jnp.float32),
-            pltpu.VMEM((8, LANES), jnp.float32),
+            pltpu.VMEM((W + CH, LANES), jnp.int32),  # QB
+            pltpu.VMEM((W + CH, LANES), jnp.int32),  # TBS
+            pltpu.VMEM((W + CH, LANES), jnp.int32),  # TES
+            pltpu.VMEM((W + CH, LANES), jnp.int32),  # VA
+            pltpu.VMEM((A + W, LANES), jnp.int32),  # F
+            pltpu.VMEM((8, LANES), jnp.int32),  # CM
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )
-    f_t, pred_t, cmax_t = kernel(C_t)
-    return f_t.T, pred_t.T, cmax_t[0]
+    f_t, pred_t, cmax_t = kernel(qb_t, tb_t, te_t, va_t)
+    return f_t.T[:B0], pred_t.T[:B0], cmax_t[0][:B0]

@@ -71,28 +71,24 @@ def lookup_and_materialize_anchors(
     cum = jnp.cumsum(counts, axis=1)  # [B, W]
     total = cum[:, -1] if cum.shape[1] else jnp.zeros(cum.shape[0], jnp.int32)
 
-    # slot a -> (kmer window w, within-kmer position) via run-start scatter
-    # + cummax: window w's anchors occupy slots [cum[w-1], cum[w]).  This
-    # is a TPU-friendly replacement for a per-read binary search (scatter
-    # and a prefix max instead of B vmapped searchsorteds).
+    # slot a -> (kmer window w, within-kmer position): window w's anchors
+    # occupy slots [cum[w-1], cum[w]), so the owning window of slot s is
+    # the count of windows with cum[w] <= s.  The [B, W, A] compare +
+    # reduce is pure VPU lane work (~124M int ops on the bench shape, a
+    # few ms); the scatter-max + cummax formulation it replaces measured
+    # ~33 ms — TPU scatters cost ~10x a dense reduction here.
     B, W = counts.shape
     cum_prev = cum - counts  # run start per window
-    w_ids = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (B, W))
-    scatter_pos = jnp.where(
-        (counts > 0) & (cum_prev < a_max), cum_prev, a_max
-    )  # zero-count windows park out of range
-    run_start = jnp.full((B, a_max + 1), -1, dtype=jnp.int32)
-    run_start = run_start.at[
-        jnp.arange(B, dtype=jnp.int32)[:, None], scatter_pos
-    ].max(w_ids)
-    w_of = jax.lax.cummax(run_start[:, :a_max], axis=1)  # [B, A]
-
     slots = jnp.arange(a_max, dtype=jnp.int32)
+    w_of = jnp.sum(
+        (cum[:, :, None] <= slots[None, None, :]).astype(jnp.int32), axis=1
+    )  # [B, A]
+
     valid = slots[None, :] < total[:, None]
     w_clip = jnp.clip(w_of, 0, max(W - 1, 0))
-    within = slots[None, :] - jnp.take_along_axis(cum_prev, w_clip, axis=1)
-
-    table_row = jnp.take_along_axis(offsets, w_clip, axis=1) + within
+    # one fused take_along_axis: row = (offsets - run_start)[w] + slot
+    row_base = offsets.astype(jnp.int32) - cum_prev
+    table_row = jnp.take_along_axis(row_base, w_clip, axis=1) + slots[None, :]
     table_row = jnp.where(valid, table_row, 0)
     if position_gather is not None:
         tb, te = position_gather(table_row, valid)
