@@ -126,7 +126,7 @@ def test_native_corridor_matches_python():
         py_nodes, _ = PA.find_nodes_edges(index, rng)
 
         anchor_off = np.asarray([0, chain.n_anchors], np.int64)
-        handle_off, handles, label_off, labels, _eo, _e, status = (
+        handle_off, handles, label_off, lbase, labels, _eo, _e, status = (
             native.extract_subgraphs_native(
                 index, anchor_off, chain.aqb, chain.atb, chain.ate,
                 None, None,
@@ -142,3 +142,47 @@ def test_native_corridor_matches_python():
             for i in range(handle_off[0], handle_off[1])
         ]
         assert got_labels == py_nodes
+
+
+def test_trimmed_flank_offsets_are_untrimmed_node_coordinates():
+    """Corridor flank trims must not shift emitted GAF node offsets:
+    an anchor deep inside a huge start node gets its label trimmed for
+    the POA, but path offsets are rebased to the REAL node coordinates
+    (ADVICE r3 medium), identically on the native and Python paths."""
+    rng = np.random.default_rng(3)
+    big = "".join("ACGT"[c] for c in rng.integers(0, 4, 2000))
+    tail = "".join("ACGT"[c] for c in rng.integers(0, 4, 40))
+    g = HashGraph()
+    h1 = g.create_handle(big, 1)
+    h2 = g.create_handle(tail, 2)
+    g.create_edge(h1, h2)
+    index = Index.build(g, 11, 100, 100)
+    # read from deep inside node 1, crossing into node 2
+    read = big[1940:] + tail[:30]
+    chain = _chain_for(index, read)
+
+    corr = PA.find_range_chain_corridor(index, chain)
+    assert corr.label_trims, "expected the start node's label trimmed"
+    t_from = corr.label_trims[h1][0]
+    assert t_from > 0
+
+    aligner = PA.PoaAligner(index, PA.PoaEngine.ABPOA)
+    aln = aligner.best_alignment_for_query([chain])
+    # python (non-native) path for the same chain
+    aln_py = aligner.obtain_base_level_alignment(chain)
+    # the alignment starts ~1940 bases into node 1 — untrimmed
+    # coordinates put path_start well past the trim, not near zero
+    assert aln.path_start == aln_py.path_start
+    assert aln.path_end == aln_py.path_end
+
+    from vgaligner_tpu.models.poa_aligner import find_nodes_edges
+    from vgaligner_tpu.ops.poa import align_global_host
+
+    nodes, edges = find_nodes_edges(index, corr)
+    res = align_global_host(nodes, edges, chain.query.seq)
+    PA._rebase_trimmed_offsets(res, corr)
+    # the global alignment's path starts at the trimmed window's first
+    # vertex (leading graph bases ride as deletions), so the rebased
+    # offset equals the trim start in REAL node coordinates — without
+    # the rebase it would be 0
+    assert res.path_start_offset == t_from

@@ -60,7 +60,8 @@ def main():
     from vgaligner_tpu.models.poa_aligner import _V_DEVICE_CAP  # noqa
     from vgaligner_tpu import native
     from vgaligner_tpu.ops.poa_device import (
-        P_MAX, _next_pow2, kernel_dispatch_chunked, kernel_finish_all,
+        P_MAX, _l_pad_for, _next_pow2, kernel_dispatch_chunked,
+        kernel_finish_all,
     )
     from vgaligner_tpu.native import build_poa_batch_arrays, extract_subgraphs_native
     from vgaligner_tpu.utils.dna import encode_seq
@@ -74,7 +75,7 @@ def main():
     atb = np.concatenate([c.atb for c in chains_flat])
     ate = np.concatenate([c.ate for c in chains_flat])
     qlen = np.asarray([len(c.query.seq) for c in chains_flat], dtype=np.int64)
-    handle_off, handles, label_off, labels, edge_off, edges, status = (
+    handle_off, handles, label_off, _lbase, labels, edge_off, edges, status = (
         extract_subgraphs_native(index, anchor_off, aqb, atb, ate, None, None, qlen, K)
     )
     t_extract = time.monotonic() - t0
@@ -86,7 +87,7 @@ def main():
           f"p99={int(np.percentile(v_per,99))} max={int(v_per.max())} n={len(v_per)}")
     buckets = {}
     for i in range(len(chains_flat)):
-        key = (_next_pow2(max(int(v_per[i]), 256)), _next_pow2(max(len(qs[i]), 128)))
+        key = (_next_pow2(max(int(v_per[i]), 256)), _l_pad_for(len(qs[i])))
         buckets.setdefault(key, []).append(i)
     edges_flat = np.ascontiguousarray(edges.reshape(-1), dtype=np.int64)
 

@@ -42,7 +42,7 @@ atb = np.concatenate([c.atb for c in chains])
 ate = np.concatenate([c.ate for c in chains])
 qlen = np.asarray([len(c.query.seq) for c in chains], dtype=np.int64)
 
-handle_off, handles, label_off, labels, edge_off, edges, status = (
+handle_off, handles, label_off, _lbase, labels, edge_off, edges, status = (
     extract_subgraphs_native(index, anchor_off, aqb, atb, ate, None, None, qlen, K)
 )
 assert not status.any()

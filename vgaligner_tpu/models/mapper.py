@@ -510,7 +510,15 @@ class Mapper:
                 bandwidth, precision, position_gather=pgather,
             )
 
-        key = (id(mesh), k, a_max, bandwidth, precision,
+        # keyed on the mesh's stable identity (device ids + axis names),
+        # not id(mesh): a GC'd Mesh's address can be reused by a new
+        # Mesh, which would return an executable bound to dead devices
+        mesh_key = (
+            tuple(d.id for d in mesh.devices.flat),
+            tuple(mesh.axis_names),
+            mesh.devices.shape,
+        )
+        key = (mesh_key, k, a_max, bandwidth, precision,
                dindex.dense_lut is None)
         fn = _SHARDED_MAP_CACHE.get(key)
         if fn is None:

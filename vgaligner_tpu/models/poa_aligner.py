@@ -336,8 +336,9 @@ def find_range_chain_corridor(
     # flank-node label trimming (mirrors host_kernels.cpp): a huge
     # start/end node would otherwise force the global POA through
     # kilobases of deletions — trim its label to at most `budget` bases
-    # around the anchored window.  GAF path coordinates become relative
-    # to the trimmed window (documented corridor-mode divergence).
+    # around the anchored window.  Emitted GAF node offsets stay in
+    # UNTRIMMED node coordinates: label_trims feeds the offset rebase
+    # (_rebase_trimmed_offsets / the native lbase channel).
     trims: dict = {}
     s_len = len(index.seq_from_handle(start_h))
     t_from = a_tb0 - index.get_bv_select(int(ids_b[0])) - budget
@@ -457,6 +458,22 @@ def get_subgraph_paths(graph, po_range: OrientedGraphRange):
     return out
 
 
+
+def _rebase_trimmed_offsets(res, rng: "OrientedGraphRange") -> None:
+    """Corridor flank trims cut the front of the start node's label;
+    rebase the result's per-node path offsets to UNTRIMMED node
+    coordinates so emitted GAF offsets mean the same thing in every
+    range mode (mirrors the native path's lbase correction)."""
+    if not rng.label_trims or not res.node_path:
+        return
+
+    def base(ni: int) -> int:
+        return rng.label_trims.get(rng.handles[ni], (0, 0))[0]
+
+    res.path_start_offset += base(res.node_path[0])
+    res.path_end_offset += base(res.node_path[-1])
+
+
 class PoaEngine(Enum):
     ABPOA = "abpoa"
     RSPOA = "rspoa"
@@ -498,9 +515,16 @@ class PoaAligner:
         # on a high-id alt node (measured: 9-G-3135 path Jaccard
         # 0.88 -> 1.00, max subgraph 4147 -> 442 vertices).  "id" is
         # strict reference parity (align.rs:267-402).
+        explicit_mode = range_mode is not None
         if range_mode is None:
             range_mode = os.environ.get("VGALIGNER_RANGE_MODE", "corridor")
         if bubble_closure:
+            if explicit_mode and range_mode == "corridor":
+                log.warning(
+                    "--bubble-closure operates on the contiguous-id "
+                    "range; overriding the requested "
+                    "--range-mode corridor with 'id'"
+                )
             range_mode = "id"  # closure operates on the id range
         if range_mode not in ("corridor", "id"):
             raise ValueError(f"unknown range_mode {range_mode!r}")
@@ -636,6 +660,7 @@ class PoaAligner:
 
             results = align_global_batch(problems)
             for (qi, chain, rng), res in zip(owners, results):
+                _rebase_trimmed_offsets(res, rng)
                 per_read.setdefault(qi, []).append(
                     GAFAlignment.from_abpoa_result(res, chain, rng.handles)
                 )
@@ -678,6 +703,7 @@ class PoaAligner:
 
         if problems:
             for (qi, chain, rng), res in zip(owners, align_local_batch(problems)):
+                _rebase_trimmed_offsets(res, rng)
                 per_read.setdefault(qi, []).append(
                     GAFAlignment.from_rspoa_result(res, chain, rng.handles)
                 )
@@ -720,7 +746,8 @@ class PoaAligner:
         qlen = np.asarray([len(c.query.seq) for c in chains], dtype=np.int64)
         k = chains[0].k
 
-        handle_off, handles, label_off, labels, edge_off, edges, status = (
+        (handle_off, handles, label_off, lbase, labels, edge_off, edges,
+         status) = (
             extract_subgraphs_native(
                 self.index, anchor_off, aqb, atb, ate, aso, aeo, qlen, k,
                 bubble_closure=self.bubble_closure,
@@ -856,14 +883,14 @@ class PoaAligner:
                 ]
                 out[i] = poa_global_host_native(nodes, prob_edges, chains[i].query.seq)
 
-        return (n, out, pending, handles, handle_off)
+        return (n, out, pending, handles, handle_off, lbase)
 
     def _finish_chains_native(self, state):
         """Drain a _dispatch_chains_native batch (ONE device_get for all
         buckets' chunks) and pair results with their range handles."""
         from ..ops.poa_device import kernel_finish_all
 
-        n, out, pending, handles, handle_off = state
+        n, out, pending, handles, handle_off, lbase = state
         if pending:
             flat_ps = [p for _idxs, ps in pending for p in ps]
             res_flat = kernel_finish_all(flat_ps)
@@ -874,10 +901,21 @@ class PoaAligner:
                     out[i] = res
                 pos += n_bucket
 
-        return [
-            (out[i], handles[handle_off[i] : handle_off[i + 1]].tolist())
-            for i in range(n)
-        ]
+        res_handles = []
+        for i in range(n):
+            res = out[i]
+            lb = lbase[handle_off[i] : handle_off[i + 1]]
+            if res.node_path and lb.any():
+                # rebase node offsets to UNTRIMMED node coordinates:
+                # corridor flank trims cut the front of the start node's
+                # label, so offsets computed on the trimmed label
+                # under-report by the trim start
+                res.path_start_offset += int(lb[res.node_path[0]])
+                res.path_end_offset += int(lb[res.node_path[-1]])
+            res_handles.append(
+                (res, handles[handle_off[i] : handle_off[i + 1]].tolist())
+            )
+        return res_handles
 
     def obtain_base_level_alignment(self, chain: Chain) -> GAFAlignment:
         """align.rs:58-145."""
@@ -897,9 +935,11 @@ class PoaAligner:
             from ..ops.poa import align_local_no_gap_host
 
             res = align_local_no_gap_host(nodes, edges, chain.query.seq)
+            _rebase_trimmed_offsets(res, extended)
             return GAFAlignment.from_rspoa_result(res, chain, extended.handles)
 
         from ..ops.poa import align_global_host
 
         res = align_global_host(nodes, edges, chain.query.seq)
+        _rebase_trimmed_offsets(res, extended)
         return GAFAlignment.from_abpoa_result(res, chain, extended.handles)

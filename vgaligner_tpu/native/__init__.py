@@ -88,11 +88,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, _charp, _i64p, _i64p, _i64p, _i64p, _i64p,
             _i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int64, _i64p,
+            ctypes.c_int32, ctypes.c_int64, _i64p,
             ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
             ctypes.POINTER(_i64p), _i64p, ctypes.POINTER(_i64p),
         ]
         lib.vg_kmer_index.restype = ctypes.c_int64
+        lib.vg_path_kmers.argtypes = [
+            ctypes.c_int64, _charp, _i64p, _i64p, ctypes.c_int64,
+            ctypes.c_int64, _i64p, _i64p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
+            ctypes.POINTER(_i64p), _i64p, ctypes.POINTER(_i64p),
+        ]
+        lib.vg_path_kmers.restype = ctypes.c_int64
         lib.vg_build_poa_batch.argtypes = [
             ctypes.c_int64, _i64p, _charp, _i64p, _i64p, _i64p, _i64p,
             ctypes.c_int64, ctypes.c_int64,
@@ -105,7 +113,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i8p, _i8p,
             _i64p, ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
-            ctypes.POINTER(_i64p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
+            ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
             ctypes.POINTER(_u8p),
         ]
@@ -189,6 +198,7 @@ def _p8(a: np.ndarray):
 def kmer_index_native(graph, k: int, edge_max, degree_max, sampling_rate,
                       node_starts: np.ndarray, seq_len: int,
                       drop_handle_on_n: bool = True,
+                      dedup_positions: bool = True,
                       state_cap: int = 0):
     """Native replacement for generate_kmers + generate_pos_on_ref.
 
@@ -232,6 +242,7 @@ def kmer_index_native(graph, k: int, edge_max, degree_max, sampling_rate,
         -1 if degree_max is None else degree_max,
         0 if sampling_rate is None else sampling_rate,
         1 if drop_handle_on_n else 0,
+        1 if dedup_positions else 0,
         state_cap, _p64(capped),
         ctypes.byref(oc), ctypes.byref(oo), ctypes.byref(ocn),
         ctypes.byref(n_pos), ctypes.byref(op),
@@ -256,8 +267,66 @@ def kmer_index_native(graph, k: int, edge_max, degree_max, sampling_rate,
         lib.vg_free(oo)
         lib.vg_free(ocn)
         lib.vg_free(op)
-    return (codes.astype(np.int64), offsets.astype(np.int64),
-            counts.astype(np.int64), positions.astype(np.int64), int(capped[0]))
+    return (codes, offsets, counts, positions, int(capped[0]))
+
+
+def path_kmers_native(graph, k: int, node_starts: np.ndarray,
+                      seq_len: int, dedup_positions: bool = True):
+    """Native path-guided k-mer table (kmer_gen.py
+    generate_kmers_linearly + generate_pos_on_ref fused): used by the
+    DFS-cap fallback merge, where the Python object path measured ~4 s
+    on MICB-scale graphs.  Returns (codes, offsets, counts, positions)
+    in the same structure as kmer_index_native, or None for k > 32."""
+    lib = get_lib()
+    assert lib is not None
+    if k > 32:
+        return None
+    ids = graph.node_ids()
+    n = len(ids)
+    labels = []
+    label_off = np.zeros(n + 1, dtype=np.int64)
+    for i, nid in enumerate(ids):
+        node = graph._nodes[nid]
+        labels.append(node.sequence)
+        label_off[i + 1] = label_off[i] + len(node.sequence)
+    labels_b = "".join(labels).encode("ascii")
+    pids = list(graph.paths_iter())
+    p_off = np.zeros(len(pids) + 1, dtype=np.int64)
+    p_dat: list = []
+    for i, pid in enumerate(pids):
+        p_dat.extend(graph.get_path(pid).nodes)
+        p_off[i + 1] = len(p_dat)
+    p_arr = (np.asarray(p_dat, dtype=np.int64) if p_dat
+             else np.zeros(1, np.int64))
+    ns = np.ascontiguousarray(node_starts[:n], dtype=np.int64)
+
+    oc, oo, ocn, op = _i64p(), _i64p(), _i64p(), _i64p()
+    n_pos = ctypes.c_int64(0)
+    n_unique = lib.vg_path_kmers(
+        n, labels_b, _p64(label_off), _p64(ns), seq_len,
+        len(pids), _p64(p_off), _p64(p_arr), k,
+        1 if dedup_positions else 0,
+        ctypes.byref(oc), ctypes.byref(oo), ctypes.byref(ocn),
+        ctypes.byref(n_pos), ctypes.byref(op),
+    )
+    if n_unique < 0:
+        return None
+    try:
+        codes = np.ctypeslib.as_array(oc, shape=(max(n_unique, 1),))[:n_unique].copy()
+        offsets = np.ctypeslib.as_array(oo, shape=(max(n_unique, 1),))[:n_unique].copy()
+        counts = np.ctypeslib.as_array(ocn, shape=(max(n_unique, 1),))[:n_unique].copy()
+        npos = int(n_pos.value)
+        positions = (
+            np.ctypeslib.as_array(op, shape=(max(npos, 1) * 4,))[: npos * 4]
+            .copy()
+            .reshape(-1, 4)
+        )
+    finally:
+        lib.vg_free(oc)
+        lib.vg_free(oo)
+        lib.vg_free(ocn)
+        lib.vg_free(op)
+    return codes, offsets, counts, positions
 
 
 def build_poa_batch_arrays(labels_b: bytes, label_off: np.ndarray,
@@ -531,8 +600,11 @@ def extract_subgraphs_native(index, anchor_off: np.ndarray, aqb: np.ndarray,
     bubble_closure (exclusive with corridor) splices in out-of-range
     one-hop bubble alt-alleles.
     Returns (handle_off [B+1], handles, label_off [total_nodes+1],
-    labels bytes, edge_off [B+1], edges [total_edges,2], status [B])
-    where status[p] != 0 marks a problem needing the Python fallback.
+    lbase [total_nodes] — each label's base offset within its node
+    (corridor flank-trim 'from', 0 otherwise; rebases GAF node offsets
+    to untrimmed coordinates), labels bytes, edge_off [B+1],
+    edges [total_edges,2], status [B]) where status[p] != 0 marks a
+    problem needing the Python fallback.
     """
     lib = get_lib()
     assert lib is not None
@@ -552,7 +624,7 @@ def extract_subgraphs_native(index, anchor_off: np.ndarray, aqb: np.ndarray,
     aeo_c = None if aeo is None else np.ascontiguousarray(aeo, dtype=np.int8)
     ql = np.ascontiguousarray(qlen, dtype=np.int64)
 
-    oh, ohs, olo = _i64p(), _i64p(), _i64p()
+    oh, ohs, olo, olbase = _i64p(), _i64p(), _i64p(), _i64p()
     olb = ctypes.c_char_p()
     oeo, oe = _i64p(), _i64p()
     ost = _u8p()
@@ -565,14 +637,17 @@ def extract_subgraphs_native(index, anchor_off: np.ndarray, aqb: np.ndarray,
         _p64(ql), k,
         2 if range_mode == "corridor" else (1 if bubble_closure else 0),
         ctypes.byref(oh), ctypes.byref(ohs), ctypes.byref(olo),
-        ctypes.byref(olb), ctypes.byref(oeo), ctypes.byref(oe),
-        ctypes.byref(ost),
+        ctypes.byref(olbase), ctypes.byref(olb), ctypes.byref(oeo),
+        ctypes.byref(oe), ctypes.byref(ost),
     )
     try:
         handle_off = np.ctypeslib.as_array(oh, shape=(B + 1,)).copy()
         n_handles = int(handle_off[-1])
         handles = np.ctypeslib.as_array(ohs, shape=(max(n_handles, 1),))[:n_handles].copy()
         label_off = np.ctypeslib.as_array(olo, shape=(n_handles + 1,)).copy()
+        lbase = np.ctypeslib.as_array(
+            olbase, shape=(max(n_handles, 1),)
+        )[:n_handles].copy()
         labels = ctypes.string_at(olb, int(total_label)) if total_label else b""
         edge_off = np.ctypeslib.as_array(oeo, shape=(B + 1,)).copy()
         n_edges = int(edge_off[-1])
@@ -583,11 +658,12 @@ def extract_subgraphs_native(index, anchor_off: np.ndarray, aqb: np.ndarray,
         )
         status = np.ctypeslib.as_array(ost, shape=(max(B, 1),))[:B].copy()
     finally:
-        for p in (oh, ohs, olo, oeo, oe):
+        for p in (oh, ohs, olo, olbase, oeo, oe):
             lib.vg_free(p)
         lib.vg_free(olb)
         lib.vg_free(ost)
-    return handle_off, handles, label_off, labels, edge_off, edges_out, status
+    return (handle_off, handles, label_off, lbase, labels, edge_off,
+            edges_out, status)
 
 
 def finish_tapes_native(ops: np.ndarray, vids: np.ndarray, tlens: np.ndarray,

@@ -85,6 +85,15 @@ void parallel_for(int64_t n, F&& f) {
 
 namespace {
 
+// record the SMALLEST failing problem index (1-based) under concurrent
+// reporters — a plain store would let an arbitrary thread's index win
+inline void store_min_err(std::atomic<int64_t>& err, int64_t v) {
+  int64_t cur = err.load(std::memory_order_relaxed);
+  while ((cur == 0 || v < cur) &&
+         !err.compare_exchange_weak(cur, v, std::memory_order_relaxed)) {
+  }
+}
+
 inline int8_t base_code(char c) {
   switch (c) {
     case 'A': case 'a': return 0;
@@ -133,6 +142,13 @@ struct Km {
   int64_t first_handle, last_handle;
   uint8_t handle_orient;
   int32_t forks;
+};
+
+struct U128Hash {
+  size_t operator()(unsigned __int128 v) const {
+    uint64_t lo = (uint64_t)v, hi = (uint64_t)(v >> 64);
+    return (size_t)(lo ^ (hi * 0x9e3779b97f4a7c15ull));
+  }
 };
 
 inline bool km_key_eq(const Km& a, const Km& b) {
@@ -196,13 +212,52 @@ bool kmers_for_handle_orient(const GraphView& g, int64_t handle,
                              std::vector<Km>& complete_out,
                              std::vector<Km>& scratch_stack,
                              std::vector<int64_t>& nbrs,
-                             std::vector<int64_t>& nbrs2) {
+                             std::vector<int64_t>& nbrs2,
+                             std::unordered_set<unsigned __int128, U128Hash>*
+                                 seen_states) {
   size_t base_out = complete_out.size();
   int64_t states = 0;
   struct StatesOut {
     int64_t* s;
     ~StatesOut() { g_states_used = *s; }
   } states_out{&states};
+  // DFS state merging (dedup-positions mode): two pending states with
+  // the same (begin_off, prefix, pending handle) complete to identical
+  // position rows, differing at most in the reference's fork-count
+  // field — exactly the records its adjacent-only dedup fails to
+  // collapse (measured 104x duplicate rows on HLA-zoo 5-B3106).
+  // Merging them turns the exponential fork-path enumeration into a
+  // polynomial walk.  Key packs begin_off(32) len(6) handle(34)
+  // prefix(2 bits/base), exact for k <= 27; chars outside ACGT skip
+  // merging for that state.
+  if (seen_states) seen_states->clear();
+  auto try_push = [&](std::vector<Km>& stack, const Km& inc) {
+    ++states;  // attempts count as work: state merging must not let a
+               // hub region spend the whole global budget productively
+               // enumerating forever (MICB-class graphs)
+    if (seen_states && k <= 27) {
+      unsigned __int128 key = (uint32_t)inc.begin_off;
+      key |= (unsigned __int128)(uint32_t)inc.len << 32;
+      key |= (unsigned __int128)(uint64_t)inc.last_handle << 38;
+      bool pack_ok = true;
+      unsigned __int128 sk = 0;
+      for (int32_t i2 = 0; i2 < inc.len; ++i2) {
+        char ch = inc.seq[i2];
+        // uppercase ACGT only: base_code folds case, and merging 'a'
+        // with 'A' would collapse records the seq sort distinguishes
+        if (ch != 'A' && ch != 'C' && ch != 'G' && ch != 'T') {
+          pack_ok = false;
+          break;
+        }
+        sk = (sk << 2) | (unsigned __int128)(uint8_t)base_code(ch);
+      }
+      if (pack_ok) {
+        key |= sk << 72;
+        if (!seen_states->insert(key).second) return;
+      }
+    }
+    stack.push_back(inc);
+  };
   g.right_neighbors(handle, nbrs);
   if (degree_max >= 0 && (int64_t)nbrs.size() > degree_max) return true;
 
@@ -259,7 +314,7 @@ bool kmers_for_handle_orient(const GraphView& g, int64_t handle,
           Km inc = km;
           inc.last_handle = nb;
           if (next_count > 1) inc.forks += 1;
-          incomplete.push_back(inc);
+          try_push(incomplete, inc);
         }
       }
     }
@@ -303,7 +358,7 @@ bool kmers_for_handle_orient(const GraphView& g, int64_t handle,
           Km inc = km;
           inc.last_handle = nb;
           if (next_count > 1) inc.forks += 1;
-          incomplete.push_back(inc);
+          try_push(incomplete, inc);
         }
       }
     }
@@ -317,57 +372,21 @@ bool kmers_for_handle_orient(const GraphView& g, int64_t handle,
 // positions. Node ids must be contiguous 1..n (enforced by the caller,
 // as in index.rs:489-498). Returns n_unique; outputs are malloc'd and
 // must be released with vg_free.
-int64_t vg_kmer_index(
-    int64_t n_nodes, const char* labels, const int64_t* label_off,
-    const int64_t* l_off, const int64_t* l_dat, const int64_t* r_off,
-    const int64_t* r_dat, const int64_t* node_starts, int64_t seq_len,
-    int32_t k, int64_t edge_max, int64_t degree_max, int64_t sampling_rate,
-    int32_t drop_handle_on_n, int64_t state_cap, int64_t* out_capped,
+// Shared tail of the k-mer table builders: stable sort by sequence,
+// adjacent-duplicate dedup, group by sequence, convert to linearized
+// position rows, and emit malloc'd arrays.  Factored out of
+// vg_kmer_index so the native path-guided generator (vg_path_kmers)
+// produces byte-identical table structure.
+static int64_t finish_kmer_table(
+    std::vector<Km>& kmers, const GraphView& g, const int64_t* node_starts,
+    int64_t seq_len, int32_t dedup_positions, bool timing,
     int64_t** out_codes, int64_t** out_offsets, int64_t** out_counts,
     int64_t* out_n_pos, int64_t** out_positions) {
-  GraphView g{n_nodes, labels, label_off, l_off, l_dat, r_off, r_dat};
-
-  // env-gated phase timing (VGALIGNER_NATIVE_TIMING=1): the DFS /
-  // sort / convert split on hub-dense graphs drives tuning decisions
-  const bool timing = std::getenv("VGALIGNER_NATIVE_TIMING") != nullptr;
   auto now = [] { return std::chrono::steady_clock::now(); };
   auto secs = [](auto a, auto b) {
     return std::chrono::duration<double>(b - a).count();
   };
-  auto t_start = now();
-
-  std::vector<Km> kmers;
-  std::vector<Km> stack;
-  std::vector<int64_t> nbrs, nbrs2;
-  int64_t capped = 0;
-  // global budget: 40x the per-call cap (deterministic first-come
-  // deduction; bounds the whole build on hub-dense graphs where even
-  // per-call caps x thousands of handles explode the sort/convert)
-  int64_t budget = state_cap > 0 ? state_cap * 40 : 0;
-  for (int64_t id = 1; id <= n_nodes; ++id) {
-    // orientation order True, False (kmer_gen.py generate_kmers)
-    for (int o = 0; o < 2; ++o) {
-      int64_t cap = state_cap;
-      if (state_cap > 0) {
-        if (budget <= 0) { ++capped; continue; }
-        cap = std::min(state_cap, budget);
-      }
-      int64_t before = capped;
-      size_t n_before = kmers.size();
-      kmers_for_handle_orient(g, (id << 1) | o, o == 0, k, edge_max,
-                              degree_max, sampling_rate,
-                              drop_handle_on_n != 0, cap,
-                              &capped, kmers, stack, nbrs, nbrs2);
-      (void)before; (void)n_before;
-      if (state_cap > 0) budget -= g_states_used;
-    }
-  }
-  if (out_capped) *out_capped = capped;
   auto t_dfs = now();
-  if (timing)
-    fprintf(stderr, "vg_kmer_index: dfs %.1fs (%zu records)\n",
-            secs(t_start, t_dfs), kmers.size());
-
   // stable sort by sequence only (kmer.rs:295-298), then dedup runs of
   // fully identical records (kmer.rs:299-301).  Sorting (packed key,
   // index) pairs and permuting once beats stable_sort moving ~80-byte
@@ -487,9 +506,27 @@ int64_t vg_kmer_index(
                 if (a.eo != b.eo) return a.eo < b.eo;
                 return a.e < b.e;
               });
+    if (dedup_positions) {
+      // exact duplicate rows only waste space and inflate per-read
+      // anchor counts 100x on fork-dense graphs (the reference keeps
+      // them only because its adjacent-only dedup misses non-adjacent
+      // records, kmer.rs:299-301); --keep-duplicate-positions restores
+      // the quirk
+      auto it = std::unique(rows.begin() + row0, rows.end(),
+                            [](const Row& a, const Row& b) {
+                              return a.so == b.so && a.s == b.s &&
+                                     a.eo == b.eo && a.e == b.e;
+                            });
+      rows.erase(it, rows.end());
+      counts.back() = (int64_t)(rows.size() - row0);
+    }
     i = j;
   }
 
+  auto t_conv = now();
+  if (timing)
+    fprintf(stderr, "vg_kmer_index: convert %.1fs (%zu groups)\n",
+            secs(t_sort, t_conv), codes.size());
   int64_t n_unique = (int64_t)codes.size();
   int64_t n_pos = (int64_t)rows.size();
   *out_codes = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(n_unique, 1));
@@ -507,6 +544,156 @@ int64_t vg_kmer_index(
   }
   *out_n_pos = n_pos;
   return n_unique;
+}
+
+int64_t vg_kmer_index(
+    int64_t n_nodes, const char* labels, const int64_t* label_off,
+    const int64_t* l_off, const int64_t* l_dat, const int64_t* r_off,
+    const int64_t* r_dat, const int64_t* node_starts, int64_t seq_len,
+    int32_t k, int64_t edge_max, int64_t degree_max, int64_t sampling_rate,
+    int32_t drop_handle_on_n, int32_t dedup_positions, int64_t state_cap,
+    int64_t* out_capped,
+    int64_t** out_codes, int64_t** out_offsets, int64_t** out_counts,
+    int64_t* out_n_pos, int64_t** out_positions) {
+  GraphView g{n_nodes, labels, label_off, l_off, l_dat, r_off, r_dat};
+
+  // env-gated phase timing (VGALIGNER_NATIVE_TIMING=1): the DFS /
+  // sort / convert split on hub-dense graphs drives tuning decisions
+  const bool timing = std::getenv("VGALIGNER_NATIVE_TIMING") != nullptr;
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  auto t_start = now();
+
+  std::vector<Km> kmers;
+  std::vector<Km> stack;
+  std::vector<int64_t> nbrs, nbrs2;
+  std::unordered_set<unsigned __int128, U128Hash> seen_states;
+  int64_t capped = 0;
+  // global budget: 8x the per-call cap (deterministic first-come
+  // deduction; bounds the whole build on hub-dense graphs where even
+  // per-call caps x thousands of handles explode the sort/convert —
+  // with DFS state merging each budget unit is productive, so a 4M
+  // budget covers more distinct k-mers than the old 20M did through
+  // duplicate fork paths)
+  int64_t budget = state_cap > 0 ? state_cap * 8 : 0;
+  for (int64_t id = 1; id <= n_nodes; ++id) {
+    // orientation order True, False (kmer_gen.py generate_kmers)
+    for (int o = 0; o < 2; ++o) {
+      int64_t cap = state_cap;
+      if (state_cap > 0) {
+        if (budget <= 0) { ++capped; continue; }
+        cap = std::min(state_cap, budget);
+      }
+      int64_t before = capped;
+      size_t n_before = kmers.size();
+      kmers_for_handle_orient(g, (id << 1) | o, o == 0, k, edge_max,
+                              degree_max, sampling_rate,
+                              drop_handle_on_n != 0, cap,
+                              &capped, kmers, stack, nbrs, nbrs2,
+                              dedup_positions ? &seen_states : nullptr);
+      (void)before; (void)n_before;
+      if (state_cap > 0) budget -= g_states_used;
+    }
+  }
+  if (out_capped) *out_capped = capped;
+  auto t_dfs = now();
+  if (timing)
+    fprintf(stderr, "vg_kmer_index: dfs %.1fs (%zu records)\n",
+            secs(t_start, t_dfs), kmers.size());
+
+  int64_t n_unique = finish_kmer_table(
+      kmers, g, node_starts, seq_len, dedup_positions, timing,
+      out_codes, out_offsets, out_counts, out_n_pos, out_positions);
+  return n_unique;
+}
+
+
+
+// Path-guided k-mer enumeration (kmer.rs:510-728; mirrors
+// kmer_gen.py generate_kmers_linearly including its quirks: freshly
+// started reverse-strand k-mers store `begin` in end_offset
+// (kmer.rs:685) and extension overwrites end_offset with the ADDED
+// length (extend_kmer, kmer.rs:80-84); N-containing k-mers are
+// dropped, k > 32 rejected).  Emits the same table structure as
+// vg_kmer_index via finish_kmer_table.
+int64_t vg_path_kmers(
+    int64_t n_nodes, const char* labels, const int64_t* label_off,
+    const int64_t* node_starts, int64_t seq_len,
+    int64_t n_paths, const int64_t* path_off, const int64_t* path_handles,
+    int32_t k, int32_t dedup_positions,
+    int64_t** out_codes, int64_t** out_offsets, int64_t** out_counts,
+    int64_t* out_n_pos, int64_t** out_positions) {
+  if (k > 32) return -1;
+  GraphView g{n_nodes, labels, label_off, nullptr, nullptr, nullptr,
+              nullptr};
+  const bool timing = std::getenv("VGALIGNER_NATIVE_TIMING") != nullptr;
+  std::vector<Km> kmers;
+  std::vector<Km> prev_inc, curr_inc;
+  std::string hseq;
+  for (int rev = 0; rev < 2; ++rev) {
+    for (int64_t p = 0; p < n_paths; ++p) {
+      int64_t p0 = path_off[p], p1 = path_off[p + 1];
+      prev_inc.clear();
+      for (int64_t t = 0; t < p1 - p0; ++t) {
+        int64_t h = rev ? (path_handles[p1 - 1 - t] ^ 1)
+                        : path_handles[p0 + t];
+        int64_t h_len = g.label_len(h >> 1);
+        int8_t h_or = (h & 1) ? 1 : 0;
+        hseq.resize((size_t)h_len);
+        bool any_n = false;
+        for (int64_t i = 0; i < h_len; ++i) {
+          hseq[(size_t)i] = g.base_at(h, i);
+          if (hseq[(size_t)i] == 'N') any_n = true;
+        }
+        curr_inc.clear();
+        for (Km km : prev_inc) {  // FIFO completion
+          int64_t end = std::min<int64_t>(k - km.len, h_len);
+          bool has_n = false;
+          for (int64_t i2 = 0; i2 < end; ++i2) {
+            km.seq[km.len + i2] = hseq[(size_t)i2];
+            if (hseq[(size_t)i2] == 'N') has_n = true;
+          }
+          km.len += (int32_t)end;
+          km.end_orient = h_or;
+          km.end_off = (int32_t)end;  // extend_kmer: length added
+          km.last_handle = h;
+          if (has_n) continue;
+          if (km.len == k) kmers.push_back(km);
+          else curr_inc.push_back(km);
+        }
+        for (int64_t i = 0; i < h_len; ++i) {
+          int64_t end = std::min<int64_t>(i + k, h_len);
+          Km km;
+          km.len = (int32_t)(end - i);
+          bool has_n = false;
+          for (int64_t p2 = i; p2 < end; ++p2) {
+            km.seq[p2 - i] = hseq[(size_t)p2];
+            if (hseq[(size_t)p2] == 'N') has_n = true;
+          }
+          km.begin_orient = h_or;
+          km.begin_off = (int32_t)i;
+          km.end_orient = h_or;
+          // reference quirk: the reverse generator stores `begin` as
+          // the end offset (kmer.rs:685)
+          km.end_off = (int32_t)(rev ? i : end);
+          km.first_handle = h;
+          km.last_handle = h;
+          km.handle_orient = rev ? 0 : 1;
+          km.forks = 0;
+          if (has_n) continue;
+          if (km.len == k) kmers.push_back(km);
+          else curr_inc.push_back(km);
+        }
+        (void)any_n;
+        prev_inc.swap(curr_inc);
+      }
+    }
+  }
+  return finish_kmer_table(kmers, g, node_starts, seq_len,
+                           dedup_positions, timing, out_codes, out_offsets,
+                           out_counts, out_n_pos, out_positions);
 }
 
 // ---------------------------------------------------------------------------
@@ -542,8 +729,8 @@ int64_t vg_build_poa_batch(
   std::memset(off_in, 0, sizeof(int32_t) * (size_t)(B * v_pad));
 
   // per-problem outputs land in disjoint [s*v_pad, (s+1)*v_pad) ranges,
-  // so problems build data-parallel (thread-local scratch); the first
-  // failing problem index (1-based) is reported as before
+  // so problems build data-parallel (thread-local scratch); the smallest
+  // failing problem index (1-based) is reported (store_min_err)
   std::atomic<int64_t> err(0);
   parallel_for(B, [&](int64_t s) {
     if (err.load(std::memory_order_relaxed)) return;
@@ -601,7 +788,7 @@ int64_t vg_build_poa_batch(
       int64_t node = topo[t];
       int64_t g0 = label_off[n0 + node], g1 = label_off[n0 + node + 1];
       node_first[node] = vid;
-      if (vid + (g1 - g0) > v_pad) { err.store(s + 1); return; }
+      if (vid + (g1 - g0) > v_pad) { store_min_err(err, s + 1); return; }
       for (int64_t c = g0; c < g1; ++c) {
         vc[vid] = base_code(labels[c]);
         no[vid] = (int32_t)node;
@@ -622,7 +809,7 @@ int64_t vg_build_poa_batch(
       int64_t a = edges[2 * e], b = edges[2 * e + 1];
       if (order_pos[a] < order_pos[b]) {
         int64_t v = node_first[b];
-        if (np_count[v] >= p_max) { err.store(s + 1); return; }
+        if (np_count[v] >= p_max) { store_min_err(err, s + 1); return; }
         vp[v * p_max + np_count[v]++] = (int32_t)node_last[a];
         has_pred[b] = 1;
         has_succ[a] = 1;
@@ -631,7 +818,7 @@ int64_t vg_build_poa_batch(
     for (int64_t t = 0; t < n; ++t) {
       int64_t node = topo[t];
       for (int64_t v = node_first[node] + 1; v <= node_last[node]; ++v) {
-        if (np_count[v] >= p_max) { err.store(s + 1); return; }
+        if (np_count[v] >= p_max) { store_min_err(err, s + 1); return; }
         vp[v * p_max + np_count[v]++] = (int32_t)(v - 1);
       }
     }
@@ -718,14 +905,14 @@ int64_t vg_extract_subgraphs(
     const int64_t* atb, const int64_t* ate, const int8_t* aso,
     const int8_t* aeo, const int64_t* qlen, int64_t k, int32_t closure,
     int64_t** out_handle_off, int64_t** out_handles,
-    int64_t** out_label_off, char** out_labels,
+    int64_t** out_label_off, int64_t** out_lbase, char** out_labels,
     int64_t** out_edge_off, int64_t** out_edges,
     uint8_t** out_status) {
   IndexView ix{n_nodes, node_starts, edges, edge_idx, edges_to_node,
                seq_fwd, seq_rev, seq_len};
 
   std::vector<int64_t> handle_off(1, 0), handles_all;
-  std::vector<int64_t> label_off(1, 0);
+  std::vector<int64_t> label_off(1, 0), lbase_all;
   std::string labels_all;
   std::vector<int64_t> edge_off(1, 0), edges_all;
   std::vector<uint8_t> status(B, 0);
@@ -736,6 +923,8 @@ int64_t vg_extract_subgraphs(
     std::vector<int64_t> handles;
     std::string labels;
     std::vector<int64_t> llen;   // label length per handle
+    std::vector<int64_t> lbase;  // label's base offset within the node
+                                 // (corridor flank trim 'from'; 0 else)
     std::vector<int64_t> edges;  // (i, j) pairs flattened
   };
   std::vector<PerProb> results((size_t)B);
@@ -934,9 +1123,10 @@ int64_t vg_extract_subgraphs(
           // the whole node label).  Corridor mode trims the START
           // node's label to begin at most `budget` bases before the
           // first anchor and the END node's to stop at most `budget`
-          // bases after the last anchor.  Path coordinates in the GAF
-          // are then relative to the trimmed window (documented
-          // corridor-mode divergence; node ids are unaffected).
+          // bases after the last anchor.  The label's base offset
+          // within the node rides the lbase output so GAF node offsets
+          // are rebased to UNTRIMMED coordinates downstream (node ids
+          // are unaffected).
           int64_t sN = node_starts[start_id - 1];
           int64_t sLen = ix.label_len(start_id);
           int64_t from = atb[bi] - sN - budget;
@@ -1108,10 +1298,11 @@ int64_t vg_extract_subgraphs(
       int64_t id = h >> 1;
       int64_t s0 = node_starts[id - 1], e = node_starts[id];
       size_t before = R.labels.size();
+      int64_t from = 0;
       if (h & 1) {
         R.labels.append(seq_rev + (seq_len - e), (size_t)(e - s0));
       } else {
-        int64_t from = 0, to = e - s0;
+        int64_t to = e - s0;
         auto it = trim.find(h);
         if (it != trim.end()) {
           from = it->second.first;
@@ -1120,6 +1311,7 @@ int64_t vg_extract_subgraphs(
         R.labels.append(seq_fwd + s0 + from, (size_t)(to - from));
       }
       R.llen.push_back((int64_t)(R.labels.size() - before));
+      R.lbase.push_back(from);
       R.handles.push_back(h);
     }
     // edges: outgoing within range; loop removal by orientation
@@ -1142,6 +1334,7 @@ int64_t vg_extract_subgraphs(
     for (size_t i = 0; i < R.handles.size(); ++i) {
       handles_all.push_back(R.handles[i]);
       label_off.push_back(label_off.back() + R.llen[i]);
+      lbase_all.push_back(R.lbase[i]);
     }
     labels_all.append(R.labels);
     edges_all.insert(edges_all.end(), R.edges.begin(), R.edges.end());
@@ -1157,6 +1350,7 @@ int64_t vg_extract_subgraphs(
   *out_handle_off = alloc64(handle_off);
   *out_handles = alloc64(handles_all);
   *out_label_off = alloc64(label_off);
+  *out_lbase = alloc64(lbase_all);
   *out_labels = (char*)std::malloc(std::max<size_t>(labels_all.size(), 1));
   std::memcpy(*out_labels, labels_all.data(), labels_all.size());
   *out_edge_off = alloc64(edge_off);
@@ -1669,7 +1863,7 @@ int64_t vg_anchor_coords(
     for (int64_t j = m0; j < m1; ++j) {
       const int64_t p = (int64_t)mem_slots[j];
       if (p < 0 || p >= (int64_t)anc.size()) {
-        err.store(rix + 1, std::memory_order_relaxed);
+        store_min_err(err, rix + 1);
         return;
       }
       const Anc& a = anc[(size_t)order[(size_t)p]];
@@ -1931,6 +2125,7 @@ int64_t vg_baseline_map_align(
       int64_t* h_off = nullptr;
       int64_t* handles = nullptr;
       int64_t* l_off = nullptr;
+      int64_t* l_base = nullptr;
       char* labels = nullptr;
       int64_t* e_off = nullptr;
       int64_t* sub_edges = nullptr;
@@ -1939,7 +2134,8 @@ int64_t vg_baseline_map_align(
           n_nodes, node_starts, edges, edge_idx, edges_to_node,
           seq_fwd, seq_rev, seq_len, 1, anchor_off, aqb.data(), atb.data(),
           ate.data(), nullptr, nullptr, qlen, k, 0,
-          &h_off, &handles, &l_off, &labels, &e_off, &sub_edges, &status);
+          &h_off, &handles, &l_off, &l_base, &labels, &e_off, &sub_edges,
+          &status);
       if (status && status[0] == 0 && h_off && h_off[1] > 0) {
         std::vector<int8_t> q(len);
         for (int64_t i = 0; i < len; ++i) q[i] = base_code(s[i]);
@@ -1964,6 +2160,7 @@ int64_t vg_baseline_map_align(
       std::free(h_off);
       std::free(handles);
       std::free(l_off);
+      std::free(l_base);
       std::free(labels);
       std::free(e_off);
       std::free(sub_edges);

@@ -2141,8 +2141,10 @@ def kernel_finish_all(pendings):
     for o, p in zip(outs, pendings):
         t_cap = o[1].shape[1]
         max_q = max((len(q) for q in p[8]), default=1)
-        # V recovered from the tape cap (T = V + l_pad + 2)
-        t_guess = _tape_guess_cols(t_cap, max_q, t_cap - max_q - 2)
+        # p[5] is the chunk's real V (v_pad) — reconstructing it from
+        # t_cap - max_q - 2 overestimated V by (l_pad - max_q) and sent
+        # short-query large-l_pad chunks down the fetch-everything path
+        t_guess = _tape_guess_cols(t_cap, max_q, p[5])
         guesses.append(t_guess)
         parts.extend(
             (o[0], o[2], _slice_tape(o[1], t_guess) if t_guess < t_cap else o[1])
