@@ -310,3 +310,47 @@ def test_n_policy_drop_kmer_vs_drop_handle():
     hits = lenient.find_positions_for_query_kmer(km)
     assert any(p[0] == 0 and p[1] == start2 + 12 for p in hits)
     assert strict.find_positions_for_query_kmer(km) == []
+
+
+def test_duplicate_position_dedup_default_and_parity_optout():
+    """Fork-dense graphs generate the same (kmer, position) record via
+    many DFS paths; the reference's adjacent-only dedup (kmer.rs:299-301)
+    misses the non-adjacent ones (measured 104x duplicated rows on
+    HLA-zoo 5-B3106).  The default build drops exact duplicate rows
+    (and state-merges the DFS); dedup_positions=False restores the
+    reference's literal table."""
+    import numpy as np
+
+    from vgaligner_tpu.graph.handlegraph import HashGraph
+    from vgaligner_tpu.index import Index
+
+    # A -> {B1,B2} (same label) -> {C,D} (same label): the k-mer
+    # AAGTT via B1/C equals the one via B2/C record-for-record, but the
+    # LIFO interleaves the C- and D-completions (…D2,C2,D1,C1…), so the
+    # duplicates are NOT adjacent after the stable seq sort and survive
+    # the reference's Vec::dedup
+    g = HashGraph()
+    a = g.create_handle("AA", 1)
+    b1 = g.create_handle("G", 2)
+    b2 = g.create_handle("G", 3)
+    c = g.create_handle("TT", 4)
+    d = g.create_handle("TT", 5)
+    for x in (b1, b2):
+        g.create_edge(a, x)
+        g.create_edge(x, c)
+        g.create_edge(x, d)
+
+    dd = Index.build(g, 5, 100, 100)
+    keep = Index.build(g, 5, 100, 100, dedup_positions=False)
+
+    def rows(idx):
+        grp = np.repeat(np.arange(len(idx.kmer_counts)), idx.kmer_counts)
+        return np.concatenate([grp[:, None], idx.positions], axis=1)
+
+    rd, rk = rows(dd), rows(keep)
+    # the parity build retains duplicates; the default build has none
+    assert len(np.unique(rk, axis=0)) < len(rk)
+    assert len(np.unique(rd, axis=0)) == len(rd)
+    # deduping the parity table reproduces the default table's rows
+    np.testing.assert_array_equal(np.unique(rk, axis=0),
+                                  np.unique(rd, axis=0))

@@ -56,6 +56,12 @@ def _build_parser() -> argparse.ArgumentParser:
                          "drop-kmer skips only N-containing k-mers "
                          "(kmer.rs:161-163, the reference's path-guided "
                          "generator policy)")
+    ip.add_argument("--keep-duplicate-positions", action="store_true",
+                    help="keep exact duplicate position rows within a "
+                         "k-mer group (the reference's adjacent-only "
+                         "dedup quirk, kmer.rs:299-301; ~100x table "
+                         "blowup on fork-dense graphs).  Default drops "
+                         "them")
 
     mp = sub.add_parser("map", help="map sequences to a graph")
     mp.add_argument("-i", "--index", required=True, metavar="FILE")
@@ -144,6 +150,7 @@ def index_main(args) -> None:
         generate_mappings=args.generate_mappings,
         mappings_path=args.mappings_path,
         n_policy=args.n_policy,
+        dedup_positions=not args.keep_duplicate_positions,
     )
 
 

@@ -105,13 +105,21 @@ def _kmers_for_handle_orient(
     sampling_rate: Optional[int],
     drop_handle_on_n: bool,
     state_cap: int = 0,
+    merge_states: bool = False,
 ) -> List[GraphKmer]:
     """All k-mers starting in `handle` (kmer.rs:347-505).
 
     state_cap > 0 bounds the DFS states per call: the reference's fork
     cap never binds at k <= max_furcations, so dense hubs of 1 bp nodes
     enumerate paths exponentially (framework extension; the native
-    runtime applies the same cap — see host_kernels.cpp)."""
+    runtime applies the same cap — see host_kernels.cpp).
+
+    merge_states (dedup-positions mode) merges pending DFS states with
+    identical (begin_offset, prefix, pending handle): they complete to
+    identical position rows, so walking one suffices — the native
+    runtime's state merging, mirrored exactly (same push-attempt state
+    accounting, k <= 27, uppercase-ACGT prefixes only) so a binding
+    cap truncates both paths identically."""
     global _STATES_USED
     _STATES_USED = 0
     out_neighbors = graph.right_neighbors(handle)
@@ -125,6 +133,19 @@ def _kmers_for_handle_orient(
     complete: List[GraphKmer] = []
     incomplete: List[GraphKmer] = []
     limits = edge_max is not None or degree_max is not None
+    states = 0
+    seen_states: set = set()
+    _ACGT = frozenset("ACGT")
+
+    def try_push(inc: GraphKmer) -> None:
+        nonlocal states
+        states += 1  # attempts count as work (native parity)
+        if merge_states and k <= 27 and set(inc.seq) <= _ACGT:
+            key = (inc.begin_offset, len(inc.seq), inc.last_handle, inc.seq)
+            if key in seen_states:
+                return
+            seen_states.add(key)
+        incomplete.append(inc)
 
     for i in range(handle_len):
         end = min(i + k, handle_len)
@@ -141,6 +162,7 @@ def _kmers_for_handle_orient(
         )
         if "N" in kmer.seq:
             if drop_handle_on_n:
+                _STATES_USED = states
                 return []
             continue
         if len(kmer.seq) == k:
@@ -158,10 +180,9 @@ def _kmers_for_handle_orient(
                     inc.last_handle = neighbor
                     if next_count > 1:
                         inc.forks += 1
-                    incomplete.append(inc)
+                    try_push(inc)
 
     # LIFO completion across edges (kmer.rs:449-497)
-    states = 0
     while incomplete:
         states += 1
         _STATES_USED = states
@@ -180,6 +201,7 @@ def _kmers_for_handle_orient(
 
         if "N" in kmer.seq:
             if drop_handle_on_n:
+                _STATES_USED = states
                 return []
             continue
         if len(kmer.seq) == k:
@@ -198,8 +220,9 @@ def _kmers_for_handle_orient(
                     inc.last_handle = neighbor
                     if next_count > 1:
                         inc.forks += 1
-                    incomplete.append(inc)
+                    try_push(inc)
 
+    _STATES_USED = states
     return complete
 
 
@@ -215,14 +238,15 @@ def generate_kmers(
     sampling_rate: Optional[int] = None,
     drop_handle_on_n: bool = True,
     state_cap: int = 0,
+    merge_states: bool = False,
 ) -> List[GraphKmer]:
     """Enumerate, stable-sort by sequence, and dedup graph k-mers.
 
-    state_cap > 0 also sets a global budget of 40x the per-call cap
+    state_cap > 0 also sets a global budget of 8x the per-call cap
     across the whole build (deterministic first-come deduction),
     mirroring the native runtime."""
     kmers: List[GraphKmer] = []
-    budget = state_cap * 40 if state_cap > 0 else 0
+    budget = state_cap * 8 if state_cap > 0 else 0
     for fwd_handle in graph.handles():
         for orient in (True, False):
             handle = fwd_handle if orient else handle_flip(fwd_handle)
