@@ -580,3 +580,43 @@ def test_mesh_wire_dispatch_matches_host():
     assert len(results) == len(problems)
     for prob, res_d in zip(problems, results):
         _assert_same(res_d, align_global_host(*prob))
+
+
+def test_native_v4_wire_matches_numpy_pipeline(monkeypatch):
+    """The single-pass native wire packer must produce byte-identical
+    v4 wires (and dims incl. the pin plan) to the numpy pipeline."""
+    from vgaligner_tpu import native as _native
+    from vgaligner_tpu.ops.poa_device import kernel_prepare
+
+    if not _native.available():
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(31)
+    B, V, P, l_pad = 8, 128, 2, 127
+    nv = rng.integers(5, V, B).astype(np.int32)
+    nv[3] = 0  # pad-style row
+    vcodes = rng.integers(0, 4, (B, V)).astype(np.int8)
+    vpred = np.full((B, V, P), -1, np.int32)
+    for b in range(B):
+        for v in range(1, int(nv[b])):
+            vpred[b, v, 0] = v - 1
+        # sprinkle fan-in + far preds (exceptions, some needing pins)
+        for v in range(20, int(nv[b]), 17):
+            vpred[b, v, 1] = max(0, v - int(rng.integers(2, 60)))
+    is_sink = np.zeros((B, V), np.int8)
+    for b in range(B):
+        if nv[b]:
+            is_sink[b, nv[b] - 1] = 1
+    node_of = np.zeros((B, V), np.int32)
+    off_in = np.zeros((B, V), np.int32)
+    built = (vcodes, vpred, is_sink, nv, node_of, off_in)
+    qs = [rng.integers(0, 4, 60).astype(np.int8) for _ in range(B)]
+
+    wire_n, ver_n, dims_n, _ = kernel_prepare(built, qs, V, l_pad)
+    monkeypatch.setenv("VGALIGNER_NO_NATIVE", "1")
+    wire_p, ver_p, dims_p, _ = kernel_prepare(built, qs, V, l_pad)
+    assert ver_n == ver_p == "v4"
+    assert dims_n == dims_p
+    np.testing.assert_array_equal(
+        np.frombuffer(wire_n, np.uint8), np.frombuffer(wire_p, np.uint8)
+    )

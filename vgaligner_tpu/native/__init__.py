@@ -35,6 +35,7 @@ _i64p = ctypes.POINTER(ctypes.c_int64)
 _i32p = ctypes.POINTER(ctypes.c_int32)
 _i8p = ctypes.POINTER(ctypes.c_int8)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
+_u16p = ctypes.POINTER(ctypes.c_uint16)
 _charp = ctypes.c_char_p
 
 
@@ -101,6 +102,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(_i64p), _i64p, ctypes.POINTER(_i64p),
         ]
         lib.vg_path_kmers.restype = ctypes.c_int64
+        lib.vg_pack_poa_wire.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _i8p, _i32p, _i32p, ctypes.c_int64,
+            _u8p, _u8p,
+            ctypes.POINTER(_i32p), ctypes.POINTER(_u16p), _i64p, _i64p,
+        ]
+        lib.vg_pack_poa_wire.restype = ctypes.c_int64
         lib.vg_build_poa_batch.argtypes = [
             ctypes.c_int64, _i64p, _charp, _i64p, _i64p, _i64p, _i64p,
             ctypes.c_int64, ctypes.c_int64,
@@ -327,6 +335,44 @@ def path_kmers_native(graph, k: int, node_starts: np.ndarray,
         lib.vg_free(ocn)
         lib.vg_free(op)
     return codes, offsets, counts, positions
+
+
+def pack_poa_wire_native(vcodes_p: np.ndarray, vpred_s: np.ndarray,
+                         nv: np.ndarray, max_delta: int, t_pad: int):
+    """Single-pass v4 wire packing (see host_kernels.cpp
+    vg_pack_poa_wire).  vcodes_p [B,V] int8 (sink folded in bit 5),
+    vpred_s [B,V,P] int32, nv [B] int32.  Returns (vnib, dnib,
+    exc_idx, exc_pd16) with the nibble planes ladder-padded to
+    t_pad/2 bytes, or None when a delta exceeds uint16 (caller takes
+    the numpy/v3 route)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B, V = vcodes_p.shape
+    P = vpred_s.shape[-1]
+    vnib = np.zeros(t_pad // 2, dtype=np.uint8)
+    dnib = np.zeros(t_pad // 2, dtype=np.uint8)
+    vc = np.ascontiguousarray(vcodes_p, dtype=np.int8)
+    vp = np.ascontiguousarray(vpred_s, dtype=np.int32)
+    nv_c = np.ascontiguousarray(nv, dtype=np.int32)
+    oe, op = _i32p(), _u16p()
+    n_exc = np.zeros(1, dtype=np.int64)
+    dmax = np.zeros(1, dtype=np.int64)
+    rc = lib.vg_pack_poa_wire(
+        B, V, P, _p8(vc), _p32(vp), _p32(nv_c), max_delta,
+        vnib.ctypes.data_as(_u8p), dnib.ctypes.data_as(_u8p),
+        ctypes.byref(oe), ctypes.byref(op), _p64(n_exc), _p64(dmax),
+    )
+    if rc != 0:
+        return None
+    try:
+        e = int(n_exc[0])
+        exc_idx = np.ctypeslib.as_array(oe, shape=(max(e, 1),))[:e].copy()
+        exc_pd = np.ctypeslib.as_array(op, shape=(max(e, 1),))[:e].copy()
+    finally:
+        lib.vg_free(oe)
+        lib.vg_free(op)
+    return vnib, dnib, exc_idx, exc_pd
 
 
 def build_poa_batch_arrays(labels_b: bytes, label_off: np.ndarray,

@@ -696,6 +696,79 @@ int64_t vg_path_kmers(
                            out_counts, out_n_pos, out_positions);
 }
 
+
+// Single-pass POA v4 wire packer (ops/poa_device.py kernel_prepare's
+// d_pack stage): row-pack the vertex-code and slot-0-delta planes as
+// nibbles and collect the exception list, in ONE traversal of the
+// dense [B,V,P] predecessor table.  The numpy pipeline it replaces
+// (encode_pred_deltas + pack_rows + nibble_fold x3 +
+// exception_pred_deltas) materialized ~7 temporaries and measured
+// ~115 ms/drain on the 1-core bench host; as a ctypes call it also
+// runs with the GIL released, so the streaming pipeline's worker can
+// overlap it.  Returns 0, or -1 when an exception delta falls outside
+// uint16 (caller falls back to the int32-pred v3 wire).
+int64_t vg_pack_poa_wire(
+    int64_t B, int64_t V, int64_t P,
+    const int8_t* vcodes /* [B,V] code | sink<<5 */,
+    const int32_t* vpred /* [B,V,P] */, const int32_t* nv /* [B] */,
+    int64_t max_delta,
+    uint8_t* vnib /* [t_pad/2] zeroed */, uint8_t* dnib /* [t_pad/2] */,
+    int32_t** out_exc_idx, uint16_t** out_exc_pd, int64_t* out_n_exc,
+    int64_t* out_dmax) {
+  std::vector<int32_t> exc_idx;
+  std::vector<uint16_t> exc_pd;
+  int64_t dmax = 0;
+  int64_t t = 0;  // row-packed output position
+  for (int64_t b = 0; b < B; ++b) {
+    const int64_t n = nv[b];
+    const int8_t* vc = vcodes + b * V;
+    const int32_t* vp = vpred + b * V * P;
+    for (int64_t v = 0; v < n; ++v, ++t) {
+      uint8_t vn = (uint8_t)((vc[v] & 7) | (((vc[v] >> 5) & 1) << 3));
+      uint8_t dn = 0;
+      const int32_t* pr = vp + v * P;
+      int32_t p0 = pr[0];
+      if (p0 >= 0) {
+        int64_t d = v - p0;
+        if (d >= 1 && d <= max_delta) {
+          dn = (uint8_t)d;
+        } else {
+          if (d < 1 || d > 0xFFFF) return -1;
+          exc_idx.push_back((int32_t)((b * V + v) * P));
+          exc_pd.push_back((uint16_t)d);
+        }
+        if (d > dmax) dmax = d;
+      }
+      for (int64_t sp = 1; sp < P; ++sp) {
+        int32_t pv = pr[sp];
+        if (pv < 0) continue;
+        int64_t d = (int64_t)v - pv;
+        if (d < 1 || d > 0xFFFF) return -1;
+        exc_idx.push_back((int32_t)((b * V + v) * P + sp));
+        exc_pd.push_back((uint16_t)d);
+        if (d > dmax) dmax = d;
+      }
+      if (t & 1) {
+        vnib[t >> 1] |= (uint8_t)(vn << 4);
+        dnib[t >> 1] |= (uint8_t)(dn << 4);
+      } else {
+        vnib[t >> 1] = vn;
+        dnib[t >> 1] = dn;
+      }
+    }
+  }
+  int64_t e = (int64_t)exc_idx.size();
+  *out_exc_idx =
+      (int32_t*)std::malloc(sizeof(int32_t) * std::max<int64_t>(e, 1));
+  *out_exc_pd =
+      (uint16_t*)std::malloc(sizeof(uint16_t) * std::max<int64_t>(e, 1));
+  std::memcpy(*out_exc_idx, exc_idx.data(), sizeof(int32_t) * e);
+  std::memcpy(*out_exc_pd, exc_pd.data(), sizeof(uint16_t) * e);
+  *out_n_exc = e;
+  *out_dmax = dmax;
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Batch subgraph -> padded POA problem arrays (align.rs:670-724;
 // mirrors ops/poa.py build_base_graph + ops/poa_device.py

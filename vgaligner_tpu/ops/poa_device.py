@@ -1599,6 +1599,56 @@ def _plan_ring_pins(dplane, exc_idx, exc_pred, V: int, P: int,
         r <<= 2 if r < 256 else 1
 
 
+def _native_pack_v4(vcodes_p, vpred_s, nv, q_pad, nq, b_pad, V, P, l_pad):
+    """Single-native-pass v4 wire build (host_kernels.cpp
+    vg_pack_poa_wire): row-packed nibble planes + exception list in one
+    traversal, with the GIL released — the numpy pipeline measured
+    ~115 ms/drain on the bench host and serialized against the
+    streaming worker.  Returns (wire, dims) or None (native
+    unavailable, or a pred delta outside uint16 -> caller's numpy/v3
+    route)."""
+    from ..native import available as _native_ok
+
+    if not _native_ok():
+        return None
+    from ..native import pack_poa_wire_native
+
+    T = int(np.asarray(nv, dtype=np.int64).sum())
+    t_pad = _ladder_bytes(max(T, 1))
+    packed = pack_poa_wire_native(vcodes_p, vpred_s, nv, 14, t_pad)
+    if packed is None:
+        return None
+    vnib, dnib, exc_idx, exc_pd16 = packed
+    e = len(exc_idx)
+    e_pad = max(8, 1 << (e - 1).bit_length()) if e else 8
+    if e_pad != e:
+        scratch = np.int32(b_pad * V * P)
+        exc_idx = np.concatenate(
+            [exc_idx, np.full(e_pad - e, scratch, np.int32)]
+        )
+        exc_pd16 = np.concatenate(
+            [exc_pd16, np.zeros(e_pad - e, np.uint16)]
+        )
+    # pin planning works on the exception list alone: v4 nibble deltas
+    # are <= 14, under the smallest (16) rung by construction, so the
+    # dplane argument only needs a max of 0
+    exc_pred = np.where(
+        exc_idx < b_pad * V * P,
+        ((exc_idx.astype(np.int64) // P) % V) - exc_pd16.astype(np.int64),
+        -1,
+    ).astype(np.int32)
+    R, exc_pin = _plan_ring_pins(
+        np.zeros(1, np.uint8), exc_idx, exc_pred, V, P, b_pad, l_pad,
+        allow_pins=True,
+    )
+    if exc_pin is None:
+        exc_pin = np.full(len(exc_idx), 255, np.uint8)
+    wire = pack_chunk_wire4(
+        vnib, dnib, nv, nibble_fold(q_pad), nq, exc_idx, exc_pd16, exc_pin
+    )
+    return wire, (b_pad, V, P, l_pad, e_pad, t_pad, R)
+
+
 def kernel_prepare(built, qs, v_pad: int, l_pad: int):
     """Pad + delta-pack ONE chunk's wire buffer WITHOUT uploading or
     launching.  Returns (wire, version, dims, rest) for
@@ -1617,11 +1667,20 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
         version = os.environ.get("VGALIGNER_POA_WIRE", "v4")
         if version not in ("v2", "v3"):
             version = "v4"
+        V, P = vcodes.shape[1], vpred_s.shape[-1]
+        if version == "v4" and V <= 0xFFFF and not (b_pad * l_pad) % 2:
+            native_wire = _native_pack_v4(
+                vcodes_p, vpred_s, nv, q_pad, nq, b_pad, V, P, l_pad
+            )
+            if native_wire is not None:
+                wire, dims = native_wire
+                rest = (vcodes, node_of, off_in, q_pad, v_pad, b_pad,
+                        n_real, qs)
+                return wire, "v4", dims, rest
         max_delta = 14 if version == "v4" else 255
         dplane, exc_idx, exc_pred = encode_pred_deltas(
             vpred_s, nv, max_delta=max_delta
         )
-        V, P = vcodes.shape[1], vpred_s.shape[-1]
         exc_pd16 = None
         if version == "v4":
             exc_pd16, ok = exception_pred_deltas(
