@@ -56,6 +56,13 @@ def _build_parser() -> argparse.ArgumentParser:
                          "drop-kmer skips only N-containing k-mers "
                          "(kmer.rs:161-163, the reference's path-guided "
                          "generator policy)")
+    ip.add_argument("--modimizer", choices=["ahash", "code"],
+                    default="ahash",
+                    help="k-mer sampler under -r: 'ahash' (default) "
+                         "reproduces the reference's ahash-0.7.6 "
+                         "zero-seed hash % r (kmer.rs:931-934; "
+                         "reconstruction, see utils/ahash.py); 'code' "
+                         "uses splitmix64 of the 2-bit k-mer code")
     ip.add_argument("--keep-duplicate-positions", action="store_true",
                     help="keep exact duplicate position rows within a "
                          "k-mer group (the reference's adjacent-only "
@@ -151,6 +158,7 @@ def index_main(args) -> None:
         mappings_path=args.mappings_path,
         n_policy=args.n_policy,
         dedup_positions=not args.keep_duplicate_positions,
+        modimizer=args.modimizer,
     )
 
 

@@ -264,6 +264,7 @@ class Index:
         state_cap: int = 500_000,
         n_policy: str = "drop-handle",
         dedup_positions: bool = True,
+        modimizer: str = "ahash",
     ) -> "Index":
         """Build the index (Index::build, index.rs:109-281).
 
@@ -328,6 +329,7 @@ class Index:
                 drop_handle_on_n=drop_handle_on_n,
                 dedup_positions=dedup_positions,
                 state_cap=state_cap,
+                modimizer=modimizer,
             )
             log.info(
                 "Finding + converting the kmers required: %d ms (native)",
@@ -347,6 +349,7 @@ class Index:
                 drop_handle_on_n=drop_handle_on_n,
                 state_cap=state_cap,
                 merge_states=dedup_positions,
+                modimizer=modimizer,
             )
             n_capped = len(_kg._CAP_HITS) - cap_hits_before
             log.info("Finding the kmers required: %d ms", (time.monotonic() - t0) * 1000)

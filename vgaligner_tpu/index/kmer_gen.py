@@ -86,9 +86,16 @@ def _mix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
-def _sampling_keep(seq: str, sampling_rate: Optional[int]) -> bool:
+def _sampling_keep(seq: str, sampling_rate: Optional[int],
+                   modimizer: str = "ahash") -> bool:
     if sampling_rate is None:
         return True
+    if modimizer == "ahash":
+        # the reference's sampled set: ahash 0.7.6 of the seq string
+        # with zero seeds (kmer.rs:931-934; see utils/ahash.py)
+        from ..utils.ahash import ahash07_str
+
+        return ahash07_str(seq) % sampling_rate == 0
     from ..utils.dna import kmer_code
 
     code = kmer_code(seq)
@@ -106,6 +113,7 @@ def _kmers_for_handle_orient(
     drop_handle_on_n: bool,
     state_cap: int = 0,
     merge_states: bool = False,
+    modimizer: str = "ahash",
 ) -> List[GraphKmer]:
     """All k-mers starting in `handle` (kmer.rs:347-505).
 
@@ -166,7 +174,7 @@ def _kmers_for_handle_orient(
                 return []
             continue
         if len(kmer.seq) == k:
-            if _sampling_keep(kmer.seq, sampling_rate):
+            if _sampling_keep(kmer.seq, sampling_rate, modimizer):
                 complete.append(kmer)
         else:
             next_count = len(out_neighbors) if limits else 0
@@ -205,7 +213,7 @@ def _kmers_for_handle_orient(
                 return []
             continue
         if len(kmer.seq) == k:
-            if _sampling_keep(kmer.seq, sampling_rate):
+            if _sampling_keep(kmer.seq, sampling_rate, modimizer):
                 complete.append(kmer)
         else:
             neighbors = graph.right_neighbors(h)
@@ -239,6 +247,7 @@ def generate_kmers(
     drop_handle_on_n: bool = True,
     state_cap: int = 0,
     merge_states: bool = False,
+    modimizer: str = "ahash",
 ) -> List[GraphKmer]:
     """Enumerate, stable-sort by sequence, and dedup graph k-mers.
 

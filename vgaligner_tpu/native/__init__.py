@@ -89,7 +89,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, _charp, _i64p, _i64p, _i64p, _i64p, _i64p,
             _i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int64, _i64p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, _i64p,
             ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
             ctypes.POINTER(_i64p), _i64p, ctypes.POINTER(_i64p),
         ]
@@ -207,7 +207,8 @@ def kmer_index_native(graph, k: int, edge_max, degree_max, sampling_rate,
                       node_starts: np.ndarray, seq_len: int,
                       drop_handle_on_n: bool = True,
                       dedup_positions: bool = True,
-                      state_cap: int = 0):
+                      state_cap: int = 0,
+                      modimizer: str = "ahash"):
     """Native replacement for generate_kmers + generate_pos_on_ref.
 
     Returns (codes, offsets, counts, positions) with codes the sorted
@@ -249,6 +250,7 @@ def kmer_index_native(graph, k: int, edge_max, degree_max, sampling_rate,
         -1 if edge_max is None else edge_max,
         -1 if degree_max is None else degree_max,
         0 if sampling_rate is None else sampling_rate,
+        0 if modimizer == "ahash" else 1,
         1 if drop_handle_on_n else 0,
         1 if dedup_positions else 0,
         state_cap, _p64(capped),

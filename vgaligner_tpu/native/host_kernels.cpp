@@ -144,6 +144,85 @@ struct Km {
   int32_t forks;
 };
 
+
+// ---------------------------------------------------------------------------
+// ahash 0.7.6 zero-seed fallback hash (reconstruction; see
+// vgaligner_tpu/utils/ahash.py for provenance + caveat).  Used by the
+// modimizer so `-r` samples the same k-mer set as the reference's
+// generate_hash (kmer.rs:931-934).
+// ---------------------------------------------------------------------------
+namespace ahash07 {
+constexpr uint64_t kMultiple = 6364136223846793005ull;
+constexpr int kRot = 23;
+constexpr uint64_t kPi2[4] = {0x452821E638D01377ull, 0xBE5466CF34E90C6Cull,
+                              0xC0AC29B7C97C50DDull, 0x3F84D5B5B5470917ull};
+
+inline uint64_t folded_multiply(uint64_t s, uint64_t by) {
+  unsigned __int128 r = (unsigned __int128)s * by;
+  return (uint64_t)r ^ (uint64_t)(r >> 64);
+}
+inline uint64_t rotl64(uint64_t x, unsigned n) {
+  n &= 63;
+  return n ? (x << n) | (x >> (64 - n)) : x;
+}
+inline uint64_t read_le(const char* p, int n) {
+  uint64_t v = 0;
+  for (int i = n - 1; i >= 0; --i) v = (v << 8) | (uint8_t)p[i];
+  return v;
+}
+
+struct Hasher {
+  uint64_t buffer, pad, xk0, xk1;
+  Hasher()
+      : buffer(kPi2[0]), pad(kPi2[1]), xk0(kPi2[2]), xk1(kPi2[3]) {}
+  void update(uint64_t v) { buffer = folded_multiply(v ^ buffer, kMultiple); }
+  void large_update(uint64_t lo, uint64_t hi) {
+    uint64_t combined = folded_multiply(lo ^ xk0, hi ^ xk1);
+    buffer = rotl64((buffer + pad) ^ combined, kRot);
+  }
+  void write(const char* data, int64_t n) {
+    buffer = (buffer + (uint64_t)n) * kMultiple;
+    if (n > 8) {
+      if (n > 16) {
+        large_update(read_le(data + n - 16, 8), read_le(data + n - 8, 8));
+        while (n > 16) {
+          large_update(read_le(data, 8), read_le(data + 8, 8));
+          data += 16;
+          n -= 16;
+        }
+      } else {
+        large_update(read_le(data, 8), read_le(data + n - 8, 8));
+      }
+    } else if (n >= 2) {
+      if (n >= 4) {
+        large_update(read_le(data, 4), read_le(data + n - 4, 4));
+      } else {
+        large_update(read_le(data, 2), (uint8_t)data[n - 1]);
+      }
+    } else if (n == 1) {
+      large_update((uint8_t)data[0], (uint8_t)data[0]);
+    } else {
+      large_update(0, 0);
+    }
+  }
+  uint64_t finish() const {
+    return rotl64(folded_multiply(buffer, pad), (unsigned)(buffer & 63));
+  }
+};
+
+// RandomState::with_seeds(0,0,0,0) + String::hash + finish
+inline uint64_t hash_str(const char* s, int64_t n) {
+  Hasher h;
+  h.write(s, n);
+  h.update(0xff);  // write_u8 terminator of str::hash
+  return h.finish();
+}
+}  // namespace ahash07
+
+extern "C" uint64_t vg_ahash07(const char* s, int64_t n) {
+  return ahash07::hash_str(s, n);
+}
+
 struct U128Hash {
   size_t operator()(unsigned __int128 v) const {
     uint64_t lo = (uint64_t)v, hi = (uint64_t)(v >> 64);
@@ -207,6 +286,7 @@ int64_t g_states_used = 0;  // states consumed by the last call
 bool kmers_for_handle_orient(const GraphView& g, int64_t handle,
                              bool orient, int32_t k, int64_t edge_max,
                              int64_t degree_max, int64_t sampling_rate,
+                             int32_t sampling_mode,
                              bool drop_handle_on_n, int64_t state_cap,
                              int64_t* capped,
                              std::vector<Km>& complete_out,
@@ -268,6 +348,9 @@ bool kmers_for_handle_orient(const GraphView& g, int64_t handle,
 
   auto keep = [&](const Km& km) {
     if (sampling_rate <= 0) return true;
+    if (sampling_mode == 0)  // ahash: the reference's sampled set
+      return ahash07::hash_str(km.seq, km.len) % (uint64_t)sampling_rate ==
+             0;
     uint64_t code = 0;
     for (int32_t i = 0; i < km.len; ++i) {
       int8_t c = base_code(km.seq[i]);
@@ -551,7 +634,8 @@ int64_t vg_kmer_index(
     const int64_t* l_off, const int64_t* l_dat, const int64_t* r_off,
     const int64_t* r_dat, const int64_t* node_starts, int64_t seq_len,
     int32_t k, int64_t edge_max, int64_t degree_max, int64_t sampling_rate,
-    int32_t drop_handle_on_n, int32_t dedup_positions, int64_t state_cap,
+    int32_t sampling_mode, int32_t drop_handle_on_n, int32_t dedup_positions,
+    int64_t state_cap,
     int64_t* out_capped,
     int64_t** out_codes, int64_t** out_offsets, int64_t** out_counts,
     int64_t* out_n_pos, int64_t** out_positions) {
@@ -589,7 +673,7 @@ int64_t vg_kmer_index(
       int64_t before = capped;
       size_t n_before = kmers.size();
       kmers_for_handle_orient(g, (id << 1) | o, o == 0, k, edge_max,
-                              degree_max, sampling_rate,
+                              degree_max, sampling_rate, sampling_mode,
                               drop_handle_on_n != 0, cap,
                               &capped, kmers, stack, nbrs, nbrs2,
                               dedup_positions ? &seen_states : nullptr);
