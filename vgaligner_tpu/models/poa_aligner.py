@@ -529,6 +529,10 @@ class PoaAligner:
         if range_mode not in ("corridor", "id"):
             raise ValueError(f"unknown range_mode {range_mode!r}")
         self.range_mode = range_mode
+        # corridor-mode tie-break: align up to this many score-tied
+        # chains per read and keep the best POA score (see
+        # _chains_for_alignment); 1 restores single-chain behavior
+        self.tie_align_n = int(os.environ.get("VGALIGNER_TIE_ALIGN_N", "4"))
 
     def _chains_for_alignment(self, chains: List[Chain], n: int) -> List[Chain]:
         """Pick the chains to base-level align (align.rs:34-55 takes the
@@ -577,9 +581,21 @@ class PoaAligner:
                 alignments.append(GAFAlignment.from_placeholder_chain(chain))
             else:
                 alignments.append(self.obtain_base_level_alignment(chain))
-        alignments.sort(
-            key=lambda a: -1 if a.path_length is None else a.path_length, reverse=True
-        )
+        if self.range_mode == "corridor" and any(
+            getattr(a, "poa_score", None) is not None for a in alignments
+        ):
+            alignments.sort(
+                key=lambda a: (
+                    -(1 << 60) if getattr(a, "poa_score", None) is None
+                    else a.poa_score
+                ),
+                reverse=True,
+            )
+        else:
+            alignments.sort(
+                key=lambda a: -1 if a.path_length is None else a.path_length,
+                reverse=True,
+            )
         return alignments[0]
 
     def best_alignments_for_queries(
@@ -634,9 +650,9 @@ class PoaAligner:
             for (qi, chain), (res, handles) in zip(
                 selected, self._finish_chains_native(pending_state)
             ):
-                per_read.setdefault(qi, []).append(
-                    GAFAlignment.from_abpoa_result(res, chain, handles)
-                )
+                a = GAFAlignment.from_abpoa_result(res, chain, handles)
+                a.poa_score = res.best_score
+                per_read.setdefault(qi, []).append(a)
             return self._select_best(per_read_chains, per_read)
         _tag, per_read_chains, selected, placeholders = state
         per_read = {qi: [a] for qi, a in placeholders.items()}
@@ -661,22 +677,35 @@ class PoaAligner:
             results = align_global_batch(problems)
             for (qi, chain, rng), res in zip(owners, results):
                 _rebase_trimmed_offsets(res, rng)
-                per_read.setdefault(qi, []).append(
-                    GAFAlignment.from_abpoa_result(res, chain, rng.handles)
-                )
+                a = GAFAlignment.from_abpoa_result(res, chain, rng.handles)
+                a.poa_score = res.best_score
+                per_read.setdefault(qi, []).append(a)
 
         return self._select_best(per_read_chains, per_read)
 
-    @staticmethod
-    def _select_best(per_read_chains, per_read: dict) -> List[GAFAlignment]:
-        """Per read, keep the longest path_length (align.rs:52-54)."""
+    def _select_best(self, per_read_chains, per_read: dict) -> List[GAFAlignment]:
+        """Per read, keep the longest path_length (align.rs:52-54); in
+        corridor mode, the best POA score wins first (ties keep the
+        earliest-copy order, which the candidate list is already in)."""
         out: List[GAFAlignment] = []
+        corridor = self.range_mode == "corridor"
         for qi in range(len(per_read_chains)):
             alns = per_read.get(qi, [])
-            alns.sort(
-                key=lambda a: -1 if a.path_length is None else a.path_length,
-                reverse=True,
-            )
+            if corridor and any(
+                getattr(a, "poa_score", None) is not None for a in alns
+            ):
+                alns.sort(
+                    key=lambda a: (
+                        -(1 << 60) if getattr(a, "poa_score", None) is None
+                        else a.poa_score
+                    ),
+                    reverse=True,
+                )
+            else:
+                alns.sort(
+                    key=lambda a: -1 if a.path_length is None else a.path_length,
+                    reverse=True,
+                )
             out.append(alns[0])
         return out
 
@@ -704,9 +733,9 @@ class PoaAligner:
         if problems:
             for (qi, chain, rng), res in zip(owners, align_local_batch(problems)):
                 _rebase_trimmed_offsets(res, rng)
-                per_read.setdefault(qi, []).append(
-                    GAFAlignment.from_rspoa_result(res, chain, rng.handles)
-                )
+                a = GAFAlignment.from_rspoa_result(res, chain, rng.handles)
+                a.poa_score = res.best_score
+                per_read.setdefault(qi, []).append(a)
 
         return self._select_best(per_read_chains, per_read)
 
@@ -936,10 +965,14 @@ class PoaAligner:
 
             res = align_local_no_gap_host(nodes, edges, chain.query.seq)
             _rebase_trimmed_offsets(res, extended)
-            return GAFAlignment.from_rspoa_result(res, chain, extended.handles)
+            a = GAFAlignment.from_rspoa_result(res, chain, extended.handles)
+            a.poa_score = res.best_score
+            return a
 
         from ..ops.poa import align_global_host
 
         res = align_global_host(nodes, edges, chain.query.seq)
         _rebase_trimmed_offsets(res, extended)
-        return GAFAlignment.from_abpoa_result(res, chain, extended.handles)
+        a = GAFAlignment.from_abpoa_result(res, chain, extended.handles)
+        a.poa_score = res.best_score
+        return a
