@@ -212,6 +212,21 @@ def main():
         stream_rps = max(stream_rps, len(stream_qs) / dt)
     map_align_rps = max(map_align_rps, stream_rps)
 
+    # ---- long reads: 1 kb map + --also-align (W = 1024 POA) -----------
+    long_reads = sample_reads(graph, 256, 1000, seed=79)
+    long_qs = [
+        QuerySequence.from_name_and_string(f"l{i}", s)
+        for i, s in enumerate(long_reads)
+    ]
+    long_chains = mapper.map_reads(long_qs)
+    aligner.best_alignments_for_queries(long_chains)  # warm-up/compile
+    long_rps = 0.0
+    for _ in range(2):
+        t0 = time.monotonic()
+        lc = mapper.map_reads(long_qs)
+        aligner.best_alignments_for_queries(lc)
+        long_rps = max(long_rps, len(long_qs) / (time.monotonic() - t0))
+
     n_chains = sum(len(c) for c in chains)
     sys.stderr.write(
         f"graph={os.path.basename(os.path.dirname(graph_path))} "
@@ -220,7 +235,8 @@ def main():
         f"map_only={device_rps:.1f} r/s (host {host_rps:.1f}) "
         f"map+align={map_align_rps:.1f} r/s "
         f"(streamed {stream_rps:.1f}, host {host_ma_rps:.1f}, "
-        f"{n_align} aligned)\n"
+        f"{n_align} aligned) "
+        f"longread_1kb={long_rps:.1f} r/s\n"
     )
     print(
         json.dumps(
