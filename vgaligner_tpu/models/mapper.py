@@ -815,6 +815,29 @@ class Mapper:
         return mappable, a_max, packed_d, counts_d
 
     def _collect_bucket(self, mappable, a_max, packed, counts):
+        from ..native import available as _native_ok
+
+        if packed.dtype == np.uint8 and _native_ok():
+            # walk the u8 delta plane directly (native, GIL released) —
+            # the int32 decode below materialized ~4x the plane in
+            # numpy temporaries per batch
+            from ..native import backtrack_delta_native
+
+            with self.timer.phase("backtrack"):
+                read_off, chain_off, positions = backtrack_delta_native(
+                    packed[: len(mappable)],
+                    counts[: len(mappable), 0], self.chain_min_n_anchors,
+                )
+                per_read_chains = []
+                for b in range(len(mappable)):
+                    chains_b = []
+                    for c in range(read_off[b], read_off[b + 1]):
+                        chains_b.append(
+                            positions[chain_off[c] : chain_off[c + 1]].tolist()
+                        )
+                    per_read_chains.append(chains_b)
+            return mappable, a_max, per_read_chains
+
         arr = packed.astype(np.int32)
         if packed.dtype == np.uint8:
             # delta-coded plane (see _device_map): 0 = none, bit 7 start
@@ -829,8 +852,6 @@ class Mapper:
 
         # pointer walks, visiting only chain-start anchors
         with self.timer.phase("backtrack"):
-            from ..native import available as _native_ok
-
             per_read_chains: List[List[List[int]]] = []
             if _native_ok():
                 from ..native import backtrack_native

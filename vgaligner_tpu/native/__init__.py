@@ -156,6 +156,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(_i32p),
         ]
         lib.vg_backtrack.restype = ctypes.c_int64
+        lib.vg_backtrack_delta.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, _u8p, _i32p,
+            ctypes.c_int64,
+            ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
+            ctypes.POINTER(_i32p),
+        ]
+        lib.vg_backtrack_delta.restype = ctypes.c_int64
         lib.vg_poa_global_host.argtypes = [
             _charp, _i64p, ctypes.c_int64, _i64p, ctypes.c_int64,
             _i8p, ctypes.c_int64,
@@ -550,6 +557,36 @@ def backtrack_native(pred: np.ndarray, starts: np.ndarray,
         chain_off = np.ctypeslib.as_array(oco, shape=(n_chains + 1,)).copy()
         n_pos = int(chain_off[-1]) if n_chains else 0
         positions = np.ctypeslib.as_array(opos, shape=(max(n_pos, 1),))[:n_pos].copy()
+    finally:
+        lib.vg_free(oro)
+        lib.vg_free(oco)
+        lib.vg_free(opos)
+    return read_off, chain_off, positions
+
+
+def backtrack_delta_native(plane: np.ndarray, n_valid: np.ndarray,
+                           min_anchors: int):
+    """Chain backtracking on the map wire's u8 delta plane (see
+    host_kernels.cpp vg_backtrack_delta).  plane [B, A] uint8 is
+    consumed (predecessors nulled).  Returns (read_off, chain_off,
+    positions) exactly like backtrack_native."""
+    lib = get_lib()
+    assert lib is not None
+    B, A = plane.shape
+    pl = np.ascontiguousarray(plane, dtype=np.uint8)
+    nv = np.ascontiguousarray(n_valid, dtype=np.int32)
+    oro, oco, opos = _i64p(), _i64p(), _i32p()
+    n_chains = lib.vg_backtrack_delta(
+        B, A, pl.ctypes.data_as(_u8p), _p32(nv), min_anchors,
+        ctypes.byref(oro), ctypes.byref(oco), ctypes.byref(opos),
+    )
+    try:
+        read_off = np.ctypeslib.as_array(oro, shape=(B + 1,)).copy()
+        chain_off = np.ctypeslib.as_array(oco, shape=(n_chains + 1,)).copy()
+        n_pos = int(chain_off[-1]) if n_chains else 0
+        positions = np.ctypeslib.as_array(
+            opos, shape=(max(n_pos, 1),)
+        )[:n_pos].copy()
     finally:
         lib.vg_free(oro)
         lib.vg_free(oco)

@@ -2081,6 +2081,54 @@ int64_t vg_backtrack(
   return (int64_t)(chain_off.size() - 1);
 }
 
+
+// Delta-plane variant of vg_backtrack: walks the map wire's u8 plane
+// directly (delta = slot - pred in bits 0-6, chain-start in bit 7),
+// skipping the ~4 MB of numpy temporaries the int32 decode
+// materialized per batch.  `plane` is consumed (visited predecessors
+// nulled, exactly like the reference's walk, chain.rs:476-498).
+int64_t vg_backtrack_delta(
+    int64_t B, int64_t A, uint8_t* plane /* [B*A], mutated */,
+    const int32_t* n_valid /* [B] */, int64_t min_anchors,
+    int64_t** out_read_off, int64_t** out_chain_off,
+    int32_t** out_positions) {
+  std::vector<int64_t> read_off(1, 0);
+  std::vector<int64_t> chain_off(1, 0);
+  std::vector<int32_t> positions;
+  std::vector<int32_t> walk;
+  for (int64_t b = 0; b < B; ++b) {
+    uint8_t* pl = plane + b * A;
+    int64_t n = n_valid[b];
+    for (int64_t i = n - 1; i >= 0; --i) {
+      if (!(pl[i] & 0x80) || !(pl[i] & 0x7F)) continue;
+      walk.clear();
+      int32_t cur = (int32_t)i;
+      while (pl[cur] & 0x7F) {
+        int32_t p = cur - (int32_t)(pl[cur] & 0x7F);
+        pl[cur] &= 0x80;  // null the predecessor, keep the start bit
+        walk.push_back(cur);
+        cur = p;
+      }
+      walk.push_back(cur);
+      if ((int64_t)walk.size() >= min_anchors) {
+        positions.insert(positions.end(), walk.rbegin(), walk.rend());
+        chain_off.push_back((int64_t)positions.size());
+      }
+    }
+    read_off.push_back((int64_t)chain_off.size() - 1);
+  }
+  *out_read_off = (int64_t*)std::malloc(sizeof(int64_t) * read_off.size());
+  std::memcpy(*out_read_off, read_off.data(), sizeof(int64_t) * read_off.size());
+  *out_chain_off = (int64_t*)std::malloc(sizeof(int64_t) * chain_off.size());
+  std::memcpy(*out_chain_off, chain_off.data(),
+              sizeof(int64_t) * chain_off.size());
+  *out_positions = (int32_t*)std::malloc(
+      sizeof(int32_t) * std::max<size_t>(positions.size(), 1));
+  std::memcpy(*out_positions, positions.data(),
+              sizeof(int32_t) * positions.size());
+  return (int64_t)(chain_off.size() - 1);
+}
+
 // ---------------------------------------------------------------------------
 // Single-threaded CPU baseline: a native restatement of the reference's
 // per-read loop (map.rs:56-111 + align.rs:58-145), used by bench.py as the
