@@ -93,3 +93,17 @@ def test_gap_cost_poly_matches_f64_table():
     with jax.enable_x64(False):
         got = np.asarray(jax.jit(lambda x: gap_cost_scaled_i32(x, k))(g))
     np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_wide_bandwidth_routes_to_scan():
+    """bandwidth > the kernel's CH chunk must fall back to the XLA scan
+    (it used to raise from inside the kernel wrapper)."""
+    k = 11
+    B, A = 4, 64
+    qb, tb, te, valid = _random_anchors(5, B, A, k)
+    gap_table = jnp.asarray(make_gap_cost_table(k, 1000))
+    wide = chain_scores.__wrapped__(
+        jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(te), jnp.asarray(valid),
+        gap_table, seed_length=k, bandwidth=100, precision="fast",
+    )
+    assert wide.f.shape == (B, A)

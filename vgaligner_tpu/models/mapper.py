@@ -817,56 +817,52 @@ class Mapper:
     def _collect_bucket(self, mappable, a_max, packed, counts):
         from ..native import available as _native_ok
 
-        if packed.dtype == np.uint8 and _native_ok():
-            # walk the u8 delta plane directly (native, GIL released) —
-            # the int32 decode below materialized ~4x the plane in
-            # numpy temporaries per batch
-            from ..native import backtrack_delta_native
-
-            with self.timer.phase("backtrack"):
-                read_off, chain_off, positions = backtrack_delta_native(
-                    packed[: len(mappable)],
-                    counts[: len(mappable), 0], self.chain_min_n_anchors,
-                )
-                per_read_chains = []
-                for b in range(len(mappable)):
-                    chains_b = []
-                    for c in range(read_off[b], read_off[b + 1]):
-                        chains_b.append(
-                            positions[chain_off[c] : chain_off[c + 1]].tolist()
-                        )
-                    per_read_chains.append(chains_b)
-            return mappable, a_max, per_read_chains
-
-        arr = packed.astype(np.int32)
-        if packed.dtype == np.uint8:
-            # delta-coded plane (see _device_map): 0 = none, bit 7 start
-            delta = arr & 0x7F
-            slot = np.arange(arr.shape[1], dtype=np.int32)[None, :]
-            pred = np.where(delta > 0, slot - delta, -1)
-            starts = (arr >> 7) & 1
-        else:
-            shift = 15 if packed.dtype == np.uint16 else 17
-            pred = (arr & ((1 << shift) - 1)) - 1
-            starts = (arr >> shift) & 1
-
-        # pointer walks, visiting only chain-start anchors
         with self.timer.phase("backtrack"):
-            per_read_chains: List[List[List[int]]] = []
-            if _native_ok():
-                from ..native import backtrack_native
+            triple = None
+            if packed.dtype == np.uint8 and _native_ok():
+                # walk the u8 delta plane directly (native, GIL
+                # released) — the int32 decode below materializes ~4x
+                # the plane in numpy temporaries per batch.  The walk
+                # nulls predecessors in place, so copy: the fetched
+                # buffer may be a zero-copy view of the device output
+                from ..native import backtrack_delta_native
 
-                read_off, chain_off, positions = backtrack_native(
-                    pred[: len(mappable)], starts[: len(mappable)].astype(np.uint8),
-                    counts[: len(mappable), 0], self.chain_min_n_anchors,
+                plane = np.array(packed[: len(mappable)], dtype=np.uint8)
+                triple = backtrack_delta_native(
+                    plane, counts[: len(mappable), 0],
+                    self.chain_min_n_anchors,
                 )
+            else:
+                arr = packed.astype(np.int32)
+                if packed.dtype == np.uint8:
+                    # delta plane (see _device_map): 0 = none, bit 7 start
+                    delta = arr & 0x7F
+                    slot = np.arange(arr.shape[1], dtype=np.int32)[None, :]
+                    pred = np.where(delta > 0, slot - delta, -1)
+                    starts = (arr >> 7) & 1
+                else:
+                    shift = 15 if packed.dtype == np.uint16 else 17
+                    pred = (arr & ((1 << shift) - 1)) - 1
+                    starts = (arr >> shift) & 1
+                if _native_ok():
+                    from ..native import backtrack_native
+
+                    triple = backtrack_native(
+                        pred[: len(mappable)],
+                        starts[: len(mappable)].astype(np.uint8),
+                        counts[: len(mappable), 0],
+                        self.chain_min_n_anchors,
+                    )
+
+            # pointer walks, visiting only chain-start anchors
+            per_read_chains: List[List[List[int]]] = []
+            if triple is not None:
+                read_off, chain_off, positions = triple
                 for b in range(len(mappable)):
-                    chains_b = []
-                    for c in range(read_off[b], read_off[b + 1]):
-                        chains_b.append(
-                            positions[chain_off[c] : chain_off[c + 1]].tolist()
-                        )
-                    per_read_chains.append(chains_b)
+                    per_read_chains.append([
+                        positions[chain_off[c] : chain_off[c + 1]].tolist()
+                        for c in range(read_off[b], read_off[b + 1])
+                    ])
             else:
                 for b in range(len(mappable)):
                     per_read_chains.append(

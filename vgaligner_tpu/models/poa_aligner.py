@@ -529,10 +529,16 @@ class PoaAligner:
         if range_mode not in ("corridor", "id"):
             raise ValueError(f"unknown range_mode {range_mode!r}")
         self.range_mode = range_mode
-        # corridor-mode tie-break: align up to this many score-tied
-        # chains per read and keep the best POA score (see
-        # _chains_for_alignment); 1 restores single-chain behavior
-        self.tie_align_n = int(os.environ.get("VGALIGNER_TIE_ALIGN_N", "4"))
+        # corridor-mode tie-break width: align up to this many tied
+        # chains and keep the best POA score (_chains_for_alignment /
+        # _select_best).  DEFAULT 1 (earliest copy only): global-mode
+        # POA scores are NOT comparable across chains — each chain's
+        # corridor has different flank slack, and the global alignment
+        # pays subgraph-dependent flank-deletion penalties (measured:
+        # width 4 moved 4-A3105 path Jaccard 0.887 -> 0.780 and
+        # 20-C3107-smooth 0.948 -> 0.921).  Kept as an experimentation
+        # knob; a principled version needs flank-penalty-free scoring.
+        self.tie_align_n = int(os.environ.get("VGALIGNER_TIE_ALIGN_N", "1"))
 
     def _chains_for_alignment(self, chains: List[Chain], n: int) -> List[Chain]:
         """Pick the chains to base-level align (align.rs:34-55 takes the
@@ -545,8 +551,11 @@ class PoaAligner:
         last anchor first) puts the HIGHEST-position copy first, while
         the embedded-path coordinate convention (vg sim reads, P-lines)
         is the earliest copy.  In corridor (accuracy) mode, prefer the
-        earliest target start among the tied chains; id (parity) mode
-        keeps the reference order."""
+        earliest target start among the tied chains AND base-level
+        align up to tie_align_n of them — _select_best then keeps the
+        best POA score, which picks the copy the read actually matches
+        when the tied copies' spellings differ; id (parity) mode keeps
+        the reference order and width."""
         if self.range_mode == "corridor" and len(chains) > 1:
             order = sorted(
                 range(len(chains)),
@@ -557,6 +566,7 @@ class PoaAligner:
                 ),
             )
             chains = [chains[i] for i in order]
+            n = max(n, self.tie_align_n)
         return chains[: min(n, len(chains))]
 
     def _range_for_chain(self, chain: Chain) -> OrientedGraphRange:

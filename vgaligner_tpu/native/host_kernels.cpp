@@ -726,11 +726,7 @@ int64_t vg_path_kmers(
         int64_t h_len = g.label_len(h >> 1);
         int8_t h_or = (h & 1) ? 1 : 0;
         hseq.resize((size_t)h_len);
-        bool any_n = false;
-        for (int64_t i = 0; i < h_len; ++i) {
-          hseq[(size_t)i] = g.base_at(h, i);
-          if (hseq[(size_t)i] == 'N') any_n = true;
-        }
+        for (int64_t i = 0; i < h_len; ++i) hseq[(size_t)i] = g.base_at(h, i);
         curr_inc.clear();
         for (Km km : prev_inc) {  // FIFO completion
           int64_t end = std::min<int64_t>(k - km.len, h_len);
@@ -770,7 +766,6 @@ int64_t vg_path_kmers(
           if (km.len == k) kmers.push_back(km);
           else curr_inc.push_back(km);
         }
-        (void)any_n;
         prev_inc.swap(curr_inc);
       }
     }

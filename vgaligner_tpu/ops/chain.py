@@ -250,8 +250,12 @@ def _chain_scores_fast(qb, tb, te, valid, gap_table, seed_length, bandwidth):
     valid_s = jnp.take_along_axis(valid, order, axis=1)
 
     B, A = qb_s.shape
-    # cap: the kernel's f scratch is (A+W) x 128 i32 (~8.4 MB at 16k)
-    if _use_pallas_chain() and A <= 16384:
+    # caps: the kernel's f scratch is (A+W) x 128 i32 (~8.4 MB at 16k),
+    # and its window/tail-carry geometry needs bandwidth <= CH (wider
+    # bandwidths fall through to the scan below)
+    from .chain_pallas import CH as _CHAIN_CH
+
+    if _use_pallas_chain() and A <= 16384 and bandwidth <= _CHAIN_CH:
         from .chain_pallas import chain_dp_pallas
 
         b_pad = ((B + 127) // 128) * 128

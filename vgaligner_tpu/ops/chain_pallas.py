@@ -36,19 +36,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .chain import _LOG2_COEF
+from .chain import gap_cost_scaled_i32
 
 NEGI = np.int32(-(1 << 30))
 CH = 64  # anchors per grid chunk
 
 
-def _lanes_for(A: int) -> int:
-    """Reads per grid cell.  Wider lane tiles (256/512) would cut the
-    serial anchor loop's per-iteration overhead, but Mosaic only
-    supports the kernel's dynamic sublane slices (F[pl.ds(i, W)]) on
-    exactly-128-lane refs — wider refs fail to compile with 'cannot
-    statically prove that index in dimension 0 is a multiple of 8'."""
-    return 128
+# Reads per grid cell is pinned at 128: wider lane tiles (256/512)
+# would cut the serial anchor loop's per-iteration overhead, but Mosaic
+# only supports the kernel's dynamic sublane slices (F[pl.ds(i, W)]) on
+# exactly-128-lane refs — wider refs fail to compile with "cannot
+# statically prove that index in dimension 0 is a multiple of 8".
+LANES = 128
 
 
 def _window_pad(bandwidth: int) -> int:
@@ -65,7 +64,6 @@ def _chain_kernel(qb_ref, tb_ref, te_ref, va_ref,
                   f_out_ref, pred_ref, cmax_ref,
                   QB, TBS, TES, VA, F, CM, *, k: int, bandwidth: int,
                   max_gap: int, W: int):
-    LANES = qb_ref.shape[1]
     # blocks: qb/tb/te/va [CH, 128] i32; outputs f_out/pred [CH, 128]
     # i32, cmax [8, 128] i32; scratch QB/TBS/TES/VA [W+CH, 128] i32
     # (rows [0,W) = previous chunk's tail, rows [W,W+CH) = this chunk),
@@ -128,24 +126,10 @@ def _chain_kernel(qb_ref, tb_ref, te_ref, va_ref,
         gap = jnp.abs(ql - tl)
         bad = bad | (gap > max_gap)
 
-        # gap cost: EXACTLY gap_cost_scaled_i32 (ops/chain.py) — the
-        # same f32 op sequence, so kernel and XLA scan agree bit-for-bit
-        gf = gap.astype(jnp.float32)
-        bits = jax.lax.bitcast_convert_type(gf, jnp.int32)
-        e = ((bits >> 23) & 0xFF) - 127
-        x = jax.lax.bitcast_convert_type(
-            (bits & 0x7FFFFF) | (127 << 23), jnp.float32
-        )
-        t = x - jnp.float32(1.0)
-        acc = jnp.full(t.shape, jnp.float32(_LOG2_COEF[7]))
-        for d in range(6, -1, -1):
-            acc = acc * t + jnp.float32(_LOG2_COEF[d])
-        lg = jnp.floor(
-            jnp.float32(500.0) * (e.astype(jnp.float32) + acc)
-            + jnp.float32(0.5)
-        ).astype(jnp.int32)
-        gcost = jnp.where(gap == 0, jnp.int32(0),
-                          jnp.int32(10 * k) * gap + lg)
+        # gap cost: the SAME jnp op sequence as the XLA scan (plain
+        # bitcast/mul/add/floor, all Mosaic-lowerable), so kernel and
+        # scan agree bit-for-bit by construction
+        gcost = gap_cost_scaled_i32(gap, k)
         mlen = jnp.minimum(jnp.minimum(ql, tl), k) * 1000
 
         j_ok = r_iota >= (W - i)  # j = i - (W - r) >= 0
@@ -188,16 +172,9 @@ def chain_dp_pallas(qb, tb, te, valid, k: int, bandwidth: int = 50,
     (f [B, A] i32, pred [B, A] i32, curr_max [B] i32) — identical to
     _chain_scores_fast's DP outputs (milli-unit integer scores).
     """
-    B0, A = qb.shape
-    assert B0 % 128 == 0 and A % CH == 0
+    B, A = qb.shape
+    assert B % LANES == 0 and A % CH == 0
     W = _window_pad(bandwidth)
-    LANES = _lanes_for(A)
-    B = ((B0 + LANES - 1) // LANES) * LANES
-    if B != B0:
-        qb = jnp.pad(qb, ((0, B - B0), (0, 0)))
-        tb = jnp.pad(tb, ((0, B - B0), (0, 0)))
-        te = jnp.pad(te, ((0, B - B0), (0, 0)))
-        valid = jnp.pad(valid, ((0, B - B0), (0, 0)))
 
     qb_t = jnp.transpose(qb.astype(jnp.int32), (1, 0))  # [A, B]
     tb_t = jnp.transpose(tb.astype(jnp.int32), (1, 0))
@@ -237,4 +214,4 @@ def chain_dp_pallas(qb, tb, te, valid, k: int, bandwidth: int = 50,
         interpret=interpret,
     )
     f_t, pred_t, cmax_t = kernel(qb_t, tb_t, te_t, va_t)
-    return f_t.T[:B0], pred_t.T[:B0], cmax_t[0][:B0]
+    return f_t.T, pred_t.T, cmax_t[0]
