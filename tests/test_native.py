@@ -444,3 +444,43 @@ def test_baseline_map_align_matches_host_pipeline():
         assert nc[i] == len(chains), s
         assert (tl[i] > 0) == (len(chains) > 0)
     assert nc[-1] == 0 and tl[-1] == 0
+
+
+def test_path_kmers_native_matches_python():
+    """vg_path_kmers must reproduce generate_kmers_linearly +
+    generate_pos_on_ref exactly (same codes, counts, rows)."""
+    from vgaligner_tpu.index.kmer_gen import generate_kmers_linearly
+
+    g = HashGraph()
+    h1 = g.create_handle("ACTGAC", 1)
+    h2 = g.create_handle("T", 2)
+    h3 = g.create_handle("G", 3)
+    h4 = g.create_handle("CCATTA", 4)
+    for a, b in ((h1, h2), (h1, h3), (h2, h4), (h3, h4)):
+        g.create_edge(a, b)
+    for name, nodes in (("x", [h1, h2, h4]), ("y", [h1, h3, h4])):
+        pid = g.create_path(name)
+        for h in nodes:
+            g.append_step(pid, h)
+    lin = find_forward_sequence(g)
+
+    kmers = generate_kmers_linearly(g, 5)
+    seqs, off_p, cnt_p, pos_p = generate_pos_on_ref(
+        g, kmers, lin.seq_len, lin.node_starts
+    )
+    codes_p = np.asarray([kmer_code(s) for s in seqs], dtype=np.int64)
+
+    got = native.path_kmers_native(g, 5, lin.node_starts, lin.seq_len,
+                                   dedup_positions=False)
+    assert got is not None
+    codes_n, off_n, cnt_n, pos_n = got
+    np.testing.assert_array_equal(codes_n, codes_p)
+    np.testing.assert_array_equal(cnt_n, cnt_p)
+    np.testing.assert_array_equal(pos_n, pos_p)
+
+    # dedup mode drops exact duplicate rows only
+    got_d = native.path_kmers_native(g, 5, lin.node_starts, lin.seq_len,
+                                     dedup_positions=True)
+    codes_d, _off_d, cnt_d, pos_d = got_d
+    np.testing.assert_array_equal(codes_d, codes_p)
+    assert cnt_d.sum() <= cnt_p.sum()
