@@ -2061,15 +2061,21 @@ def _tape_guess_cols(t_cap: int, max_q: int, V: int = 0) -> int:
     """Static column guess for the single-trip tape fetch: a global
     alignment's traceback walks nq matches/insertions plus one step per
     deletion, so ~query length + slack covers all but deletion-heavy
-    paths (those refetch, see kernel_finish_all).  Big-V corridor
-    chunks (dense bubble hubs) walk deletions proportional to V and
-    overflowed the guess on EVERY drain — for V >= 512 the full tape is
-    fetched up front (similar bytes to guess+refetch, one less link
-    round trip)."""
-    if V >= 512:
-        return t_cap
+    paths (those refetch in one batched device_get, kernel_finish_all).
+
+    Measured traceback lengths on the corridor pipeline (1,024 DRB1
+    reads, r4): V=256 p99 173; V=512 max 503 and V=1024 max 556 (the
+    mid-V chunks are sparse-anchor reads that delete through ~V
+    vertices — they overflowed the query-based guess on EVERY drain);
+    V>=2048 max 148 (the corridor keeps huge-V subgraphs' alignments
+    compact — the old fetch-the-full-tape rule shipped 4,225 columns
+    for ~150 used, ~3 MB of dead bytes per drain).  Hence: query-based
+    guess everywhere except 512 <= V < 2048, which gets ~V columns."""
     slack = int(os.environ.get("VGALIGNER_POA_TAPE_SLACK", "64"))
-    return min(t_cap, max(64, 1 << max(0, max_q + slack - 1).bit_length()))
+    base = min(t_cap, max(64, 1 << max(0, max_q + slack - 1).bit_length()))
+    if 512 <= V < 2048:
+        return min(t_cap, max(base, 1 << max(0, V - 1).bit_length()))
+    return base
 
 
 def _finish_fused(pendings):
