@@ -332,3 +332,53 @@ def test_map_wire_dispatch_matches_unpacked():
     counts = flat[B * a_max :].view(np.int32).reshape(B, 2)
     np.testing.assert_array_equal(np.asarray(ref[0]), plane)
     np.testing.assert_array_equal(np.asarray(ref[1]), counts)
+
+
+def test_fused_bucket_ladder_matches_unfused(monkeypatch):
+    """The fused multi-bucket map (one upload/executable/fetch, a_max
+    ladder {64,128,256,...}) must produce chains identical to the
+    per-bucket dispatch path."""
+    import numpy as np
+
+    from vgaligner_tpu.graph import graph_from_gfa
+    from vgaligner_tpu.index import Index
+    from vgaligner_tpu.io.fastx import QuerySequence
+    from vgaligner_tpu.models import mapper as mapper_mod
+    from vgaligner_tpu.models.mapper import Mapper
+
+    graph = graph_from_gfa("/root/reference/test/test.gfa")
+    index = Index.build(graph, 11, 100, 100)
+    rng = np.random.default_rng(17)
+    fwd = index.seq_fwd
+    reads = []
+    for i in range(40):
+        ln = int(rng.integers(15, min(60, len(fwd) - 1)))
+        start = int(rng.integers(0, max(len(fwd) - ln, 1)))
+        reads.append(fwd[start : start + ln])
+    # a repetitive read to push the anchor count into a bigger bucket
+    reads.append(("A" * 30))
+    queries = [
+        QuerySequence.from_name_and_string(f"q{i}", s)
+        for i, s in enumerate(reads)
+    ]
+
+    mapper = Mapper(index, chain_min_n_anchors=3)
+    got = mapper.map_reads(queries)
+
+    # force the per-bucket path by pretending bitcast is unsupported
+    monkeypatch.setattr(mapper_mod, "_fused_map_fn", None)
+    from vgaligner_tpu.ops import poa_device as PD
+
+    monkeypatch.setitem(PD._WIRE_BITCAST_OK, "cpu", False)
+    mapper2 = Mapper(index, chain_min_n_anchors=3)
+    want = mapper2.map_reads(queries)
+
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert len(a) == len(b)
+        for ca, cb in zip(a, b):
+            assert ca.is_placeholder == cb.is_placeholder
+            if not ca.is_placeholder:
+                np.testing.assert_array_equal(ca.aqb, cb.aqb)
+                np.testing.assert_array_equal(ca.atb, cb.atb)
+                np.testing.assert_array_equal(ca.ate, cb.ate)

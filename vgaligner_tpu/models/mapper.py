@@ -328,6 +328,57 @@ def _fetch_bucket_outputs(outs):
 # batch would retrace every call
 _SHARDED_MAP_CACHE: dict = {}
 
+# fused multi-bucket map executables, keyed by (bucket layout, knobs)
+_FUSED_MAP_CACHE: dict = {}
+
+
+def _fused_map_fn(layout, k, bandwidth, precision):
+    """One jitted executable running EVERY anchor-capacity bucket of a
+    mapping batch: per bucket, slice its (codes, lens) wire segment
+    from the mega buffer at static offsets, run the fused map core, and
+    concatenate every bucket's u8 delta plane + bitcast counts into ONE
+    output buffer.  On a link that charges a round trip per uploaded
+    AND per fetched buffer, this holds the whole map step at one
+    device_put + one device_get regardless of how many buckets the
+    anchor-capacity ladder splits the batch into — which is what makes
+    the {64,128,256} ladder free (smaller a_max = ~linearly less chain
+    DP and lookup work for the ~60%% of reads with few anchors).
+
+    layout: tuple of (B, L, a_max, wsize) per bucket, ladder-quantized
+    upstream so executables repeat across batches."""
+    key = (layout, k, bandwidth, precision)
+    fn = _FUSED_MAP_CACHE.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    def fused(mega, dindex, gap_table):
+        outs = []
+        off = 0
+        for B, L, a_max, wsize in layout:
+            wire = mega[off : off + wsize]
+            off += wsize
+            codes = jax.lax.bitcast_convert_type(
+                wire[: B * L], jnp.int8
+            ).reshape(B, L)
+            lens = jax.lax.bitcast_convert_type(
+                wire[B * L : B * L + B * 4].reshape(B, 4), jnp.int32
+            )
+            packed, counts = Mapper._map_core(
+                codes, lens, dindex, gap_table, k, a_max, bandwidth,
+                precision,
+            )
+            outs.append(packed.reshape(-1))  # u8 (bandwidth < 127)
+            outs.append(
+                jax.lax.bitcast_convert_type(counts, jnp.uint8).reshape(-1)
+            )
+        return jnp.concatenate(outs)
+
+    jf = jax.jit(fused)
+    _FUSED_MAP_CACHE[key] = jf
+    return jf
+
 
 class Mapper:
     """Batched read mapper over a built index."""
@@ -684,33 +735,103 @@ class Mapper:
             if not mappable:
                 return out
 
-        # two buckets: the common case (<=256 anchors, ~98% of short reads)
-        # and one sized for the largest outlier — every extra bucket costs
-        # host-link round trips, which dominate on this transport
-        buckets: dict = {}
+        from ..ops.poa_device import wire_bitcast_supported
+
         big = int(totals.max())
         big_a_max = min(max(_next_pow2(max(big, 1)), 256), self.max_anchors_cap)
+        use_fused = (
+            self.mesh is None
+            and self.bandwidth < 127  # u8 delta plane guaranteed
+            and wire_bitcast_supported()
+        )
+        buckets: dict = {}
         for local, qi in enumerate(mappable):
-            a_max = 256 if totals[local] <= 256 else big_a_max
+            t = int(totals[local])
+            if use_fused:
+                # {64,128,256,big} ladder: with the fused single-launch
+                # drain below, extra buckets cost no round trips, and a
+                # smaller a_max means ~linearly less DP/lookup/transfer
+                # for the majority of reads
+                a_max = 64 if t <= 64 else (128 if t <= 128 else (
+                    256 if t <= 256 else big_a_max))
+            else:
+                # two buckets: every extra bucket costs host-link round
+                # trips on the unfused paths (mesh, no-bitcast)
+                a_max = 256 if t <= 256 else big_a_max
             buckets.setdefault(a_max, []).append(qi)
 
-        # dispatch every bucket's device program, then drain all results
-        # in ONE device_get (the host link charges ~27ms+ per round trip,
-        # per BUFFER — so bucket outputs are first concatenated on device
-        # into one flat buffer per dtype, see _fetch_bucket_outputs)
-        dispatched = []
-        for a_max, qidx in sorted(buckets.items()):
-            dispatched.append(self._dispatch_bucket(queries, qidx, a_max))
-        with self.timer.phase("gather"):
-            fetched = _fetch_bucket_outputs(
-                [(d[1], d[2], d[3]) for d in dispatched]
-            )
-        pending = [
-            self._collect_bucket(d[0], d[1], pc[0], pc[1])
-            for d, pc in zip(dispatched, fetched)
-        ]
+        if use_fused:
+            pending = self._map_buckets_fused(queries, buckets)
+        else:
+            # dispatch every bucket's device program, then drain all
+            # results in ONE device_get (the host link charges ~27ms+
+            # per round trip, per BUFFER — bucket outputs are first
+            # concatenated on device into one flat buffer per dtype,
+            # see _fetch_bucket_outputs)
+            dispatched = []
+            for a_max, qidx in sorted(buckets.items()):
+                dispatched.append(self._dispatch_bucket(queries, qidx, a_max))
+            with self.timer.phase("gather"):
+                fetched = _fetch_bucket_outputs(
+                    [(d[1], d[2], d[3]) for d in dispatched]
+                )
+            pending = [
+                self._collect_bucket(d[0], d[1], pc[0], pc[1])
+                for d, pc in zip(dispatched, fetched)
+            ]
         self._finalize_chains(queries, pending, out)
         return out
+
+    def _map_buckets_fused(self, queries, buckets: dict):
+        """Map every bucket with ONE device_put + ONE executable + ONE
+        device_get (see _fused_map_fn).  Returns collected
+        (mappable, a_max, per_read_chains) tuples per bucket."""
+        import jax.numpy as jnp
+
+        from ..ops.poa_device import _ladder_bytes
+
+        k = self.index.kmer_length
+        plan = []  # (qidx, B, L, a_max, wsize)
+        segs: List[np.ndarray] = []
+        with self.timer.phase("encode"):
+            for a_max, qidx in sorted(buckets.items()):
+                seqs = [queries[i].seq for i in qidx]
+                l_pad = _next_pow2(max(max(len(s) for s in seqs), k))
+                codes, lens = encode_reads_host(seqs, l_pad)
+                b_pow2 = _next_pow2(max(codes.shape[0], 8))
+                if b_pow2 != codes.shape[0]:
+                    codes = np.pad(
+                        codes, ((0, b_pow2 - codes.shape[0]), (0, 0)),
+                        constant_values=4,
+                    )
+                    lens = np.pad(lens, (0, b_pow2 - lens.shape[0]))
+                seg = np.concatenate([
+                    codes.reshape(-1).view(np.uint8),
+                    lens.astype(np.int32).view(np.uint8),
+                ])
+                wsize = _ladder_bytes(len(seg))
+                if wsize != len(seg):
+                    seg = np.concatenate(
+                        [seg, np.zeros(wsize - len(seg), np.uint8)]
+                    )
+                plan.append((qidx, b_pow2, l_pad, a_max, wsize))
+                segs.append(seg)
+        layout = tuple((B, L, a, w) for _q, B, L, a, w in plan)
+        fn = _fused_map_fn(layout, k, self.bandwidth, self.precision)
+        with self.timer.phase("device_map"):
+            mega = np.concatenate(segs)
+            out_d = fn(jnp.asarray(mega), self.dindex, self._gap_table_dev)
+        with self.timer.phase("gather"):
+            flat = np.asarray(out_d)
+        pending = []
+        off = 0
+        for qidx, B, _L, a_max, _w in plan:
+            plane = flat[off : off + B * a_max].reshape(B, a_max)
+            off += B * a_max
+            counts = flat[off : off + B * 8].view(np.int32).reshape(B, 2)
+            off += B * 8
+            pending.append(self._collect_bucket(qidx, a_max, plane, counts))
+        return pending
 
     def _map_read_overflow(self, query: QuerySequence) -> List[Chain]:
         """Exact unbounded host mapping for a read whose anchor count
