@@ -335,3 +335,91 @@ def test_wire4_pin_roundtrip():
     np.testing.assert_array_equal(nv_d, nv)
     _R2, pin_want = _pins_for_arrays(vpred, nv, b_pad, v_pad, l_pad)
     np.testing.assert_array_equal(pin_d, pin_want)
+
+
+def test_drb1_corridor_chunks_all_ride_pallas():
+    """VERDICT r3 criterion: zero XLA-scan fallbacks on the bench
+    workload.  Every corridor chunk the DRB1 pipeline prepares must
+    plan a Pallas ring (R > 0) — huge-V bubble-hub chunks included,
+    via the pinned far rows."""
+    import os
+
+    if not os.path.exists(
+        "/root/reference/experiments-snakemake/2-DRB1-3123/graph.gfa"
+    ):
+        pytest.skip("HLA-zoo graphs unavailable")
+    from vgaligner_tpu.graph import graph_from_gfa
+    from vgaligner_tpu.index import Index
+    from vgaligner_tpu.io.fastx import QuerySequence
+    from vgaligner_tpu.models.mapper import Mapper
+    from vgaligner_tpu.native import (
+        build_poa_batch_arrays,
+        extract_subgraphs_native,
+    )
+    from vgaligner_tpu.ops.poa_device import (
+        P_MAX,
+        _l_pad_for,
+        _next_pow2,
+        kernel_prepare_chunked,
+        padded_rows,
+    )
+    from vgaligner_tpu.utils.dna import encode_seq
+
+    rng = np.random.default_rng(41)
+    graph = graph_from_gfa(
+        "/root/reference/experiments-snakemake/2-DRB1-3123/graph.gfa"
+    )
+    index = Index.build(graph, 11, 100, 100)
+    path_seqs = []
+    for pid in graph.paths_iter():
+        path_seqs.append(
+            "".join(graph.sequence(h) for h in graph.get_path(pid).nodes)
+        )
+    reads = []
+    for _ in range(256):
+        sseq = path_seqs[int(rng.integers(len(path_seqs)))]
+        start = int(rng.integers(0, len(sseq) - 100))
+        reads.append(sseq[start : start + 100])
+    queries = [
+        QuerySequence.from_name_and_string(f"p{i}", r)
+        for i, r in enumerate(reads)
+    ]
+    mapper = Mapper(index, chain_min_n_anchors=3, precision="fast")
+    chains = [cs[0] for cs in mapper.map_reads(queries)
+              if not cs[0].is_placeholder]
+
+    n_anchors = np.asarray([c.n_anchors for c in chains], dtype=np.int64)
+    anchor_off = np.concatenate([[0], np.cumsum(n_anchors)])
+    aqb = np.concatenate([c.aqb for c in chains])
+    atb = np.concatenate([c.atb for c in chains])
+    ate = np.concatenate([c.ate for c in chains])
+    qlen = np.asarray([len(c.query.seq) for c in chains], dtype=np.int64)
+    (handle_off, _handles, label_off, _lbase, labels, edge_off, edges,
+     status) = extract_subgraphs_native(
+        index, anchor_off, aqb, atb, ate, None, None, qlen, 11,
+        range_mode="corridor",
+    )
+    assert not status.any()
+    qs = [encode_seq(c.query.seq) for c in chains]
+    v_per = label_off[handle_off[1:]] - label_off[handle_off[:-1]]
+    buckets: dict = {}
+    for i in range(len(chains)):
+        key = (_next_pow2(max(int(v_per[i]), 256)), _l_pad_for(len(qs[i])))
+        buckets.setdefault(key, []).append(i)
+    edges_flat = np.ascontiguousarray(edges.reshape(-1), dtype=np.int64)
+    checked = 0
+    for (v_pad, l_pad), idxs in sorted(buckets.items()):
+        sel = np.asarray(idxs, dtype=np.int64)
+        built = build_poa_batch_arrays(
+            labels, label_off, handle_off.astype(np.int64),
+            edge_off.astype(np.int64), edges_flat, sel, v_pad, P_MAX,
+            rows=padded_rows(len(idxs), v_pad, l_pad),
+        )
+        assert built is not None
+        for _wire, version, dims, _rest in kernel_prepare_chunked(
+            built, [qs[i] for i in idxs], v_pad, l_pad
+        ):
+            assert version == "v4"
+            assert dims[-1] > 0, f"XLA fallback at V={v_pad} dims={dims}"
+            checked += 1
+    assert checked >= 4  # several chunk shapes exercised
