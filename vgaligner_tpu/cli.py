@@ -60,7 +60,7 @@ def _build_parser() -> argparse.ArgumentParser:
                     default="ahash",
                     help="k-mer sampler under -r: 'ahash' (default) "
                          "reproduces the reference's ahash-0.7.6 "
-                         "zero-seed hash % r (kmer.rs:931-934; "
+                         "zero-seed hash %% r (kmer.rs:931-934; "
                          "reconstruction, see utils/ahash.py); 'code' "
                          "uses splitmix64 of the 2-bit k-mer code")
     ip.add_argument("--keep-duplicate-positions", action="store_true",
