@@ -60,10 +60,11 @@ def sample_reads(graph, n, read_len, seed=77):
     return reads
 
 
-def wait_for_device(max_wait_s=1800, probe_timeout_s=60):
-    """The shared TPU transport flaps under co-tenancy; if it is down
-    when the bench starts, wait for it (bounded) instead of hanging on
-    the first device op mid-measurement.  Probes in a subprocess so a
+def wait_for_device(max_wait_s=3600, probe_timeout_s=60):
+    """The shared TPU transport flaps under co-tenancy (observed
+    outages from minutes to several hours); if it is down when the
+    bench starts, wait for it (bounded) instead of hanging on the
+    first device op mid-measurement.  Probes in a subprocess so a
     wedged PJRT init cannot wedge the bench itself.  The transport's
     up-windows can be short (minutes), so probes re-arm quickly: a
     down-probe hangs for probe_timeout_s, then the next attempt starts
