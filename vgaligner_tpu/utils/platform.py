@@ -19,10 +19,15 @@ import sys
 
 log = logging.getLogger("vgaligner")
 
+# Probe relies on plain env-var platform discovery: re-pinning a
+# plugin platform via jax.config.update('jax_platforms', ...) before
+# the plugin registers was observed to HANG on this image (r4), while
+# the env-var route initializes cleanly.  Only an explicit cpu pin
+# goes through jax.config (cpu is always a registered backend).
 _PROBE_SRC = (
     "import os, jax\n"
-    "p = os.environ.get('JAX_PLATFORMS')\n"
-    "if p: jax.config.update('jax_platforms', p.split(',')[0])\n"
+    "p = os.environ.get('JAX_PLATFORMS', '')\n"
+    "if p.split(',')[0] == 'cpu': jax.config.update('jax_platforms', 'cpu')\n"
     "import jax.numpy as jnp; float(jnp.ones(2).sum())"
 )
 
