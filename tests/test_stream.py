@@ -67,3 +67,57 @@ def test_stream_chains_only():
         on_chains=lambda ch: got.extend(r.to_string() for r in mapper.chains_to_gaf(ch)),
     )
     assert got == ref
+
+
+def test_begin_finish_map_split_matches_map_reads():
+    """map_reads(q) == finish_map(begin_map(q)) under the flag
+    combinations the split must preserve (the pipelined map-only
+    stream rides these halves)."""
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    queries = _reads(g, n=9)
+    for kw in ({}, {"both_strands": True}, {"mapq": True},
+               {"both_strands": True, "mapq": True}):
+        mapper = Mapper(index, chain_min_n_anchors=2, **kw)
+        ref = [r.to_string() for r in mapper.chains_to_gaf(mapper.map_reads(queries))]
+        got = [
+            r.to_string()
+            for r in mapper.chains_to_gaf(mapper.finish_map(mapper.begin_map(queries)))
+        ]
+        assert got == ref, kw
+
+
+def test_stream_chains_only_sync_mode(monkeypatch):
+    monkeypatch.setenv("VGALIGNER_STREAM_ASYNC", "0")
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    queries = _reads(g, n=8)
+    mapper = Mapper(index, chain_min_n_anchors=2)
+    ref = [r.to_string() for r in mapper.chains_to_gaf(mapper.map_reads(queries))]
+    got = []
+    stream_map_align(
+        mapper, queries, None, batch_size=3,
+        on_chains=lambda ch: got.extend(r.to_string() for r in mapper.chains_to_gaf(ch)),
+    )
+    assert got == ref
+
+
+def test_stream_chains_only_short_and_empty_batches():
+    """Placeholder-only batches (reads shorter than k) flow through the
+    pipelined map stream without stalling emission order."""
+    g = graph_from_gfa(f"{REFERENCE_TEST_DIR}/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    queries = _reads(g, n=4)
+    # a batch of all-placeholder reads in the middle
+    queries = queries[:2] + [
+        QuerySequence.from_name_and_string("tiny0", "ACG"),
+        QuerySequence.from_name_and_string("tiny1", "T"),
+    ] + queries[2:]
+    mapper = Mapper(index, chain_min_n_anchors=2)
+    ref = [r.to_string() for r in mapper.chains_to_gaf(mapper.map_reads(queries))]
+    got = []
+    stream_map_align(
+        mapper, queries, None, batch_size=2,
+        on_chains=lambda ch: got.extend(r.to_string() for r in mapper.chains_to_gaf(ch)),
+    )
+    assert got == ref

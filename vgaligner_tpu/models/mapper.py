@@ -661,17 +661,38 @@ class Mapper:
         forward-strand reads behave exactly as without the flag.
         Winning reverse chains are marked strand="-" (GAF emission
         flips coordinates back to the original read)."""
-        if not self.both_strands:
-            out = self._map_oriented(queries)
-        else:
-            from ..utils.dna import reverse_complement
+        return self.finish_map(self.begin_map(queries))
 
-            rc = [
-                QuerySequence(name=q.name, seq=reverse_complement(q.seq))
-                for q in queries
-            ]
-            both = self._map_oriented(list(queries) + rc)
-            n = len(queries)
+    def begin_map(self, queries: Sequence[QuerySequence]):
+        """Host-side prep + device dispatch for a batch, WITHOUT
+        blocking on device results.  Pair with finish_map:
+        map_reads(q) == finish_map(begin_map(q)).
+
+        The split exists for the software-pipelined map stream
+        (models/stream.py): the transport executes lazily, so batch N's
+        device program runs while finish_map(N) blocks in device_get
+        on a worker thread — overlapping it with begin_map(N+1)'s
+        host encode on the main thread."""
+        if not self.both_strands:
+            return (queries, None, self._begin_oriented(queries))
+        from ..utils.dna import reverse_complement
+
+        rc = [
+            QuerySequence(name=q.name, seq=reverse_complement(q.seq))
+            for q in queries
+        ]
+        return (
+            queries, len(queries),
+            self._begin_oriented(list(queries) + rc),
+        )
+
+    def finish_map(self, state) -> List[List[Chain]]:
+        """Drain + decode a begin_map batch (see begin_map)."""
+        queries, n, ostate = state
+        both = self._finish_oriented(ostate)
+        if n is None:
+            out = both
+        else:
             out = []
             for i in range(n):
                 fwd, rev = both[i], both[n + i]
@@ -695,6 +716,12 @@ class Mapper:
 
     def _map_oriented(self, queries: Sequence[QuerySequence]) -> List[List[Chain]]:
         """One mapping pass over the given query orientations."""
+        return self._finish_oriented(self._begin_oriented(queries))
+
+    def _begin_oriented(self, queries: Sequence[QuerySequence]):
+        """Dispatch half of _map_oriented: placeholder/overflow
+        handling, bucketing, host encode, and the async device launch.
+        Returns an opaque state for _finish_oriented."""
         log.info("Found %d reads!", len(queries))
         k = self.index.kmer_length
         out: List[List[Chain]] = [None] * len(queries)  # type: ignore
@@ -705,7 +732,7 @@ class Mapper:
                 out[i] = [Chain(query=q, is_placeholder=True)]
 
         if not mappable:
-            return out
+            return (queries, out, "done", None)
 
         with self.timer.phase("count"):
             totals = self._anchor_totals([queries[i].seq for i in mappable])
@@ -733,7 +760,7 @@ class Mapper:
                 dtype=totals.dtype,
             )
             if not mappable:
-                return out
+                return (queries, out, "done", None)
 
         from ..ops.poa_device import wire_bitcast_supported
 
@@ -761,16 +788,30 @@ class Mapper:
             buckets.setdefault(a_max, []).append(qi)
 
         if use_fused:
-            pending = self._map_buckets_fused(queries, buckets)
+            return (
+                queries, out, "fused",
+                self._map_buckets_fused_begin(queries, buckets),
+            )
+        # dispatch every bucket's device program; _finish_oriented
+        # drains all results in ONE device_get (the host link charges
+        # ~27ms+ per round trip, per BUFFER — bucket outputs are first
+        # concatenated on device into one flat buffer per dtype,
+        # see _fetch_bucket_outputs)
+        dispatched = []
+        for a_max, qidx in sorted(buckets.items()):
+            dispatched.append(self._dispatch_bucket(queries, qidx, a_max))
+        return (queries, out, "buckets", dispatched)
+
+    def _finish_oriented(self, state) -> List[List[Chain]]:
+        """Blocking half of _map_oriented: device fetch, backtrack,
+        coordinate re-derivation, Chain emission."""
+        queries, out, mode, payload = state
+        if mode == "done":
+            return out
+        if mode == "fused":
+            pending = self._map_buckets_fused_finish(*payload)
         else:
-            # dispatch every bucket's device program, then drain all
-            # results in ONE device_get (the host link charges ~27ms+
-            # per round trip, per BUFFER — bucket outputs are first
-            # concatenated on device into one flat buffer per dtype,
-            # see _fetch_bucket_outputs)
-            dispatched = []
-            for a_max, qidx in sorted(buckets.items()):
-                dispatched.append(self._dispatch_bucket(queries, qidx, a_max))
+            dispatched = payload
             with self.timer.phase("gather"):
                 fetched = _fetch_bucket_outputs(
                     [(d[1], d[2], d[3]) for d in dispatched]
@@ -782,10 +823,10 @@ class Mapper:
         self._finalize_chains(queries, pending, out)
         return out
 
-    def _map_buckets_fused(self, queries, buckets: dict):
-        """Map every bucket with ONE device_put + ONE executable + ONE
-        device_get (see _fused_map_fn).  Returns collected
-        (mappable, a_max, per_read_chains) tuples per bucket."""
+    def _map_buckets_fused_begin(self, queries, buckets: dict):
+        """Dispatch half of the fused-bucket map: ONE device_put + ONE
+        executable launch (see _fused_map_fn); the device_get happens
+        in _map_buckets_fused_finish."""
         import jax.numpy as jnp
 
         from ..ops.poa_device import _ladder_bytes
@@ -821,6 +862,12 @@ class Mapper:
         with self.timer.phase("device_map"):
             mega = np.concatenate(segs)
             out_d = fn(jnp.asarray(mega), self.dindex, self._gap_table_dev)
+        return plan, out_d
+
+    def _map_buckets_fused_finish(self, plan, out_d):
+        """Drain half of the fused-bucket map: ONE device_get + the
+        native backtrack.  Returns collected
+        (mappable, a_max, per_read_chains) tuples per bucket."""
         with self.timer.phase("gather"):
             flat = np.asarray(out_d)
         pending = []

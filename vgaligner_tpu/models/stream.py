@@ -95,6 +95,50 @@ def stream_map_align(
         worker = threading.Thread(target=run, daemon=True)
         worker.start()
 
+    if aligner is None:
+        # map-only stream: pipeline the map's own begin/finish halves —
+        # finish_map(N) blocks in device_get (GIL released) on the
+        # worker while begin_map(N+1) runs host encode + dispatch on
+        # the main thread.  The unpipelined loop serializes host work
+        # behind every batch's device wait, which is why batch-mode
+        # map-only used to lose to the single-thread native baseline.
+        def finish_on_worker(state):
+            nonlocal worker
+
+            def run():
+                try:
+                    box[0] = mapper.finish_map(state)
+                except BaseException as e:
+                    box[1] = e
+
+            worker = threading.Thread(target=run, daemon=True)
+            worker.start()
+
+        def join_map_worker():
+            nonlocal worker
+            if worker is not None:
+                worker.join()
+                worker = None
+            done, exc = box
+            box[0] = box[1] = None
+            if exc is not None:
+                raise exc
+            if done is not None and on_chains is not None:
+                on_chains(done)
+
+        first = True
+        for s in range(0, n, batch_size):
+            state = mapper.begin_map(queries[s : s + batch_size])
+            if not first:
+                join_map_worker()  # emit batch N-1 before draining N
+            first = False
+            if use_async:
+                finish_on_worker(state)
+            else:
+                box[0] = mapper.finish_map(state)
+        join_map_worker()
+        return
+
     pending = None  # (state from begin_alignments)
     for s in range(0, n, batch_size):
         batch = queries[s : s + batch_size]

@@ -1757,13 +1757,100 @@ class _FusedOut(NamedTuple):
     plan, referenced by every chunk's pending state."""
 
     scores: object  # f32 [sum b_pad]
-    tapes: object  # u16 [sum b_pad * t_guess_i] (flattened, per-chunk slices)
+    tapes: object  # u8 delta tape [sum b_pad * t_guess_i] (u16 when the
+    #   delta encoding is disabled, VGALIGNER_POA_TAPE_U8=0)
     tlens: object  # i32 [sum b_pad]
     fulls: tuple  # per-chunk full [b_pad, T] tapes (device, fetched only on overflow)
-    plan: tuple  # per-chunk (b_pad, t_guess)
+    plan: tuple  # per-chunk (b_pad, t_guess, e_cap); e_cap == 0 -> u16 tape
+    starts: object  # i32 [sum b_pad] first-entry vids (u8 tape only)
+    excs: object  # i32 [sum 2*(e_cap_i+1)] exception (pos, val) pairs
+    nexcs: object  # i32 [n_chunks] true exception counts
 
 
 _FUSED_CACHE: dict = {}
+
+
+def _tape_u8_enabled() -> bool:
+    """Whether the fused drain ships the traceback tape as a u8
+    op+delta stream (halves the dominant device->host payload) instead
+    of raw u16 entries.  Kill switch: VGALIGNER_POA_TAPE_U8=0."""
+    return os.environ.get("VGALIGNER_POA_TAPE_U8", "1") != "0"
+
+
+# u8 delta-tape constants: entry = op (2 bits) | code (6 bits); code
+# 1..61 is delta+31 (vid step vs the previous tape entry, in [-30, 30]),
+# code _EXC_CODE marks an exception whose absolute vid rides the side
+# channel.  Measured on the corridor pipeline, step-to-step vid deltas
+# are almost always 0 (insertions) or -1/+1 (match/deletion to the
+# adjacent rank), so one byte per step replaces two; exceptions (far
+# pin-crossing deletions, the real-vid -> -1 virtual-source switch) are
+# a handful per problem.
+_EXC_CODE = 62
+_DELTA_MAX = 30
+
+
+def _encode_tape_u8(cut, e_cap: int):
+    """Device-side delta encoding of a [b, t] u16 tape slice.
+
+    Returns (u8tape [b,t], starts i32 [b], excs i32 [2*(e_cap+1)],
+    n_exc i32 []).  excs holds (flat position, vid) pairs for entries
+    whose delta leaves [-_DELTA_MAX, _DELTA_MAX]; entries past e_cap
+    are dropped on device and the chunk refetches its full u16 tape
+    (n_exc carries the true count for that detection).  Trailing
+    OP_END fill encodes as delta 0 so the tail never spends exception
+    slots; its reconstructed vids are garbage and never read (the host
+    walk stops at tlen)."""
+    t32 = cut.astype(jnp.int32)
+    ops = t32 & 3
+    vids = (t32 >> 2) - 2
+    b, t = cut.shape
+    valid = ops != OP_END
+    prev = jnp.concatenate([vids[:, :1], vids[:, :-1]], axis=1)
+    d = jnp.where(valid, vids - prev, 0)
+    d = d.at[:, 0].set(0)  # column 0 is absolute, shipped via starts
+    exc = valid & ((d < -_DELTA_MAX) | (d > _DELTA_MAX))
+    code = jnp.where(exc, _EXC_CODE, d + (_DELTA_MAX + 1))
+    u8 = (ops | (code << 2)).astype(jnp.uint8)
+    starts = vids[:, 0].astype(jnp.int32)
+    flat_exc = exc.reshape(-1)
+    n_exc = jnp.sum(flat_exc).astype(jnp.int32)
+    slot = jnp.cumsum(flat_exc) - 1
+    # overflow slots collide at e_cap (sliced off) rather than clobber
+    idx = jnp.where(flat_exc, jnp.minimum(slot, e_cap), e_cap)
+    pos_buf = jnp.zeros(e_cap + 1, jnp.int32).at[idx].set(
+        jnp.arange(b * t, dtype=jnp.int32), mode="drop"
+    )
+    val_buf = jnp.zeros(e_cap + 1, jnp.int32).at[idx].set(
+        vids.reshape(-1), mode="drop"
+    )
+    return u8, starts, jnp.concatenate([pos_buf, val_buf]), n_exc
+
+
+def _decode_tape_u8(u8: np.ndarray, starts: np.ndarray,
+                    excpos: np.ndarray, excval: np.ndarray):
+    """Host-side inverse of _encode_tape_u8 -> (ops i8, vids i32).
+
+    Reconstruction: prefix-sum the deltas (exception deltas as 0), then
+    anchor every segment on its latest absolute value — column 0
+    (starts) or an exception — via a forward-filled anchor index."""
+    t32 = u8.astype(np.int32)
+    ops = (t32 & 3).astype(np.int8)
+    code = t32 >> 2
+    d = np.where(code == _EXC_CODE, 0, code - (_DELTA_MAX + 1))
+    d[:, 0] = 0
+    c = np.cumsum(d, axis=1, dtype=np.int32)
+    b, t = u8.shape
+    sentinel = np.iinfo(np.int32).min
+    base = np.full((b, t), sentinel, np.int32)
+    base[:, 0] = starts.astype(np.int32)  # c[:, 0] == 0
+    if len(excpos):
+        r = excpos // t
+        j = excpos % t
+        base[r, j] = excval - c[r, j]
+    idx = np.where(base != sentinel, np.arange(t, dtype=np.int32)[None, :], 0)
+    np.maximum.accumulate(idx, axis=1, out=idx)
+    vids = base[np.arange(b)[:, None], idx] + c
+    return ops, vids
 
 
 def _fused_drain_fn(layout):
@@ -1781,7 +1868,9 @@ def _fused_drain_fn(layout):
     Traced with x64 off (pure i32/f32 kernel; the package enables x64
     globally for the exact chain DP, which would widen every iota/new
     literal here to emulated i64)."""
-    fn = _FUSED_CACHE.get(layout)
+    u8_mode = _tape_u8_enabled()
+    key = (layout, u8_mode)
+    fn = _FUSED_CACHE.get(key)
     if fn is not None:
         return fn
     kerns = {
@@ -1792,8 +1881,9 @@ def _fused_drain_fn(layout):
 
     def fused(mega):
         scores, tapes, tlens, fulls = [], [], [], []
+        starts, excs, nexcs = [], [], []
         off = 0
-        for version, dims, t_guess, wsize in layout:
+        for version, dims, t_guess, wsize, e_cap in layout:
             wire = mega[off : off + wsize]
             off += wsize
             score, tape, tlen = kerns[version](wire, *dims)
@@ -1801,13 +1891,23 @@ def _fused_drain_fn(layout):
             tlens.append(tlen)
             t_cap = tape.shape[1]
             cut = tape[:, :t_guess] if t_guess < t_cap else tape
-            tapes.append(cut.reshape(-1))
+            if e_cap:
+                u8, st, ex, ne = _encode_tape_u8(cut, e_cap)
+                tapes.append(u8.reshape(-1))
+                starts.append(st)
+                excs.append(ex)
+                nexcs.append(ne.reshape(1))
+            else:
+                tapes.append(cut.reshape(-1))
             fulls.append(tape)
         return (
             jnp.concatenate(scores),
             jnp.concatenate(tapes),
             jnp.concatenate(tlens),
             tuple(fulls),
+            jnp.concatenate(starts) if starts else jnp.zeros(0, jnp.int32),
+            jnp.concatenate(excs) if excs else jnp.zeros(0, jnp.int32),
+            jnp.concatenate(nexcs) if nexcs else jnp.zeros(0, jnp.int32),
         )
 
     jf = jax.jit(fused)
@@ -1816,7 +1916,7 @@ def _fused_drain_fn(layout):
         with jax.enable_x64(False):
             return jf(mega_d)
 
-    _FUSED_CACHE[layout] = call
+    _FUSED_CACHE[key] = call
     return call
 
 
@@ -1839,6 +1939,7 @@ def kernel_launch_fused(prepared):
         offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
         layout = []
         plan = []
+        u8_mode = _tape_u8_enabled()
         with timer.phase("d_pad"):
             mega = np.zeros(_ladder_bytes(int(offs[-1])), np.uint8)
             for (w, version, dims, rest), o, sz in zip(group, offs[:-1], sizes):
@@ -1849,14 +1950,19 @@ def kernel_launch_fused(prepared):
                     _tape_guess_cols(t_cap, max(qlens), dims[1])
                     if qlens else t_cap
                 )
-                layout.append((version, dims, t_guess, sz))
-                plan.append((rest[5], t_guess))  # (b_pad, t_guess)
+                b_pad = rest[5]
+                # exception budget: ~1 slot/row covers the worst case of
+                # one virtual-source switch per problem plus far jumps
+                e_cap = max(256, b_pad) if u8_mode else 0
+                layout.append((version, dims, t_guess, sz, e_cap))
+                plan.append((b_pad, t_guess, e_cap))
         fn = _fused_drain_fn(tuple(layout))
         with timer.phase("d_upload"):
             mega_d = jnp.asarray(mega)
         with timer.phase("d_launch"):
-            scores, tapes, tlens, fulls = fn(mega_d)
-        shared = _FusedOut(scores, tapes, tlens, fulls, tuple(plan))
+            scores, tapes, tlens, fulls, starts, excs, nexcs = fn(mega_d)
+        shared = _FusedOut(scores, tapes, tlens, fulls, tuple(plan),
+                           starts, excs, nexcs)
         for i, (w, version, dims, rest) in enumerate(group):
             pendings.append(((shared, i),) + rest)
         group, gbytes = [], 0
@@ -2090,32 +2196,47 @@ def _finish_fused(pendings):
     fetched: dict = {}
     with timer.phase("f_fetch"):
         got = jax.device_get(
-            [(s.scores, s.tapes, s.tlens) for s in shared_ids.values()]
+            [(s.scores, s.tapes, s.tlens, s.starts, s.excs, s.nexcs)
+             for s in shared_ids.values()]
         )
-    for key, (scores, tapes, tlens) in zip(shared_ids, got):
-        fetched[key] = (scores, tapes, tlens)
+    for key, vals in zip(shared_ids, got):
+        fetched[key] = vals
     out: List = []
     decoded: List = []
     refetch = []  # (decoded index, device tape slice)
     for p in pendings:
         shared, ci = p[0]
-        scores_cat, tapes_cat, tlens_cat = fetched[id(shared)]
-        b0 = sum(b for b, _t in shared.plan[:ci])
-        t0 = sum(b * t for b, t in shared.plan[:ci])
-        b_pad, t_guess = shared.plan[ci]
+        (scores_cat, tapes_cat, tlens_cat,
+         starts_cat, excs_cat, nexcs_cat) = fetched[id(shared)]
+        b0 = sum(b for b, _t, _e in shared.plan[:ci])
+        t0 = sum(b * t for b, t, _e in shared.plan[:ci])
+        e0 = sum(2 * (e + 1) for _b, _t, e in shared.plan[:ci] if e)
+        b_pad, t_guess, e_cap = shared.plan[ci]
         scores = scores_cat[b0 : b0 + b_pad]
         tlens = tlens_cat[b0 : b0 + b_pad]
         tape = tapes_cat[t0 : t0 + b_pad * t_guess].reshape(b_pad, t_guess)
         n_real = p[7]
         used = int(tlens[:n_real].max()) if n_real else 1
+        exc_over = False
+        if e_cap:
+            n_exc = int(nexcs_cat[ci])
+            exc_over = n_exc > e_cap
+            if not exc_over and used <= t_guess:
+                pair = excs_cat[e0 : e0 + 2 * (e_cap + 1)]
+                with timer.phase("f_decode"):
+                    tape = _decode_tape_u8(
+                        tape, starts_cat[b0 : b0 + b_pad],
+                        pair[:n_exc], pair[e_cap + 1 : e_cap + 1 + n_exc],
+                    )
         if os.environ.get("VGALIGNER_POA_DEBUG_TAPE"):
             import sys as _sys
 
             _sys.stderr.write(
                 f"tape chunk b_pad={b_pad} t_guess={t_guess} "
-                f"used={used} overflow={used > t_guess}\n"
+                f"used={used} overflow={used > t_guess} "
+                f"exc_over={exc_over}\n"
             )
-        if used > t_guess:
+        if used > t_guess or exc_over:
             # deletion-heavy chunk (traceback ran past the guess):
             # queue its real-length tape; ALL such chunks refetch in
             # ONE device_get below — each separate fetch costs a full
@@ -2151,12 +2272,13 @@ def pending_outputs(p):
     if not _is_fused_pending(p):
         return p[0]
     shared, ci = p[0]
-    b0 = sum(b for b, _t in shared.plan[:ci])
-    t0 = sum(b * t for b, t in shared.plan[:ci])
-    b_pad, t_guess = shared.plan[ci]
+    b0 = sum(b for b, _t, _e in shared.plan[:ci])
+    b_pad, t_guess, _e_cap = shared.plan[ci]
+    # slice the retained full u16 tape rather than the fetch payload:
+    # the payload is the u8 delta encoding in the default mode
     return (
         shared.scores[b0 : b0 + b_pad],
-        shared.tapes[t0 : t0 + b_pad * t_guess].reshape(b_pad, t_guess),
+        shared.fulls[ci][:, :t_guess],
         shared.tlens[b0 : b0 + b_pad],
     )
 
@@ -2254,7 +2376,10 @@ def _decode_finished(pending, fetched):
 
     _out_d, vcodes, node_of, off_in, q_pad, v_pad, b_pad, n_real, qs = pending
     scores, tape, tlens = fetched
-    ops, vids = unpack_tape(tape)
+    if isinstance(tape, tuple):  # pre-decoded u8 delta tape (ops, vids)
+        ops, vids = tape
+    else:
+        ops, vids = unpack_tape(tape)
 
     with timer.phase("f_decode"):
         # decode only the real rows: batch-pad rows are zeroed throwaway
