@@ -105,3 +105,28 @@ def test_u8_tape_all_small_deltas_no_exceptions():
     got_ops, got_vids = pd._decode_tape_u8(u8, starts, excs[:0], excs[:0])
     np.testing.assert_array_equal(got_vids, vids)
     np.testing.assert_array_equal(got_ops, ops)
+
+
+def test_u8_tape_native_decoder_matches_numpy():
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.native import available, decode_tape_u8_native
+
+    if not available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(11)
+    b, t, v_max = 29, 80, 8192
+    ops, vids, tlens = _mk_tape(rng, b, t, v_max, far_prob=0.05)
+    cut = _pack_u16(ops, vids)
+    e_cap = max(256, b)
+    u8, starts, excs, n_exc = (
+        np.asarray(x) for x in pd._encode_tape_u8(jnp.asarray(cut), e_cap)
+    )
+    ep = excs[: int(n_exc)]
+    ev = excs[e_cap + 1 : e_cap + 1 + int(n_exc)]
+    ref_ops, ref_vids = pd._decode_tape_u8(u8, starts, ep, ev)
+    got_ops, got_vids = decode_tape_u8_native(u8, starts, ep, ev)
+    np.testing.assert_array_equal(got_ops, ref_ops)
+    # vids: exact where the numpy path is defined (everywhere — both
+    # carry the last value through the END fill)
+    np.testing.assert_array_equal(got_vids, ref_vids)

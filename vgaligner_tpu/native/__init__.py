@@ -163,6 +163,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(_i32p),
         ]
         lib.vg_backtrack_delta.restype = ctypes.c_int64
+        lib.vg_decode_tape_u8.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, _u8p, _i32p,
+            _i32p, _i32p, ctypes.c_int64,
+            _i8p, _i32p,
+        ]
+        lib.vg_decode_tape_u8.restype = ctypes.c_int64
         lib.vg_poa_global_host.argtypes = [
             _charp, _i64p, ctypes.c_int64, _i64p, ctypes.c_int64,
             _i8p, ctypes.c_int64,
@@ -592,6 +598,32 @@ def backtrack_delta_native(plane: np.ndarray, n_valid: np.ndarray,
         lib.vg_free(oco)
         lib.vg_free(opos)
     return read_off, chain_off, positions
+
+
+def decode_tape_u8_native(tape: np.ndarray, starts: np.ndarray,
+                          excpos: np.ndarray, excval: np.ndarray):
+    """Native inverse of the device u8 delta tape encoding (see
+    host_kernels.cpp vg_decode_tape_u8 and ops/poa_device.py
+    _encode_tape_u8).  Returns (ops i8 [b,t], vids i32 [b,t]); raises
+    on a corrupt exception stream (positions out of order / count
+    mismatch — never produced by the device encoder)."""
+    lib = get_lib()
+    assert lib is not None
+    b, t = tape.shape
+    tp = np.ascontiguousarray(tape, dtype=np.uint8)
+    st = np.ascontiguousarray(starts, dtype=np.int32)
+    ep = np.ascontiguousarray(excpos, dtype=np.int32)
+    ev = np.ascontiguousarray(excval, dtype=np.int32)
+    ops = np.empty((b, t), np.int8)
+    vids = np.empty((b, t), np.int32)
+    rc = lib.vg_decode_tape_u8(
+        b, t, tp.ctypes.data_as(_u8p), _p32(st),
+        _p32(ep), _p32(ev), len(ep),
+        ops.ctypes.data_as(_i8p), _p32(vids),
+    )
+    if rc != 0:
+        raise ValueError("corrupt u8 tape exception stream")
+    return ops, vids
 
 
 def poa_global_host_native(nodes, edges, query: str):

@@ -2124,6 +2124,42 @@ int64_t vg_backtrack_delta(
   return (int64_t)(chain_off.size() - 1);
 }
 
+// Inverse of the device-side u8 delta tape encoding
+// (ops/poa_device.py _encode_tape_u8): entry = op (2 bits) | code
+// (6 bits), code 1..61 = vid delta + 31, code 62 = exception whose
+// absolute vid rides (excpos, excval), sorted by flat position.  One
+// serial pass per row into caller-allocated (ops, vids) buffers — the
+// numpy reconstruction needs ~6 full-matrix passes, which on the
+// 1-core deployment would eat most of the bytes-halved link win.
+int64_t vg_decode_tape_u8(
+    int64_t B, int64_t T, const uint8_t* tape /* [B*T] */,
+    const int32_t* starts /* [B] */,
+    const int32_t* excpos /* [n_exc], ascending flat positions */,
+    const int32_t* excval /* [n_exc] */, int64_t n_exc,
+    int8_t* out_ops /* [B*T] */, int32_t* out_vids /* [B*T] */) {
+  int64_t e = 0;
+  for (int64_t b = 0; b < B; ++b) {
+    const uint8_t* row = tape + b * T;
+    int8_t* ops = out_ops + b * T;
+    int32_t* vids = out_vids + b * T;
+    int32_t v = starts[b];
+    const int64_t base = b * T;
+    for (int64_t j = 0; j < T; ++j) {
+      uint8_t entry = row[j];
+      ops[j] = (int8_t)(entry & 3);
+      int32_t code = entry >> 2;
+      if (code == 62) {
+        if (e >= n_exc || excpos[e] != base + j) return -1;  // corrupt
+        v = excval[e++];
+      } else if (j > 0) {
+        v += code - 31;
+      }
+      vids[j] = v;
+    }
+  }
+  return e == n_exc ? 0 : -1;
+}
+
 // ---------------------------------------------------------------------------
 // Single-threaded CPU baseline: a native restatement of the reference's
 // per-read loop (map.rs:56-111 + align.rs:58-145), used by bench.py as the

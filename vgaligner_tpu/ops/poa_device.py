@@ -2224,10 +2224,22 @@ def _finish_fused(pendings):
             if not exc_over and used <= t_guess:
                 pair = excs_cat[e0 : e0 + 2 * (e_cap + 1)]
                 with timer.phase("f_decode"):
-                    tape = _decode_tape_u8(
-                        tape, starts_cat[b0 : b0 + b_pad],
-                        pair[:n_exc], pair[e_cap + 1 : e_cap + 1 + n_exc],
-                    )
+                    from ..native import available as _native_ok
+
+                    if _native_ok():
+                        from ..native import decode_tape_u8_native
+
+                        tape = decode_tape_u8_native(
+                            tape, starts_cat[b0 : b0 + b_pad],
+                            pair[:n_exc],
+                            pair[e_cap + 1 : e_cap + 1 + n_exc],
+                        )
+                    else:
+                        tape = _decode_tape_u8(
+                            tape, starts_cat[b0 : b0 + b_pad],
+                            pair[:n_exc],
+                            pair[e_cap + 1 : e_cap + 1 + n_exc],
+                        )
         if os.environ.get("VGALIGNER_POA_DEBUG_TAPE"):
             import sys as _sys
 
