@@ -74,7 +74,9 @@ def main():
               f"({B/best:.0f} prob/s)  all={[f'{t*1e3:.0f}' for t in ts]}")
         return out, best
 
-    ox, tx = timeit(lambda: PD.poa_dp_xla(*args), "xla  ")
+    skip_xla = os.environ.get("BENCH_SKIP_XLA", "0") == "1"
+    if not skip_xla:
+        ox, tx = timeit(lambda: PD.poa_dp_xla(*args), "xla  ")
 
     from vgaligner_tpu.ops.poa_pallas2 import poa_dp_pallas2
 
@@ -82,6 +84,11 @@ def main():
         lambda: poa_dp_pallas2(*args, R=R, TB=TB, VB=VB),
         "pallas2",
     )
+    cells = float(B) * V * (L + 1)
+    print(f"pallas2 per-vertex: {tp/V*1e6:.1f} us/row-step  "
+          f"({cells/tp/1e9:.2f} Gcells/s at W={L+1})")
+    if skip_xla:
+        return
     sx, kx, tbx = [np.asarray(a) for a in ox]
     sp, kp, tbp = [np.asarray(a) for a in op]
     ok = (sx == sp).all() and (kx == kp).all()

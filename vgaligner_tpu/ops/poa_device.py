@@ -31,6 +31,7 @@ abPOA defaults); every value is exactly representable.
 
 from __future__ import annotations
 
+import logging
 import os
 from functools import partial
 from typing import List, NamedTuple, Optional, Sequence, Tuple
@@ -58,6 +59,7 @@ P_MAX = 8  # predecessor slots per vertex (fan-in above this is rejected)
 from ..utils.timing import PhaseTimer
 
 timer = PhaseTimer()
+log = logging.getLogger(__name__)
 
 # op codes on the traceback tape
 OP_M, OP_I, OP_D, OP_END = 0, 1, 2, 3
@@ -2219,27 +2221,43 @@ def _finish_fused(pendings):
         used = int(tlens[:n_real].max()) if n_real else 1
         exc_over = False
         if e_cap:
-            n_exc = int(nexcs_cat[ci])
+            # nexcs/excs carry entries ONLY for e_cap != 0 chunks, so
+            # index them by the e_cap-chunk ordinal (mirroring e0), not
+            # by the raw chunk index — a mixed-e_cap plan would silently
+            # misalign the exception slices otherwise
+            ei = sum(1 for _b, _t, e in shared.plan[:ci] if e)
+            n_exc = int(nexcs_cat[ei])
             exc_over = n_exc > e_cap
             if not exc_over and used <= t_guess:
                 pair = excs_cat[e0 : e0 + 2 * (e_cap + 1)]
                 with timer.phase("f_decode"):
                     from ..native import available as _native_ok
 
-                    if _native_ok():
-                        from ..native import decode_tape_u8_native
+                    try:
+                        if _native_ok():
+                            from ..native import decode_tape_u8_native
 
-                        tape = decode_tape_u8_native(
-                            tape, starts_cat[b0 : b0 + b_pad],
-                            pair[:n_exc],
-                            pair[e_cap + 1 : e_cap + 1 + n_exc],
+                            tape = decode_tape_u8_native(
+                                tape, starts_cat[b0 : b0 + b_pad],
+                                pair[:n_exc],
+                                pair[e_cap + 1 : e_cap + 1 + n_exc],
+                            )
+                        else:
+                            tape = _decode_tape_u8(
+                                tape, starts_cat[b0 : b0 + b_pad],
+                                pair[:n_exc],
+                                pair[e_cap + 1 : e_cap + 1 + n_exc],
+                            )
+                    except ValueError as e:
+                        # corrupt exception stream: a safe fallback (the
+                        # retained full u16 tape, same as exc_over)
+                        # exists one level up — use it instead of
+                        # aborting the whole drain
+                        log.warning(
+                            "u8 tape decode failed (%s); refetching the "
+                            "full u16 tape for chunk %d", e, ci,
                         )
-                    else:
-                        tape = _decode_tape_u8(
-                            tape, starts_cat[b0 : b0 + b_pad],
-                            pair[:n_exc],
-                            pair[e_cap + 1 : e_cap + 1 + n_exc],
-                        )
+                        exc_over = True
         if os.environ.get("VGALIGNER_POA_DEBUG_TAPE"):
             import sys as _sys
 

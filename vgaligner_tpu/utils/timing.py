@@ -10,6 +10,7 @@ everything here is opt-in via logging level or explicit collection.
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -19,11 +20,18 @@ log = logging.getLogger(__name__)
 
 
 class PhaseTimer:
-    """Accumulates wall-clock per named phase; logs at INFO."""
+    """Accumulates wall-clock per named phase; logs at INFO.
+
+    Thread-safe: the pipelined map stream (models/stream.py) runs
+    finish_map(N) on a worker thread while begin_map(N+1) times phases
+    on the main thread against the same Mapper's timer, so the
+    accumulation is guarded by a lock (the defaultdict += pairs are not
+    atomic under the GIL across the read-modify-write)."""
 
     def __init__(self) -> None:
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()
 
     @contextmanager
     def phase(self, name: str):
@@ -32,8 +40,9 @@ class PhaseTimer:
             yield
         finally:
             dt = time.monotonic() - t0
-            self.totals[name] += dt
-            self.counts[name] += 1
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
             log.info("%s took: %d ms", name, dt * 1000)
 
     def summary(self) -> Dict[str, float]:
