@@ -18,11 +18,11 @@ Behavioral reference: /root/reference/src/kmer.rs.
   per-group sorted positions.  Instead of the u64::MAX delimiter rows we
   store explicit (offset, count) pairs — the TPU-friendly layout.
 
-The modimizer (`hash % sampling_rate == 0`, kmer.rs:409,464-466) is
-supported with a deterministic 64-bit mix of the 2-bit k-mer code
-instead of ahash-with-zero-seeds; document this as a divergence (the
-sampled *set* differs from the reference when sampling is enabled, which
-the reference leaves off by default).
+The modimizer (`hash % sampling_rate == 0`, kmer.rs:409,464-466)
+defaults to a bit-exact reconstruction of ahash 0.7.6's zero-seed
+fallback hash (utils/ahash.py + its native twin; `--modimizer code`
+selects the earlier deterministic 64-bit code mix instead), so the
+sampled k-mer *set* matches the reference when sampling is enabled.
 """
 
 from __future__ import annotations

@@ -515,7 +515,7 @@ class Mapper:
         axis assembles the full rows — the only collective in the
         mapping step, at the batch boundary.  Bit-identical packed
         output to the replicated path."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         index_specs = type(dindex)(
@@ -578,7 +578,7 @@ class Mapper:
                 mesh=mesh,
                 in_specs=(P("data"), P("data"), index_specs, P()),
                 out_specs=(P("data"), P("data")),
-                check_rep=False,
+                check_vma=False,
             ))
             _SHARDED_MAP_CACHE[key] = fn
         return fn(codes, lens, dindex, gap_table)

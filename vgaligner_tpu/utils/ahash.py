@@ -27,10 +27,13 @@ This module reconstructs that algorithm:
 
 CAVEAT: ahash's crate source is not present in this image and there is
 no network access, so this is a from-memory reconstruction of
-ahash-0.7.6/src/fallback_hash.rs; it is pinned by self-consistency
-tests and mirrored bit-for-bit by the native runtime
-(host_kernels.cpp ahash07_*), but equality against the actual Rust
-crate could not be machine-verified here.  The sampled set it induces
+ahash-0.7.6/src/fallback_hash.rs; it is pinned by hand-derived
+known-answer vectors (tests/test_ahash.py KNOWN_ANSWERS — each value
+computed step by step from the algorithm spec with independent
+arithmetic, so drift in either twin is a test failure) and mirrored
+bit-for-bit by the native runtime (host_kernels.cpp ahash07_*), but
+equality against the actual Rust crate could not be machine-verified
+here.  The sampled set it induces
 is deterministic and documented; ``--modimizer code`` selects the
 splitmix64-of-code sampler instead (the r2/r3 behavior).
 """
