@@ -484,3 +484,60 @@ def test_path_kmers_native_matches_python():
     codes_d, _off_d, cnt_d, pos_d = got_d
     np.testing.assert_array_equal(codes_d, codes_p)
     assert cnt_d.sum() <= cnt_p.sum()
+
+
+@pytest.mark.skipif(not native.available(), reason="native unavailable")
+def test_chains_gaf_blob_matches_python():
+    """vg_chains_gaf must be byte-identical to joining
+    from_chain/from_placeholder_chain + to_string — forward chains,
+    placeholder rows, both-strands '-' chains, and mixed-orient
+    anchors (align.rs:762-930, 971-1027)."""
+    from vgaligner_tpu.graph import graph_from_gfa
+    from vgaligner_tpu.index import Index
+    from vgaligner_tpu.io.fastx import QuerySequence, read_seqs_from_file
+    from vgaligner_tpu.models.mapper import Chain, ChainAnchor, Mapper
+
+    g = graph_from_gfa("/root/reference/test/test.gfa")
+    index = Index.build(g, 11, 100, 100)
+    path_seqs = [
+        "".join(g.sequence(h) for h in g.get_path(p).nodes)
+        for p in g.paths_iter()
+    ]
+    from vgaligner_tpu.utils.dna import reverse_complement
+
+    queries = [
+        QuerySequence.from_name_and_string(f"p{i}", s)
+        for i, s in enumerate(path_seqs)
+    ] + [
+        # revcomp reads exercise the '-' strand flip via both_strands
+        QuerySequence.from_name_and_string(
+            f"rc{i}", reverse_complement(s)
+        )
+        for i, s in enumerate(path_seqs)
+    ] + list(read_seqs_from_file("/root/reference/test/multiple-read-test.fa"))
+
+    for both in (False, True):
+        mapper = Mapper(index, chain_min_n_anchors=3, precision="fast",
+                        both_strands=both)
+        chains = mapper.map_reads(queries)
+        want = "".join(
+            r.to_string() for r in mapper.chains_to_gaf(chains)
+        ).encode("ascii")
+        got = native.chains_gaf_blob_native(chains, index)
+        assert got is not None
+        assert got == want, f"both_strands={both}"
+        assert mapper.chains_gaf_text(chains) == want
+
+    # synthetic mixed-orient anchors (the host full-orientation API)
+    from vgaligner_tpu.io.gaf import GAFAlignment
+
+    q = QuerySequence.from_name_and_string("mix", "A" * 30)
+    anchors = [
+        ChainAnchor(id=0, qb=0, qe=11, tb=3, te=14, so=0, eo=1),
+        ChainAnchor(id=1, qb=5, qe=16, tb=9, te=20, so=1, eo=0),
+        ChainAnchor(id=2, qb=9, qe=20, tb=30, te=41, so=1, eo=1),
+    ]
+    ch = Chain.from_anchor_list(q, anchors)
+    want1 = GAFAlignment.from_chain(ch, index).to_string().encode("ascii")
+    got1 = native.chains_gaf_blob_native([[ch]], index)
+    assert got1 == want1

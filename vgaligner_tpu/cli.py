@@ -262,10 +262,16 @@ def map_main(args) -> None:
     def _on_chains(batch_chains):
         nonlocal n_chains
         n_chains += sum(len(c) for c in batch_chains)
-        recs = mapper.chains_to_gaf(batch_chains)
-        writer.write_chains(len(batch_chains), recs)
         if keep_chains:
+            # console echo retains records; the record path feeds the
+            # writer too so echoed and written rows come from one source
+            recs = mapper.chains_to_gaf(batch_chains)
+            writer.write_chains(len(batch_chains), recs)
             chains_gaf.extend(recs)
+        else:
+            writer.write_chains(
+                len(batch_chains), mapper.chains_gaf_text(batch_chains)
+            )
 
     def _on_alignments(batch_alns):
         nonlocal n_alignments

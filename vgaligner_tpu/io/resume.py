@@ -88,9 +88,12 @@ class ResumableGafWriter:
         return self.reads_done
 
     @staticmethod
-    def _write_batch(fh, records: Sequence) -> None:
-        for rec in records:
-            fh.write(rec.to_string().encode())
+    def _write_batch(fh, records) -> None:
+        if isinstance(records, (bytes, bytearray)):
+            fh.write(records)  # pre-assembled text blob (native GAF path)
+        else:
+            for rec in records:
+                fh.write(rec.to_string().encode())
         fh.flush()
         os.fsync(fh.fileno())  # data must be durable BEFORE the commit
 

@@ -196,6 +196,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(_i64p), ctypes.POINTER(_i64p),
         ]
         lib.vg_map_read_chains.restype = ctypes.c_int64
+        lib.vg_chains_gaf.argtypes = [
+            ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
+            _i8p, _i8p, _u8p, _i32p, _i64p,
+            _charp, _i64p, ctypes.c_int64,
+            _i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_void_p), _i64p,
+        ]
+        lib.vg_chains_gaf.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -832,6 +840,82 @@ def finish_tapes_native(ops: np.ndarray, vids: np.ndarray, tlens: np.ndarray,
     node_paths = [np_buf[p, : np_len[p]].tolist() for p in range(B)]
     path_vertices = [pv_buf[p, : pv_len[p]].tolist() for p in range(B)]
     return cigars, css, node_paths, path_vertices, scalars
+
+
+def chains_gaf_blob_native(per_read_chains, index) -> "bytes | None":
+    """Batch chains-GAF text (GAFAlignment.from_chain + to_string,
+    align.rs:762-930/971-1027) assembled in ONE native pass.
+
+    Returns the full GAF blob (rows for every chain of every read, in
+    input order, placeholder rows included) or None when the native
+    runtime is unavailable — callers fall back to the Python
+    from_chain path, which test_native pins as byte-identical."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    chains = [c for cs in per_read_chains for c in cs]
+    n = len(chains)
+    mem_off = np.zeros(n + 1, dtype=np.int64)
+    qlen = np.zeros(n, dtype=np.int64)
+    strand = np.zeros(n, dtype=np.uint8)
+    mapq = np.zeros(n, dtype=np.int32)
+    name_off = np.zeros(n + 1, dtype=np.int64)
+    names: list = []
+    parts_qb: list = []
+    parts_tb: list = []
+    parts_te: list = []
+    parts_so: list = []
+    parts_eo: list = []
+    any_orient = False
+    for i, c in enumerate(chains):
+        # None names render as '*' (to_string's missing-column rule)
+        nm = "*" if c.query.name is None else c.query.name
+        names.append(nm)
+        name_off[i + 1] = name_off[i] + len(nm)
+        qlen[i] = len(c.query.seq)
+        if c.is_placeholder or c.n_anchors == 0:
+            mem_off[i + 1] = mem_off[i]
+            continue
+        mem_off[i + 1] = mem_off[i] + c.n_anchors
+        strand[i] = 1 if getattr(c, "strand", "+") == "-" else 0
+        mapq[i] = min(int(max(c.mapping_quality, 0.0)), 254)
+        parts_qb.append(np.asarray(c.aqb, dtype=np.int64))
+        parts_tb.append(np.asarray(c.atb, dtype=np.int64))
+        parts_te.append(np.asarray(c.ate, dtype=np.int64))
+        if c.aso is not None:
+            parts_so.append(np.asarray(c.aso, dtype=np.int8))
+            parts_eo.append(np.asarray(c.aeo, dtype=np.int8))
+            any_orient = True
+        else:
+            parts_so.append(np.zeros(c.n_anchors, dtype=np.int8))
+            parts_eo.append(np.zeros(c.n_anchors, dtype=np.int8))
+    zero = np.zeros(1, dtype=np.int64)
+    qb = np.concatenate(parts_qb) if parts_qb else zero
+    tb = np.concatenate(parts_tb) if parts_tb else zero
+    te = np.concatenate(parts_te) if parts_te else zero
+    if any_orient:
+        so = np.concatenate(parts_so)
+        eo = np.concatenate(parts_eo)
+        so_p, eo_p = _p8(so), _p8(eo)
+    else:
+        so_p = eo_p = None
+    blob = "".join(names).encode("ascii")
+    ns = np.ascontiguousarray(index.node_starts, dtype=np.int64)
+    out = ctypes.c_void_p()
+    out_len = np.zeros(1, dtype=np.int64)
+    rc = lib.vg_chains_gaf(
+        n, _p64(mem_off), _p64(qb), _p64(tb), _p64(te), so_p, eo_p,
+        strand.ctypes.data_as(_u8p), _p32(mapq), _p64(qlen),
+        blob, _p64(name_off), index.kmer_length,
+        _p64(ns), index.n_nodes, index.seq_length,
+        ctypes.byref(out), _p64(out_len),
+    )
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out.value, int(out_len[0]))
+    finally:
+        lib.vg_free(out)
 
 
 def baseline_map_align_native(index, seqs, bandwidth: int = 50,

@@ -2406,4 +2406,135 @@ int64_t vg_baseline_map_align(
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Batch chains-GAF assembly (GAFAlignment::from_chain + to_string,
+// align.rs:762-930, 971-1027): the last non-native host phase of the
+// map stream.  One pass over the flat per-chain anchor arrays emits the
+// full chains-GAF text blob — node-id rank/select via binary search on
+// the node_starts prefix array, the "(>id:off,>id:off)," tuple per
+// anchor, the both-strands '-' flip (back-to-front tuples, mirrored
+// offsets, flipped signs), and the placeholder (unmapped) row.
+// Row order is the caller's flat chain order (reads in input order,
+// chains per read in discovery order) — identical bytes to the Python
+// from_chain/to_string path, which stays as the fallback and the
+// equivalence-test oracle.
+// ---------------------------------------------------------------------------
+
+namespace {
+inline int64_t gaf_node_id_fwd(const int64_t* node_starts, int64_t n_nodes,
+                               int64_t pos) {
+  // np.searchsorted(node_starts[:n_nodes+1], pos, side='right')
+  const int64_t* e = node_starts + n_nodes + 1;
+  return std::upper_bound(node_starts, e, pos) - node_starts;
+}
+inline int64_t gaf_node_id_rev(const int64_t* node_starts, int64_t n_nodes,
+                               int64_t seq_len, int64_t pos) {
+  // np.searchsorted(node_starts[:n_nodes], seq_len - pos, side='left')
+  const int64_t* e = node_starts + n_nodes;
+  return std::lower_bound(node_starts, e, seq_len - pos) - node_starts;
+}
+inline char* put_i64(char* p, int64_t v) {
+  if (v < 0) { *p++ = '-'; v = -v; }
+  char tmp[20];
+  int n = 0;
+  do { tmp[n++] = (char)('0' + v % 10); v /= 10; } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+}  // namespace
+
+int64_t vg_chains_gaf(
+    int64_t n_chains,
+    const int64_t* mem_off,  // [n_chains+1] flat anchor offsets
+    const int64_t* aqb, const int64_t* atb, const int64_t* ate,
+    const int8_t* aso, const int8_t* aeo,  // [total] orients or NULL=fwd
+    const uint8_t* strand_rev,             // [n_chains] 1 = '-'
+    const int32_t* mapq,                   // [n_chains] saturated 0..254
+    const int64_t* qlen,                   // [n_chains]
+    const char* names, const int64_t* name_off,  // [n_chains+1]
+    int64_t k,
+    const int64_t* node_starts, int64_t n_nodes, int64_t seq_len,
+    char** out, int64_t* out_len) {
+  // upper bound: per anchor "(>id:off,>id:off)," <= 2*(2+19+1+19) + 3;
+  // fixed columns + notes <= ~120 + name
+  int64_t cap = 0;
+  for (int64_t c = 0; c < n_chains; ++c) {
+    int64_t n = mem_off[c + 1] - mem_off[c];
+    cap += 128 + (name_off[c + 1] - name_off[c]) + n * 88;
+  }
+  char* buf = (char*)std::malloc((size_t)cap + 64);
+  if (!buf) return -1;
+  char* p = buf;
+  for (int64_t c = 0; c < n_chains; ++c) {
+    int64_t a0 = mem_off[c], a1 = mem_off[c + 1];
+    int64_t n = a1 - a0;
+    const char* nm = names + name_off[c];
+    int64_t nm_len = name_off[c + 1] - name_off[c];
+    std::memcpy(p, nm, (size_t)nm_len);
+    p += nm_len;
+    *p++ = '\t';
+    p = put_i64(p, qlen[c]);
+    *p++ = '\t';
+    if (n == 0) {  // placeholder row (align.rs:913-930)
+      std::memcpy(p, "*\t*\t*\t*\t*\t*\t*\t*\t*\t0\t*\n", 22);
+      p += 22;
+      continue;
+    }
+    bool rev = strand_rev[c] != 0;
+    int64_t qs = aqb[a0], qe = aqb[a1 - 1] + k;
+    if (rev) {
+      int64_t t = qs;
+      qs = qlen[c] - qe;
+      qe = qlen[c] - t;
+    }
+    p = put_i64(p, qs);
+    *p++ = '\t';
+    p = put_i64(p, qe);
+    *p++ = '\t';
+    *p++ = rev ? '-' : '+';
+    *p++ = '\t';
+    // anchor tuples; each anchor contributes (start, end-1) positions
+    for (int64_t i = 0; i < n; ++i) {
+      // rev: traverse back-to-front, each anchor end-first
+      int64_t j = rev ? a1 - 1 - i : a0 + i;
+      int64_t pos_a = rev ? ate[j] - 1 : atb[j];
+      int64_t pos_b = rev ? atb[j] : ate[j] - 1;
+      int8_t or_a = aso ? (rev ? aeo[j] : aso[j]) : 0;
+      int8_t or_b = aso ? (rev ? aso[j] : aeo[j]) : 0;
+      *p++ = '(';
+      for (int half = 0; half < 2; ++half) {
+        int64_t pos = half ? pos_b : pos_a;
+        int8_t orient = half ? or_b : or_a;
+        int64_t id = orient == 0
+                         ? gaf_node_id_fwd(node_starts, n_nodes, pos)
+                         : gaf_node_id_rev(node_starts, n_nodes, seq_len, pos);
+        int64_t off = pos - node_starts[id > 0 ? id - 1 : 0];
+        if (rev) {  // mirror onto the opposite orientation
+          int64_t node_len = node_starts[id] - node_starts[id - 1];
+          off = node_len - 1 - off;
+          orient = orient == 0 ? 1 : 0;
+        }
+        *p++ = orient == 0 ? '>' : '<';
+        p = put_i64(p, id);
+        *p++ = ':';
+        p = put_i64(p, off);
+        if (half == 0) *p++ = ',';
+      }
+      *p++ = ')';
+      *p++ = ',';
+    }
+    // path_length..alignment_block_length are zeros (align.rs:880-889)
+    std::memcpy(p, "\t0\t0\t0\t0\t0\t", 11);
+    p += 11;
+    p = put_i64(p, mapq[c]);
+    std::memcpy(p, "\tta:Z:chain,n_anchors: ", 23);
+    p += 23;
+    p = put_i64(p, n);
+    *p++ = '\n';
+  }
+  *out = buf;
+  *out_len = p - buf;
+  return 0;
+}
+
 }  // extern "C"
