@@ -274,3 +274,27 @@ def test_find_range_chain_reverse_and_both(tindex):
     for h in rng2.handles:
         by_id.setdefault(handle_id(h), set()).add(handle_is_reverse(h))
     assert all(v == {False, True} for v in by_id.values())
+
+
+def test_trimmed_poa_score():
+    """Flank-penalty-free cs re-scoring (PoaAligner.trimmed_poa_score):
+    leading/trailing deletion runs stripped, interior ops scored at
+    abPOA defaults (match +2, mismatch -4, two-piece gap)."""
+    from vgaligner_tpu.models.poa_aligner import PoaAligner
+
+    f = PoaAligner.trimmed_poa_score
+    assert f("cs:Z::50") == 100
+    # leading deletion stripped; mismatch -4
+    assert f("cs:Z:-acg:10*at:5") == 20 - 4 + 10
+    # trailing deletion stripped
+    assert f("cs:Z::10-acgt") == 20
+    # interior deletion pays gap cost min(4+2g, 24+g): g=3 -> 10
+    assert f("cs:Z::10-acg:10") == 40 - 10
+    # insertion: g=2 -> 8
+    assert f("cs:Z::5+ac:5") == 20 - 8
+    # long gap crosses the two-piece crossover: g=25 -> 24+25 = 49
+    assert f("cs:Z::20-" + "a" * 25 + ":20") == 80 - 49
+    # both flanks + prefix-less string (no cs:Z: header)
+    assert f(":-aaaa:7-cc"[1:]) == 14
+    # flank-only alignment degenerates to 0
+    assert f("cs:Z:-acgt") == 0

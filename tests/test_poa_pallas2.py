@@ -178,22 +178,34 @@ def test_ring_for_chunk_routing(monkeypatch):
         nv8 = np.full(8, 1800, np.int32)
         assert PD._ring_for_chunk(vp, nv8, 8, 2048, 127) == 16, d
 
-    # more than PIN_K distinct far vertices in ONE problem escalates R
-    # up the ladder; far-by-every-rung forces the XLA route
+    # more than PIN_K distinct far vertices in ONE problem escalates the
+    # pin budget K toward PIN_K_MAX first (r5) — the smallest ring wins
     vp = np.full((8, 2048, 2), -1, np.int32)
     for v in range(1, 1800):
         vp[:, v, 0] = v - 1
     for i in range(PD.PIN_K + 1):
         vp[0, 1700 + i, 1] = i * 60  # deltas ~1700-1100, > 1024
     nv8 = np.full(8, 1800, np.int32)
+    assert PD._ring_for_chunk(vp, nv8, 8, 2048, 127) == 16
+    # beyond PIN_K_MAX distinct far vertices AND deltas past every rung:
+    # the XLA route remains
+    vp = np.full((8, 2048, 2), -1, np.int32)
+    for v in range(1, 1800):
+        vp[:, v, 0] = v - 1
+    for i in range(PD.PIN_K_MAX + 1):
+        vp[0, 1700 + i, 1] = i * 40  # 15 distinct far preds, deltas > 1024
     assert PD._ring_for_chunk(vp, nv8, 8, 2048, 127) == 0
-    # same fan-out but deltas near 600: R=1024 covers them without pins
+    # PIN_K_MAX escalation carries through planning with pins assigned
     vp = np.full((8, 2048, 2), -1, np.int32)
     for v in range(1, 1800):
         vp[:, v, 0] = v - 1
     for i in range(PD.PIN_K + 1):
         vp[0, 700 + i, 1] = 100 + i  # deltas ~600
-    assert PD._ring_for_chunk(vp, nv8, 8, 2048, 127) == 1024
+    dplane, exc_idx, exc_pred = PD.encode_pred_deltas(vp, nv8, max_delta=14)
+    r, pins, k = PD._plan_ring_pins(
+        dplane, exc_idx, exc_pred, 2048, 2, 8, 127, allow_pins=True
+    )
+    assert r == 16 and k == PD.PIN_K_MAX and (pins < 255).sum() == PD.PIN_K + 1
 
     # pins can be disabled: the old ladder semantics return
     monkeypatch.setenv("VGALIGNER_POA_PINS", "0")
@@ -222,7 +234,7 @@ def _pins_for_arrays(vpred, nv, b_pad, V, l_pad):
     _decode_wire4 does."""
     P = vpred.shape[-1]
     dplane, exc_idx, exc_pred = PD.encode_pred_deltas(vpred, nv, max_delta=14)
-    R, exc_pin = PD._plan_ring_pins(
+    R, exc_pin, _K = PD._plan_ring_pins(
         dplane, exc_idx, exc_pred, V, P, b_pad, l_pad, allow_pins=True
     )
     pinplane = np.full((b_pad, V), -1, np.int8)
@@ -310,7 +322,7 @@ def test_wire4_pin_roundtrip():
     b_pad = len(problems)
     P = vpred.shape[-1]
     dplane, exc_idx, exc_pred = PD.encode_pred_deltas(vpred, nv, max_delta=14)
-    R, exc_pin = PD._plan_ring_pins(
+    R, exc_pin, _K = PD._plan_ring_pins(
         dplane, exc_idx, exc_pred, v_pad, P, b_pad, l_pad, allow_pins=True
     )
     assert R == 16 and (exc_pin < 255).any()
@@ -420,6 +432,61 @@ def test_drb1_corridor_chunks_all_ride_pallas():
             built, [qs[i] for i in idxs], v_pad, l_pad
         ):
             assert version == "v4"
-            assert dims[-1] > 0, f"XLA fallback at V={v_pad} dims={dims}"
+            assert dims[6] > 0, f"XLA fallback at V={v_pad} dims={dims}"
+            assert dims[7] >= PD.PIN_K  # pin budget rides the dims
             checked += 1
     assert checked >= 4  # several chunk shapes exercised
+
+
+def test_pallas2_escalated_pin_budget():
+    """Chunks needing more than PIN_K (but <= PIN_K_MAX) pinned far
+    rows: the r5 pin-budget escalation keeps them on the Pallas kernel
+    — scores/sinks/real traceback rows must match the XLA scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from vgaligner_tpu.ops.poa_pallas2 import poa_dp_pallas2
+
+    rng = np.random.default_rng(31)
+    n_far = PD.PIN_K + 2  # 10 distinct far hubs per problem
+    problems = []
+    for i in range(8):
+        n_nodes = 80
+        nodes = [
+            "".join("ACGT"[c] for c in rng.integers(0, 4, 2))
+            for _ in range(n_nodes)
+        ]
+        edges = [(j, j + 1) for j in range(n_nodes - 1)]
+        # n_far early hubs each referenced from deep in the chain
+        # (deltas ~60-150 vertex ranks >> R=16)
+        edges += [(j, 40 + 3 * j) for j in range(n_far)]
+        q = "".join(nodes)[5 : 5 + 100]
+        problems.append((nodes, edges, q))
+    arrs = _padded_arrays(problems, 256, 127)
+    vpred, nv = arrs[1], arrs[3]
+    b_pad = len(problems)
+    P = vpred.shape[-1]
+    dplane, exc_idx, exc_pred = PD.encode_pred_deltas(vpred, nv, max_delta=14)
+    R, exc_pin, K = PD._plan_ring_pins(
+        dplane, exc_idx, exc_pred, 256, P, b_pad, 127, allow_pins=True
+    )
+    assert R == 16 and K == PD.PIN_K_MAX
+    assert (exc_pin < 255).any()
+    pinplane = np.full((b_pad, 256), -1, np.int8)
+    real = (exc_idx < b_pad * 256 * P) & (exc_pin < 255)
+    b_of = exc_idx[real] // (256 * P)
+    pinplane[b_of, exc_pred[real]] = exc_pin[real].astype(np.int8)
+    assert (pinplane >= 0).sum() >= n_far  # > PIN_K distinct pins live
+    args = [jnp.asarray(a) for a in arrs]
+
+    sx, kx, tbx = jax.device_get(PD.poa_dp_xla(*args))
+    sp, kp, tbp = jax.device_get(
+        poa_dp_pallas2(
+            *args, R=R, TB=8, VB=256, pinplane=jnp.asarray(pinplane),
+            K=K, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(sx, sp)
+    np.testing.assert_array_equal(kx, kp)
+    for b in range(b_pad):
+        np.testing.assert_array_equal(tbx[b, : nv[b]], tbp[b, : nv[b]])

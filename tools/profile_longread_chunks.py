@@ -83,7 +83,8 @@ def main():
 
 
 def _profile_chunk(wire, dims):
-        b_pad, V, P, l_pad, n_exc, t_pad, R = dims
+        b_pad, V, P, l_pad, n_exc, t_pad, R = dims[:7]
+        K = dims[7] if len(dims) > 7 else PD.PIN_K
         wire_d = jax.device_put(wire)
         kern = PD.poa_global_kernel_wire4
 
@@ -119,20 +120,20 @@ def _profile_chunk(wire, dims):
             is_sink = (vcp >> 5) != 0
             vpred = vp16.astype(jnp.int32)
             geo = PD._pallas2_geometry(b_pad, V, l_pad, R, vp16.shape[-1],
-                                       PD.PIN_K) if R else None
+                                       K) if R else None
             if geo and jax.default_backend() != "cpu":
                 from vgaligner_tpu.ops.poa_pallas2 import poa_dp_pallas2
                 TB, VB = geo
                 return poa_dp_pallas2(
                     vcodes, vpred, is_sink, nv, q, nq, init_row,
-                    R=R, TB=TB, VB=VB, pinplane=pin, K=PD.PIN_K)[:2]
+                    R=R, TB=TB, VB=VB, pinplane=pin, K=K)[:2]
             return PD.poa_dp_xla(vcodes, vpred, is_sink, nv, q, nq,
                                  init_row)[:2]
 
         t_dp, _ = t(lambda: _dp(vcp, vp16, nv, q, nq, pin))
         # full fetch: all three outputs to host
         t_fetch, _ = t(lambda: jax.device_get(kern(wire_d, *dims)))
-        geo = PD._pallas2_geometry(b_pad, V, l_pad, R, P, PD.PIN_K)
+        geo = PD._pallas2_geometry(b_pad, V, l_pad, R, P, K)
         print(f"  chunk b={b_pad} V={V} W={l_pad+1} R={R} geo={geo}: "
               f"dp {t_dp*1e3:.0f} ms | dp+tb {t_full*1e3:.0f} ms | "
               f"+fetch {t_fetch*1e3:.0f} ms")

@@ -474,6 +474,17 @@ def _rebase_trimmed_offsets(res, rng: "OrientedGraphRange") -> None:
     res.path_end_offset += base(res.node_path[-1])
 
 
+def _corridor_score_key(a) -> int:
+    """Corridor-mode candidate ordering: the flank-penalty-free trimmed
+    score when available (see PoaAligner.trimmed_poa_score), else the
+    raw global score, else bottom (placeholders)."""
+    t = getattr(a, "poa_score_trim", None)
+    if t is not None:
+        return t
+    s = getattr(a, "poa_score", None)
+    return -(1 << 60) if s is None else s
+
+
 class PoaEngine(Enum):
     ABPOA = "abpoa"
     RSPOA = "rspoa"
@@ -595,10 +606,7 @@ class PoaAligner:
             getattr(a, "poa_score", None) is not None for a in alignments
         ):
             alignments.sort(
-                key=lambda a: (
-                    -(1 << 60) if getattr(a, "poa_score", None) is None
-                    else a.poa_score
-                ),
+                key=_corridor_score_key,
                 reverse=True,
             )
         else:
@@ -662,6 +670,7 @@ class PoaAligner:
             ):
                 a = GAFAlignment.from_abpoa_result(res, chain, handles)
                 a.poa_score = res.best_score
+                a.poa_score_trim = self.trimmed_poa_score(res.cs)
                 per_read.setdefault(qi, []).append(a)
             return self._select_best(per_read_chains, per_read)
         _tag, per_read_chains, selected, placeholders = state
@@ -689,9 +698,67 @@ class PoaAligner:
                 _rebase_trimmed_offsets(res, rng)
                 a = GAFAlignment.from_abpoa_result(res, chain, rng.handles)
                 a.poa_score = res.best_score
+                a.poa_score_trim = self.trimmed_poa_score(res.cs)
                 per_read.setdefault(qi, []).append(a)
 
         return self._select_best(per_read_chains, per_read)
+
+    @staticmethod
+    def trimmed_poa_score(cs: str) -> int:
+        """Flank-penalty-free POA score from a cs difference string:
+        the global score of ONLY the matched span, with leading and
+        trailing deletion runs (the corridor's flank slack, which the
+        global alignment deletes through) stripped.
+
+        Raw global scores are NOT comparable across tied chains — each
+        chain's corridor carries different flank slack, so the r4
+        best-raw-score tie-break measured WORSE (NOTES.md: 4-A3105
+        0.887 -> 0.780).  Trimming the flank deletions makes the
+        candidates commensurable: what remains scores exactly the
+        read-vs-copy alignment (match +2, mismatch -4, two-piece gaps
+        min(4+2g, 24+g) — abPOA defaults, ops/poa.py:35-45)."""
+        from ..ops.poa import MATCH, MISMATCH, gap_cost
+
+        runs = []  # (op, length) with op in ':*+-'
+        i = 0
+        if cs.startswith("cs:Z:"):
+            i = 5
+        n = len(cs)
+        while i < n:
+            op = cs[i]
+            i += 1
+            if op == ":":
+                j = i
+                while j < n and cs[j].isdigit():
+                    j += 1
+                runs.append((op, int(cs[i:j])))
+                i = j
+            elif op == "*":
+                runs.append((op, 1))
+                i += 2  # ref base + query base
+            elif op in "+-":
+                j = i
+                while j < n and cs[j] not in ":*+-":
+                    j += 1
+                runs.append((op, j - i))
+                i = j
+            else:  # unknown tail (e.g. ',cg:Z:...' suffix): stop
+                break
+        # strip flank deletion runs
+        a, b = 0, len(runs)
+        while a < b and runs[a][0] == "-":
+            a += 1
+        while b > a and runs[b - 1][0] == "-":
+            b -= 1
+        score = 0
+        for op, ln in runs[a:b]:
+            if op == ":":
+                score += MATCH * ln
+            elif op == "*":
+                score += MISMATCH * ln
+            else:
+                score -= gap_cost(ln)
+        return score
 
     def _select_best(self, per_read_chains, per_read: dict) -> List[GAFAlignment]:
         """Per read, keep the longest path_length (align.rs:52-54); in
@@ -705,10 +772,7 @@ class PoaAligner:
                 getattr(a, "poa_score", None) is not None for a in alns
             ):
                 alns.sort(
-                    key=lambda a: (
-                        -(1 << 60) if getattr(a, "poa_score", None) is None
-                        else a.poa_score
-                    ),
+                    key=_corridor_score_key,
                     reverse=True,
                 )
             else:
@@ -985,4 +1049,5 @@ class PoaAligner:
         _rebase_trimmed_offsets(res, extended)
         a = GAFAlignment.from_abpoa_result(res, chain, extended.handles)
         a.poa_score = res.best_score
+        a.poa_score_trim = self.trimmed_poa_score(res.cs)
         return a

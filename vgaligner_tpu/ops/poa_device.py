@@ -738,6 +738,17 @@ def pack_chunk_wire4(vnib, dnib, nv, qnib, nq, exc_idx, exc_pd16, exc_pin):
     )
 
 
+PIN_K = 8  # pinned far rows in the v2 Pallas kernel (see _plan_ring_pins)
+# per-chunk escalation cap: the v4 combo plane carries pin+1 in a 4-bit
+# field, so up to 14 pin rows are addressable.  The default stays at
+# PIN_K (more rows shrink the ring's TB at W=128); chunks whose
+# per-problem far fan-out exceeds PIN_K escalate K before giving up the
+# Pallas kernel — measured r5: the 1 kb read drain's V=4096 corridor
+# chunk needs 10 pins at R=64 and used to fall to the ~15x XLA scan
+# (~490 ms of a ~750 ms drain)
+PIN_K_MAX = 14
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def _decode_wire4(wire, B, V, P, L, E, T):
     """Unpack the nibble-plane wire (see poa_global_kernel_wire4);
@@ -804,7 +815,7 @@ def _decode_wire4(wire, B, V, P, L, E, T):
     return vcodes_p, vpred16, nv, q, nq, pinplane
 
 
-def poa_global_kernel_wire4(wire, B, V, P, L, E, T, R=0):
+def poa_global_kernel_wire4(wire, B, V, P, L, E, T, R=0, K=PIN_K):
     """Nibble-plane wire (the production TPU entry point): wire3 with
     both row-packed planes at 4 bits per vertex — the vertex value is
     code (3b) + sink (1b) exactly, and slot-0 deltas are capped at 14
@@ -816,7 +827,7 @@ def poa_global_kernel_wire4(wire, B, V, P, L, E, T, R=0):
         wire, B, V, P, L, E, T
     )
     return poa_global_kernel_packed(
-        vcodes_p, vpred16, nv, q, nq, R, pinplane
+        vcodes_p, vpred16, nv, q, nq, R, pinplane, K
     )
 
 
@@ -932,12 +943,10 @@ def _pallas2_geometry(B: int, V: int, L: int, R: int = 16, P: int = 2,
     return None
 
 
-PIN_K = 8  # pinned far rows in the v2 Pallas kernel (see _plan_ring_pins)
 
-
-@partial(jax.jit, static_argnums=(5,))
+@partial(jax.jit, static_argnums=(5, 7))
 def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq, R: int = 0,
-                             pinplane=None):
+                             pinplane=None, K: int = PIN_K):
     """Wire-format variant of poa_global_kernel: ONE device launch per
     chunk for DP + traceback, with the dispatch payload shrunk for the
     host link (measured ~33 ms fixed round trip + ~50 MB/s):
@@ -969,7 +978,7 @@ def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq, R: int = 0,
     is_sink = (vcodes_p >> 5) != 0
     vpred = vpred16.astype(jnp.int32)
     geo = (
-        _pallas2_geometry(B, V, L, R, vpred16.shape[-1], PIN_K)
+        _pallas2_geometry(B, V, L, R, vpred16.shape[-1], K)
         if R else None
     )
     if geo and jax.default_backend() != "cpu":
@@ -978,7 +987,7 @@ def poa_global_kernel_packed(vcodes_p, vpred16, nv, q, nq, R: int = 0,
         TB, VB = geo
         score, best_sink, tbits = poa_dp_pallas2(
             vcodes, vpred, is_sink, nv, q, nq, init_row,
-            R=R, TB=TB, VB=VB, pinplane=pinplane, K=PIN_K,
+            R=R, TB=TB, VB=VB, pinplane=pinplane, K=K,
         )
     else:
         score, best_sink, tbits = poa_dp_xla(
@@ -1531,7 +1540,7 @@ def _ring_for_chunk(vpred_s, nv, b_pad: int, V: int, l_pad: int) -> int:
     one of at most PIN_K per-problem far-referenced vertices holding a
     pin slot."""
     dplane, exc_idx, exc_pred = encode_pred_deltas(vpred_s, nv, max_delta=14)
-    r, _pins = _plan_ring_pins(
+    r, _pins, _k = _plan_ring_pins(
         dplane, exc_idx, exc_pred, V, vpred_s.shape[-1], b_pad, l_pad
     )
     return r
@@ -1552,15 +1561,21 @@ def _plan_ring_pins(dplane, exc_idx, exc_pred, V: int, P: int,
     pred-id order — measured <= 4 distinct far vertices per problem on
     DRB1 corridor chunks even at R=16, so the smallest rung almost
     always wins, which shrinks the ring and doubles TB).  A problem
-    needing more than PIN_K pins escalates R along the 16/64/256/512/
-    1024 ladder; only past that does the chunk ride the XLA scan.
+    needing more than PIN_K pins first escalates the pin budget K to
+    PIN_K_MAX (the 4-bit wire field limit; extra pin rows only cost
+    ring VMEM on the chunks that need them), then R along the
+    16/64/256/512/1024 ladder; only past that does the chunk ride the
+    XLA scan.  r5: the escalation rescued the 1 kb drain's V=4096
+    corridor chunk (10 far preds/problem at R=64 — previously ~490 ms
+    of XLA scan per drain).
 
-    Returns (R, exc_pin): R == 0 means XLA; exc_pin is a uint8 [E]
+    Returns (R, exc_pin, K): R == 0 means XLA; exc_pin is a uint8 [E]
     plane (pin slot per exception, 255 = not pinned) when allow_pins,
     else None (the v2/v3 wires carry no pin channel, so R must cover
-    every delta outright)."""
+    every delta outright); K is the pin-row budget the kernel must
+    reserve (PIN_K unless escalated)."""
     if os.environ.get("VGALIGNER_POA_PALLAS2", "1") == "0":
-        return 0, None
+        return 0, None, 0
     if os.environ.get("VGALIGNER_POA_PINS", "1") == "0":
         allow_pins = False
     d0 = int(dplane.max()) if dplane.size else 1
@@ -1573,21 +1588,29 @@ def _plan_ring_pins(dplane, exc_idx, exc_pred, V: int, P: int,
     while r < d0 and r < 1024:
         r <<= 2 if r < 256 else 1
     if d0 > r:
-        return 0, None
+        return 0, None, 0
     no_pins = np.full(len(exc_idx), 255, np.uint8) if allow_pins else None
     while True:
         # larger rungs only shrink the geometry's options, so a failure
         # here is terminal
         if not _pallas2_geometry(b_pad, V, l_pad, r, P, PIN_K):
-            return 0, None
+            return 0, None, 0
         far = live & (delta_e > r)
         if not far.any():
-            return r, no_pins
+            return r, no_pins, PIN_K
         if allow_pins:
             keys = b_i[far] * V + exc_pred[far].astype(np.int64)
             uniq = np.unique(keys)
             ub = uniq // V
-            if int(np.bincount(ub).max()) <= PIN_K:
+            need = int(np.bincount(ub).max())
+            k_use = 0
+            if need <= PIN_K:
+                k_use = PIN_K
+            elif need <= PIN_K_MAX and _pallas2_geometry(
+                b_pad, V, l_pad, r, P, PIN_K_MAX
+            ):
+                k_use = PIN_K_MAX
+            if k_use:
                 is_new = np.concatenate([[True], ub[1:] != ub[:-1]])
                 grp_start = np.maximum.accumulate(
                     np.where(is_new, np.arange(len(uniq)), 0)
@@ -1595,9 +1618,9 @@ def _plan_ring_pins(dplane, exc_idx, exc_pred, V: int, P: int,
                 slot_u = (np.arange(len(uniq)) - grp_start).astype(np.uint8)
                 exc_pin = np.full(len(exc_idx), 255, np.uint8)
                 exc_pin[far] = slot_u[np.searchsorted(uniq, keys)]
-                return r, exc_pin
+                return r, exc_pin, k_use
         if r >= 1024:
-            return 0, None
+            return 0, None, 0
         r <<= 2 if r < 256 else 1
 
 
@@ -1639,7 +1662,7 @@ def _native_pack_v4(vcodes_p, vpred_s, nv, q_pad, nq, b_pad, V, P, l_pad):
         ((exc_idx.astype(np.int64) // P) % V) - exc_pd16.astype(np.int64),
         -1,
     ).astype(np.int32)
-    R, exc_pin = _plan_ring_pins(
+    R, exc_pin, K_pins = _plan_ring_pins(
         np.zeros(1, np.uint8), exc_idx, exc_pred, V, P, b_pad, l_pad,
         allow_pins=True,
     )
@@ -1648,7 +1671,7 @@ def _native_pack_v4(vcodes_p, vpred_s, nv, q_pad, nq, b_pad, V, P, l_pad):
     wire = pack_chunk_wire4(
         vnib, dnib, nv, nibble_fold(q_pad), nq, exc_idx, exc_pd16, exc_pin
     )
-    return wire, (b_pad, V, P, l_pad, e_pad, t_pad, R)
+    return wire, (b_pad, V, P, l_pad, e_pad, t_pad, R, K_pins or PIN_K)
 
 
 def kernel_prepare(built, qs, v_pad: int, l_pad: int):
@@ -1693,7 +1716,7 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
                 # this chunk rides the int32-pred wire3
                 version = "v3"
         # only the v4 wire carries the pinned-far-row channel
-        R, exc_pin = _plan_ring_pins(
+        R, exc_pin, K_pins = _plan_ring_pins(
             dplane, exc_idx, exc_pred, V, P, b_pad, l_pad,
             allow_pins=(version == "v4"),
         )
@@ -1702,6 +1725,7 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
                 vcodes_p, dplane, nv, q_pad, nq, exc_idx, exc_pred
             )
             dims = (b_pad, V, P, l_pad, len(exc_idx), R)
+
         else:
             vcodes_f = pack_rows(vcodes_p, nv)
             dplane_f = pack_rows(dplane, nv)
@@ -1715,6 +1739,8 @@ def kernel_prepare(built, qs, v_pad: int, l_pad: int):
                     [dplane_f, np.zeros(pad, np.uint8)]
                 )
             dims = (b_pad, V, P, l_pad, len(exc_idx), t_pad, R)
+            if version == "v4":
+                dims = dims + (K_pins or PIN_K,)
             if version == "v3":
                 wire = pack_chunk_wire3(
                     vcodes_f, dplane_f, nv, q_pad, nq, exc_idx, exc_pred

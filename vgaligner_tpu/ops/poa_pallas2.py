@@ -145,15 +145,32 @@ def _poa_dp_kernel2(nvmax_ref, meta_ref, combo_ref, q_ref, nv_ref, nq_ref,
     def body(vi, _):
         v = j * VB + vi  # global vertex rank
 
-        # --- gather predecessor rows (scalar per problem x slot) ---
-        # (per-problem row indices cannot be vectorized across sublanes;
-        # everything below this loop is [*, TB, W] vector work.  meta
-        # holds PRECOMPUTED slots — ring, pinned, or sentinel — so the
-        # scalar loop is a bare load + copy)
-        for t in range(TB):
-            for p in range(P):
-                slot = meta_ref[vi, t * F + p]
-                G[pl.ds(p, 1), pl.ds(t, 1), :] = S[pl.ds(slot, 1), pl.ds(t, 1), :]
+        # --- gather predecessor rows ---
+        # Per-problem row indices cannot be vectorized across sublanes,
+        # BUT most (vertex, p) tiles are slot-UNIFORM across the TB
+        # problems (delta-1 chain preds map to the problem-independent
+        # ring slot (v-1)&(R-1); mostly-dead p>=1 slots are all the NEG
+        # sentinel; problems already past their nv are don't-care and
+        # cannot break uniformity).  The host tags meta's t=0 entry
+        # with (slot+1)<<16 for uniform tiles: ONE [TB,3W] block copy
+        # replaces TB scalar copies — measured r5, the scalar gather
+        # was ~80% of the per-vertex overhead that dominates the DP
+        # (NOTES.md "overhead-bound").  Mixed tiles keep the scalar
+        # loop (entries masked to the low 16 slot bits).
+        for p in range(P):
+            us = meta_ref[vi, p] >> 16
+
+            @pl.when(us > 0)
+            def _(us=us, p=p):
+                G[pl.ds(p, 1), :, :] = S[pl.ds(us - 1, 1), :, :]
+
+            @pl.when(us == 0)
+            def _(p=p):
+                for t in range(TB):
+                    slot = meta_ref[vi, t * F + p] & 0xFFFF
+                    G[pl.ds(p, 1), pl.ds(t, 1), :] = (
+                        S[pl.ds(slot, 1), pl.ds(t, 1), :]
+                    )
 
         cs = combo_ref[pl.ds(vi, 1), :, :].reshape(TB, 1)  # [TB, 1] i32
         vc_col = cs & 7
@@ -277,6 +294,9 @@ def _poa_dp_kernel2(nvmax_ref, meta_ref, combo_ref, q_ref, nv_ref, nq_ref,
         return ()
 
     # vertices to compute in this block: clamp(nvmax - j*VB, 0, VB)
+    # (measured r5: full static unroll and 8x partial unroll changed
+    # nothing — the op stream, not loop overhead, is the per-vertex
+    # cost — so the dynamic bound stays and skips the padded tail)
     nvmax = nvmax_ref[g]
     n_here = jnp.maximum(
         jnp.minimum(nvmax - j * VB, jnp.int32(VB)), jnp.int32(0)
@@ -337,11 +357,31 @@ def poa_dp_pallas2(vcodes, vpred, is_sink, nv, q, nq, init_row,
         )
         far = live & (delta > R)
         slots = jnp.where(far, R + 2 + pin_of_pred, slots)
+    # uniform-slot tags: per (TB problem tile, vertex, p), when every
+    # problem still running (v < nv) agrees on the slot value, meta's
+    # t=0 entry carries (slot+1) << 16 and the kernel replaces the TB
+    # scalar row copies with ONE [TB, 3W] block copy.  Problems whose
+    # v >= nv compute garbage rows that nothing reads (traceback and
+    # the sink max are nv-guarded), so they are don't-care here.
+    care = v_iota < nv.astype(jnp.int32)[:, None, None]  # [B, V, 1]
+    n_tiles = B // TB
+    slots_g = slots.reshape(n_tiles, TB, V, P)
+    care_g = jnp.broadcast_to(care, (B, V, P)).reshape(n_tiles, TB, V, P)
+    mn = jnp.min(jnp.where(care_g, slots_g, jnp.int32(1 << 20)), axis=1)
+    mx = jnp.max(jnp.where(care_g, slots_g, jnp.int32(-1)), axis=1)
+    uni = (mn == mx) | (mx < 0)  # all care entries agree, or none care
+    tag = jnp.where(
+        uni, jnp.where(mx >= 0, mx, jnp.int32(R + 1)) + 1, jnp.int32(0)
+    )  # [n_tiles, V, P]
+
     slot_t = jnp.transpose(slots, (1, 0, 2))  # [V, B, P]
     if F > P:
         pad = jnp.broadcast_to(jnp.int32(R + 1), (V, B, F - P))
         slot_t = jnp.concatenate([slot_t, pad], axis=2)
-    meta = slot_t.reshape(V, B * F)
+    meta4 = slot_t.reshape(V, n_tiles, TB, F)
+    tag_t = jnp.transpose(tag, (1, 0, 2))  # [V, n_tiles, P]
+    meta4 = meta4.at[:, :, 0, :P].add(tag_t << 16)
+    meta = meta4.reshape(V, B * F)
     live_bits = jnp.sum(
         live.astype(jnp.int32) << (4 + jnp.arange(P, dtype=jnp.int32)),
         axis=-1,
