@@ -1,8 +1,11 @@
-"""Worker for the 2-process merge_gaf_shards test (test_parallel.py).
+"""Worker for the multi-process merge/mapping tests (test_parallel.py).
 
 Each process maps its contiguous shard of the path-window reads on CPU
-and calls merge_gaf_shards; process 0 writes the merged GAF.  Run as:
+— on a LOCAL n_local-device data mesh when n_local > 1 (the multi-host
+deployment shape: reads sharded per host, data-parallel mesh per host)
+— and calls merge_gaf_shards; process 0 writes the merged GAF.  Run as:
     python _dist_merge_worker.py <coordinator> <n_procs> <pid> <out.gaf>
+                                 [n_local_devices]
 """
 
 import os
@@ -10,6 +13,12 @@ import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("VGALIGNER_DENSE_LUT_MAX", "0")
+_n_local = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+if _n_local > 1:
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={_n_local}"
+    ).strip()
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
@@ -39,7 +48,15 @@ def main():
         os.path.join(os.path.dirname(__file__), "golden", "path-window-reads.fa")
     )
     shard = queries[host_shard(len(queries), ppi, ppc)]
-    mapper = Mapper(index, bandwidth=50, max_gap=1000, chain_min_n_anchors=2)
+    mesh = None
+    if _n_local > 1:
+        from vgaligner_tpu.parallel import make_mesh
+
+        local = jax.local_devices()
+        assert len(local) == _n_local, local
+        mesh = make_mesh(devices=local)
+    mapper = Mapper(index, bandwidth=50, max_gap=1000,
+                    chain_min_n_anchors=2, mesh=mesh)
     records = mapper.chains_to_gaf(mapper.map_reads(shard))
 
     merged = merge_gaf_shards(records, out_path, ppi, ppc)
