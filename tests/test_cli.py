@@ -145,7 +145,9 @@ def test_cli_write_console(tmp_path, monkeypatch, capsys):
 
 def test_cli_precision_flag(tmp_path, monkeypatch):
     """--precision exact|fast is a framework knob (the reference has no
-    analog); both modes must run end-to-end and default is exact."""
+    analog); both modes must run end-to-end and the default is auto
+    (backend-resolved: exact on CPU, fast on accelerators — see
+    MIGRATING.md for the r5 measurement and decision)."""
     monkeypatch.chdir(tmp_path)
     prefix = str(tmp_path / "tg")
     main(["index", "-i", f"{REFERENCE_TEST_DIR}/test.gfa", "-k", "11", "-o", prefix])
@@ -163,4 +165,4 @@ def test_cli_precision_flag(tmp_path, monkeypatch):
 
     args = _build_parser().parse_args(
         ["map", "-i", "x", "-f", "y", "-p", "abpoa"])
-    assert args.precision == "exact"
+    assert args.precision == "auto"

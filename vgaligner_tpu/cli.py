@@ -124,13 +124,18 @@ def _build_parser() -> argparse.ArgumentParser:
                          "read's reverse complement and keep the "
                          "better-scoring strand; reverse hits are "
                          "reported on the original read with strand '-'")
-    mp.add_argument("--precision", choices=["exact", "fast"], default="exact",
+    mp.add_argument("--precision", choices=["auto", "exact", "fast"],
+                    default="auto",
                     help="chaining DP arithmetic (framework knob; the "
                          "reference has no analog): 'exact' reproduces the "
                          "reference's f64 scores bit-for-bit (emulated f64 "
-                         "on TPU, ~4-8x slower); 'fast' is the scaled-int32 "
-                         "f32 DP — identical chains except for ties within "
-                         "1e-3 of each other (see ARCHITECTURE.md)")
+                         "on TPU — measured 2.4x slower on the DRB1 map "
+                         "batch); 'fast' is the scaled-int32 DP — identical "
+                         "chains except for ties within 1e-3 of each other "
+                         "(see ARCHITECTURE.md).  'auto' (default) picks "
+                         "exact on CPU (native f64, parity is free) and "
+                         "fast on accelerators (MIGRATING.md records the "
+                         "measurement + decision)")
     return p
 
 
@@ -193,6 +198,16 @@ def map_main(args) -> None:
 
             mesh = make_mesh(use)
 
+    precision = args.precision
+    if precision == "auto":
+        # exact on CPU (native IEEE f64 — reference bit-parity is free);
+        # fast on accelerators (emulated-f64 exact measured 2.4x slower
+        # on the DRB1 map batch, r5; divergence bounded to 1e-3 ties)
+        import jax
+
+        precision = "exact" if jax.default_backend() == "cpu" else "fast"
+        log.info("precision auto -> %s (backend %s)",
+                 precision, jax.default_backend())
     mapper = Mapper(
         index,
         bandwidth=50,  # map_main.rs:100-117 hard-codes these
@@ -200,7 +215,7 @@ def map_main(args) -> None:
         chain_min_n_anchors=args.chain_min_anchors,
         mesh=mesh,
         mapq=args.mapq,
-        precision=args.precision,
+        precision=precision,
         both_strands=args.both_strands,
         shard_index=args.shard_index,
     )
