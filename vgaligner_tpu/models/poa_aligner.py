@@ -476,10 +476,16 @@ def _rebase_trimmed_offsets(res, rng: "OrientedGraphRange") -> None:
 
 def _corridor_score_key(a) -> int:
     """Corridor-mode candidate ordering: the flank-penalty-free trimmed
-    score when available (see PoaAligner.trimmed_poa_score), else the
-    raw global score, else bottom (placeholders)."""
+    score when computable (see PoaAligner.trimmed_poa_score — evaluated
+    lazily here, so single-candidate reads never pay the cs parse),
+    else the raw global score, else bottom (placeholders)."""
     t = getattr(a, "poa_score_trim", None)
     if t is not None:
+        return t
+    cs = getattr(a, "poa_cs", None)
+    if cs is not None:
+        t = PoaAligner.trimmed_poa_score(cs)
+        a.poa_score_trim = t
         return t
     s = getattr(a, "poa_score", None)
     return -(1 << 60) if s is None else s
@@ -602,6 +608,8 @@ class PoaAligner:
                 alignments.append(GAFAlignment.from_placeholder_chain(chain))
             else:
                 alignments.append(self.obtain_base_level_alignment(chain))
+        if len(alignments) == 1:
+            return alignments[0]
         if self.range_mode == "corridor" and any(
             getattr(a, "poa_score", None) is not None for a in alignments
         ):
@@ -670,7 +678,7 @@ class PoaAligner:
             ):
                 a = GAFAlignment.from_abpoa_result(res, chain, handles)
                 a.poa_score = res.best_score
-                a.poa_score_trim = self.trimmed_poa_score(res.cs)
+                a.poa_cs = res.cs  # trim scored lazily, ties only
                 per_read.setdefault(qi, []).append(a)
             return self._select_best(per_read_chains, per_read)
         _tag, per_read_chains, selected, placeholders = state
@@ -698,7 +706,7 @@ class PoaAligner:
                 _rebase_trimmed_offsets(res, rng)
                 a = GAFAlignment.from_abpoa_result(res, chain, rng.handles)
                 a.poa_score = res.best_score
-                a.poa_score_trim = self.trimmed_poa_score(res.cs)
+                a.poa_cs = res.cs  # trim scored lazily, ties only
                 per_read.setdefault(qi, []).append(a)
 
         return self._select_best(per_read_chains, per_read)
@@ -768,6 +776,9 @@ class PoaAligner:
         corridor = self.range_mode == "corridor"
         for qi in range(len(per_read_chains)):
             alns = per_read.get(qi, [])
+            if len(alns) == 1:
+                out.append(alns[0])
+                continue
             if corridor and any(
                 getattr(a, "poa_score", None) is not None for a in alns
             ):
@@ -1049,5 +1060,5 @@ class PoaAligner:
         _rebase_trimmed_offsets(res, extended)
         a = GAFAlignment.from_abpoa_result(res, chain, extended.handles)
         a.poa_score = res.best_score
-        a.poa_score_trim = self.trimmed_poa_score(res.cs)
+        a.poa_cs = res.cs  # trim scored lazily, ties only
         return a
