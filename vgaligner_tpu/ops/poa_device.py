@@ -364,10 +364,6 @@ def traceback_batch(tbits, vpred, best_sink, nq):
         # state H (st == 0): resolve the case; non-match cases merely
         # switch state without consuming a step (emit nothing yet)
         m_slot = (bits >> 3) & 15
-        m_nxt = jnp.where(
-            m_slot == _VIRT_SLOT, jnp.int32(-2),
-            vpred[b_iota, vc, jnp.minimum(m_slot, P - 1)],
-        )
         at_h = st == 0
         is_match = at_h & (case == _CASE_M)
         switch_to = jnp.where(at_h & ~is_match, case, st)
@@ -376,9 +372,14 @@ def traceback_batch(tbits, vpred, best_sink, nq):
         in_e = (switch_to == 1) | (switch_to == 2)
         e_opn = jnp.where(switch_to == 1, (bits >> 7) & 1, (bits >> 12) & 1)
         e_slot = jnp.where(switch_to == 1, (bits >> 8) & 15, (bits >> 13) & 15)
-        e_nxt = jnp.where(
-            e_slot == _VIRT_SLOT, jnp.int32(-2),
-            vpred[b_iota, vc, jnp.minimum(e_slot, P - 1)],
+
+        # one vpred gather for the slot the walk actually follows (the
+        # step is HBM-gather-latency-bound; the old separate m_nxt +
+        # e_nxt gathers fetched a pred the state machine then discarded)
+        go_slot = jnp.where(in_e, e_slot, m_slot)
+        go_nxt = jnp.where(
+            go_slot == _VIRT_SLOT, jnp.int32(-2),
+            vpred[b_iota, vc, jnp.minimum(go_slot, P - 1)],
         )
 
         # F states (st 3/4): in-row insertion
@@ -392,9 +393,7 @@ def traceback_batch(tbits, vpred, best_sink, nq):
             jnp.where(in_e, jnp.int8(OP_D), jnp.int8(OP_M)),
         )
         vid = jnp.where(from_virtual, jnp.int32(-1), v)
-        v2 = jnp.where(
-            from_virtual | in_f, v, jnp.where(in_e, e_nxt, m_nxt)
-        )
+        v2 = jnp.where(from_virtual | in_f, v, go_nxt)
         j2 = jnp.where(from_virtual | in_f | is_match, j - 1, j)
         st2 = jnp.where(
             from_virtual | is_match, jnp.int32(0),
