@@ -1082,11 +1082,19 @@ int64_t vg_extract_subgraphs(
   std::vector<PerProb> results((size_t)B);
 
   parallel_for(B, [&](int64_t p) {
-    std::vector<int64_t> hlist, nbrs;
-    std::vector<std::pair<int64_t, int64_t>> frontier, nxt;
+    // thread-local scratch: constructing these (the hash map above
+    // all) per problem measured as real churn across a 4k-chain batch
+    thread_local std::vector<int64_t> hlist, nbrs;
+    thread_local std::vector<std::pair<int64_t, int64_t>> frontier, nxt;
     // corridor-mode flank-node label trims: handle -> [from, to) within
     // the node label (see corridor block)
-    std::unordered_map<int64_t, std::pair<int64_t, int64_t>> trim;
+    thread_local std::unordered_map<int64_t,
+                                    std::pair<int64_t, int64_t>> trim;
+    hlist.clear();
+    nbrs.clear();
+    frontier.clear();
+    nxt.clear();
+    trim.clear();
     PerProb& R = results[(size_t)p];
     int64_t a0 = anchor_off[p], a1 = anchor_off[p + 1];
     int64_t na = a1 - a0;
