@@ -2200,13 +2200,18 @@ def _tape_guess_cols(t_cap: int, max_q: int, V: int = 0) -> int:
     reads, r4): V=256 p99 173; V=512 max 503 and V=1024 max 556 (the
     mid-V chunks are sparse-anchor reads that delete through ~V
     vertices — they overflowed the query-based guess on EVERY drain);
-    V>=2048 max 148 (the corridor keeps huge-V subgraphs' alignments
-    compact — the old fetch-the-full-tape rule shipped 4,225 columns
-    for ~150 used, ~3 MB of dead bytes per drain).  Hence: query-based
-    guess everywhere except 512 <= V < 2048, which gets ~V columns."""
+    V>=2048 max 148 at 100 bp (the corridor keeps huge-V subgraphs'
+    alignments compact — the old fetch-the-full-tape rule shipped
+    4,225 columns for ~150 used, ~3 MB of dead bytes per drain).
+    Hence: query-based guess everywhere except 512 <= V < 2048, which
+    gets ~V columns.  r5: LONG queries (> 256 bp) on V >= 2048 chunks
+    walk ~nq + over-a-thousand deletions (measured used=2340 at 1 kb /
+    V=4096 — overflowing the 2048 guess and paying a full-tape refetch
+    round trip EVERY drain), so they get ~V columns too — the extra u8
+    tape bytes are KBs, the saved refetch is a ~30-60 ms link trip."""
     slack = int(os.environ.get("VGALIGNER_POA_TAPE_SLACK", "64"))
     base = min(t_cap, max(64, 1 << max(0, max_q + slack - 1).bit_length()))
-    if 512 <= V < 2048:
+    if 512 <= V < 2048 or (V >= 2048 and max_q > 256):
         return min(t_cap, max(base, 1 << max(0, V - 1).bit_length()))
     return base
 
