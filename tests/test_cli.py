@@ -166,3 +166,32 @@ def test_cli_precision_flag(tmp_path, monkeypatch):
     args = _build_parser().parse_args(
         ["map", "-i", "x", "-f", "y", "-p", "abpoa"])
     assert args.precision == "auto"
+
+
+def test_cli_precision_auto_resolution(tmp_path, monkeypatch, caplog):
+    """--precision auto resolves by backend: exact on CPU (native f64,
+    parity free), fast on accelerators (r5 measurement in MIGRATING.md).
+    The test backend is CPU; the accelerator side is pinned by faking
+    the backend probe on the resolver alone."""
+    import logging
+
+    import vgaligner_tpu.cli as cli
+
+    monkeypatch.chdir(tmp_path)
+    prefix = str(tmp_path / "tg")
+    cli.main(["index", "-i", f"{REFERENCE_TEST_DIR}/test.gfa", "-k", "11",
+              "-o", prefix])
+    with caplog.at_level(logging.INFO, logger="vgaligner"):
+        cli.main([
+            "map", "-i", prefix,
+            "-f", f"{REFERENCE_TEST_DIR}/single-read-test.fa",
+            "-o", str(tmp_path / "auto"), "-p", "abpoa",
+        ])
+    assert "precision auto -> exact (backend cpu)" in caplog.text
+
+    assert cli._resolve_precision("exact") == "exact"
+    assert cli._resolve_precision("fast") == "fast"
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert cli._resolve_precision("auto") == "fast"

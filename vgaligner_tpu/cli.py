@@ -139,6 +139,21 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _resolve_precision(precision: str) -> str:
+    """'auto' -> exact on CPU (native IEEE f64 — reference bit-parity
+    is free), fast on accelerators (emulated-f64 exact measured 2.36x
+    slower on the DRB1 map batch, r5 — MIGRATING.md records the
+    decision)."""
+    if precision != "auto":
+        return precision
+    import jax
+
+    resolved = "exact" if jax.default_backend() == "cpu" else "fast"
+    log.info("precision auto -> %s (backend %s)",
+             resolved, jax.default_backend())
+    return resolved
+
+
 def _strip_ext(path: str) -> str:
     for ext in (".gfa", ".fasta", ".fa", ".fastq", ".fq"):
         if path.endswith(ext):
@@ -198,16 +213,7 @@ def map_main(args) -> None:
 
             mesh = make_mesh(use)
 
-    precision = args.precision
-    if precision == "auto":
-        # exact on CPU (native IEEE f64 — reference bit-parity is free);
-        # fast on accelerators (emulated-f64 exact measured 2.4x slower
-        # on the DRB1 map batch, r5; divergence bounded to 1e-3 ties)
-        import jax
-
-        precision = "exact" if jax.default_backend() == "cpu" else "fast"
-        log.info("precision auto -> %s (backend %s)",
-                 precision, jax.default_backend())
+    precision = _resolve_precision(args.precision)
     mapper = Mapper(
         index,
         bandwidth=50,  # map_main.rs:100-117 hard-codes these
