@@ -118,3 +118,60 @@ def test_long_read_device_path_matches_host_oracle(drb1_index):
     _rebase_trimmed_offsets(res, rng_range)
     aln_host = GAFAlignment.from_abpoa_result(res, chains[0], rng_range.handles)
     assert aln_dev.to_string() == aln_host.to_string()
+
+
+def test_longread_corridor_chunks_all_ride_pallas(drb1_index):
+    """r5 criterion: zero XLA-scan fallbacks on the 1 kb workload.
+    Every chunk the long-read DRB1 align pipeline prepares must plan a
+    Pallas ring (R > 0) — the V>=4096 far-fan-out chunks via the
+    escalated pin budget (PIN_K < K <= PIN_K_MAX), which rescued ~490
+    ms of XLA scan per drain (NOTES.md)."""
+    import numpy as np
+
+    from vgaligner_tpu.io.fastx import QuerySequence
+    from vgaligner_tpu.models.mapper import Mapper
+    from vgaligner_tpu.models.poa_aligner import PoaAligner, PoaEngine
+    from vgaligner_tpu.ops import poa_device as PD
+
+    graph, index = drb1_index
+    rng = np.random.default_rng(79)
+    path_seqs = []
+    for pid in graph.paths_iter():
+        path_seqs.append(
+            "".join(graph.sequence(h) for h in graph.get_path(pid).nodes)
+        )
+    reads = []
+    for _ in range(64):
+        sseq = path_seqs[int(rng.integers(len(path_seqs)))]
+        start = int(rng.integers(0, max(len(sseq) - 1000, 1)))
+        reads.append(sseq[start : start + 1000])
+    queries = [
+        QuerySequence.from_name_and_string(f"l{i}", r)
+        for i, r in enumerate(reads)
+    ]
+    mapper = Mapper(index, chain_min_n_anchors=3, precision="fast")
+    chains = mapper.map_reads(queries)
+    aligner = PoaAligner(index, PoaEngine.ABPOA)
+
+    captured = []
+    orig = PD.kernel_launch_wires
+
+    def capture(prepared):
+        captured.extend(prepared)
+        return orig(prepared)
+
+    PD.kernel_launch_wires = capture
+    try:
+        aligner.best_alignments_for_queries(chains)
+    finally:
+        PD.kernel_launch_wires = orig
+
+    assert captured
+    escalated = 0
+    for _wire, version, dims, _rest in captured:
+        assert version == "v4"
+        assert dims[6] > 0, f"XLA fallback planned: dims={dims}"
+        if dims[7] > PD.PIN_K:
+            escalated += 1
+    # the far-fan-out big-V chunks must be present and pin-escalated
+    assert escalated >= 1, [d for _w, _v, d, _r in captured]
