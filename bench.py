@@ -223,7 +223,7 @@ def main():
         for i, s in enumerate(stream_reads)
     ]
     stream_rps = 0.0
-    for _ in range(2):
+    for _ in range(3):
         done: list = []
         t0 = time.monotonic()
         stream_map_align(
